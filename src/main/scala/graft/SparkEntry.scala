@@ -1,13 +1,438 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` for each
+  * SQL-expressible operator.
+  *
+  * Conventions for oracle parity:
+  *  - every query has a deterministic total ORDER BY on both sides;
+  *  - event-time windows order by `ts_ms` = epoch milliseconds as BIGINT
+  *    (the reference requires Timestamp(ms)/Int64-ms order columns —
+  *    src/runtime/watermark/manager.rs:96-135 — and this also sidesteps
+  *    ns-vs-us truncation differences between engines);
+  *  - double aggregates are rounded on both sides; ML-aggregate string
+  *    outputs use the reference's 6-decimal trimmed float format.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** DuckDB rendition of the reference's format_float (top/format.rs:3-11). */
+  private def fm(x: String): String = s"rtrim(rtrim(printf('%.6f', $x), '0'), '.')"
+
+  private def sqlQuery(sparkSql: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { GraftSession.prepare(spark, dir); spark.sql(sparkSql) }
+
+  /** Flagship query on sf=0.001 (README.md:105-146 shape: join + windowed
+    * aggregates + ML top/cate functions); driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.prepare(spark, "/root/testdata/sf0.001")
+    spark.sql("""
+      SELECT c.c_custkey, c.c_name,
+             count(*) AS num_orders,
+             round(sum(o.o_totalprice), 2) AS total_spent,
+             top(o.o_totalprice, 3) AS top_order_amounts,
+             topn_frequency(o.o_orderpriority, 2) AS frequent_priorities,
+             sum_cate(o.o_totalprice, o.o_orderstatus) AS spend_by_status,
+             count_where(o.o_totalprice, o.o_totalprice > 100000) AS big_orders
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_name
+      ORDER BY c.c_custkey
+    """)
+  }
+
+  // ---------------------------------------------------------------------
+  // Query catalog: name -> (spark query, duckdb oracle)
+  // ---------------------------------------------------------------------
+
+  private case class Q(spark: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def both(sql: String): Q = Q(sqlQuery(sql), Some(sql))
+  private def split(sparkSql: String, duckSql: String): Q = Q(sqlQuery(sparkSql), Some(duckSql))
+
+  /** Spark-side events with a ms epoch (ts reads as BIGINT nanos — see
+    * GraftSession.prepare); DuckDB reads ts as TIMESTAMP_NS and uses epoch_ms.
+    * `value_c` is the value in exact integer cents: windowed float sums are
+    * order-sensitive at the ulp level and engines aggregate frames in
+    * different orders (Spark per-frame scan vs DuckDB segment tree), so
+    * per-row-emitting window queries aggregate integers and convert at the
+    * end — deterministic and exact in both engines. */
+  private val eventsMsSpark =
+    "(SELECT *, ts DIV 1000000 AS ts_ms, CAST(round(value * 100) AS BIGINT) AS value_c FROM events)"
+  private val eventsMsDuck =
+    "(SELECT *, epoch_ms(ts) AS ts_ms, CAST(round(value * 100) AS BIGINT) AS value_c FROM events)"
+
+  /** One SQL template, two engines: __EV__ expands to the per-engine events view. */
+  private def evQ(sql: String): Q =
+    split(sql.replace("__EV__", eventsMsSpark), sql.replace("__EV__", eventsMsDuck))
+
+  private lazy val catalog: Map[String, Q] = {
+
+    val m = Map.newBuilder[String, Q]
+
+    // ---------------- projection / filter / scalar exprs (SURVEY §2.2) ----
+    m += "q_select_proj" -> both("""
+      SELECT event_id, user_id, value * 2 AS value2,
+             concat(event_type, '_', cast(user_id AS string)) AS tag
+      FROM events ORDER BY event_id""")
+
+    m += "q_filter" -> both("""
+      SELECT event_id, value FROM events
+      WHERE event_type = 'click' AND value > 5.0 ORDER BY event_id""")
+
+    m += "q_where_in" -> both("""
+      SELECT event_id, event_type FROM events
+      WHERE event_type IN ('purchase', 'signup') ORDER BY event_id""")
+
+    m += "q_where_between" -> both("""
+      SELECT event_id, value FROM events
+      WHERE value BETWEEN 10.0 AND 20.0 ORDER BY event_id""")
+
+    m += "q_where_like" -> both("""
+      SELECT p_partkey, p_name FROM part
+      WHERE p_name LIKE '%green%' ORDER BY p_partkey""")
+
+    m += "q_case_when" -> both("""
+      SELECT event_id,
+             CASE WHEN value > 20.0 THEN 'high'
+                  WHEN value > 10.0 THEN 'mid'
+                  ELSE 'low' END AS bucket
+      FROM events ORDER BY event_id""")
+
+    m += "q_where_complex" -> both("""
+      SELECT event_id, user_id, value FROM events
+      WHERE (event_type = 'click' OR event_type = 'view')
+        AND NOT (value < 2.0) AND user_id % 2 = 0
+      ORDER BY event_id""")
+
+    // ---------------- group-by aggregation (SURVEY §2.5) ------------------
+    m += "q_groupby_count" -> both("""
+      SELECT event_type, count(*) AS cnt FROM events
+      GROUP BY event_type ORDER BY event_type""")
+
+    m += "q_groupby_sum_avg" -> both("""
+      SELECT event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 / count(value) AS avg_value
+      FROM events GROUP BY event_type ORDER BY event_type""")
+
+    m += "q_groupby_minmax" -> both("""
+      SELECT user_id, min(value) AS min_value, max(value) AS max_value,
+             count(*) AS cnt
+      FROM events GROUP BY user_id ORDER BY user_id""")
+
+    m += "q_having" -> both("""
+      SELECT user_id, count(*) AS cnt FROM events
+      GROUP BY user_id HAVING count(*) > 60 ORDER BY user_id""")
+
+    m += "q_count_distinct" -> split(
+      """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+         GROUP BY event_type ORDER BY event_type""",
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+         GROUP BY event_type ORDER BY event_type""")
+
+    // Exact-integer money arithmetic (cents / basis points), converted to
+    // double once at the end: bit-identical across engines, no rounding.
+    m += "q1_agg" -> both("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+               AS sum_disc_price,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_price,
+             count(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+
+    // ---------------- joins (SURVEY §2.4; reference stub — we exceed) -----
+    m += "q_join_inner" -> both("""
+      SELECT c.c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+
+    m += "q_join_multi" -> both("""
+      SELECT n.n_name, r.r_name,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+               AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name ORDER BY n.n_name, r.r_name""")
+
+    m += "q_join_left" -> both("""
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey ORDER BY c.c_custkey""")
+
+    m += "q_join_semi" -> both("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      ORDER BY c_custkey""")
+
+    m += "q_join_anti" -> both("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      ORDER BY c_custkey""")
+
+    // ---------------- sorts / limits / set ops (SURVEY §2.8) --------------
+    m += "q_orderby_limit" -> both("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")
+
+    m += "q_distinct" -> both("""
+      SELECT DISTINCT event_type FROM events ORDER BY event_type""")
+
+    m += "q_union" -> both("""
+      SELECT event_type AS label FROM events WHERE value > 25.0
+      UNION
+      SELECT o_orderpriority AS label FROM orders WHERE o_totalprice > 300000
+      ORDER BY label""")
+
+    // ---------------- OVER windows (SURVEY §2.6) ---------------------------
+    // RANGE frame in event-time ms; one output row per input row — the
+    // batch-mode semantics of the reference WindowOperator.
+    m += "q_window_range_sum" -> evQ(
+      """SELECT event_id, user_id, ts_ms,
+               CAST(sum(value_c) OVER (PARTITION BY user_id ORDER BY ts_ms
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS sum_1h
+         FROM __EV__ ORDER BY event_id""")
+
+    m += "q_window_rows_avg" -> evQ(
+      """SELECT event_id, user_id,
+               CAST(sum(value_c) OVER w AS DOUBLE) / 100 / count(*) OVER w AS avg_100,
+               count(*) OVER w AS cnt_100
+         FROM __EV__
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                      ROWS BETWEEN 100 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""")
+
+    m += "q_window_multi" -> evQ(
+      """SELECT event_id, user_id,
+               CAST(sum(value_c) OVER w AS DOUBLE) / 100 AS w_sum,
+               count(value_c) OVER w AS w_cnt,
+               min(value) OVER w AS w_min,
+               max(value) OVER w AS w_max,
+               CAST(sum(value_c) OVER w AS DOUBLE) / 100 / count(*) OVER w AS w_avg
+         FROM __EV__
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                      RANGE BETWEEN 7200000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""")
+
+    // Sample stddev/variance from exact integer window sums:
+    // var = (n*Σx² − (Σx)²) / (n(n−1)) in cents², then /1e4 — identical
+    // float ops over identical integers in both engines.
+    m += "q_window_stddev" -> evQ(
+      """SELECT event_id, user_id,
+               CASE WHEN n > 1 THEN
+                 sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))) / 100
+               END AS w_stddev,
+               CASE WHEN n > 1 THEN
+                 CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)) / 10000
+               END AS w_var
+         FROM (
+           SELECT event_id, user_id,
+                  count(*) OVER w AS n,
+                  CAST(sum(value_c) OVER w AS BIGINT) AS s1,
+                  CAST(sum(value_c * value_c) OVER w AS BIGINT) AS s2
+           FROM __EV__
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                        RANGE BETWEEN 7200000 PRECEDING AND CURRENT ROW)
+         ) ORDER BY event_id""")
+
+    // ---------------- ML aggregate family (SURVEY §2.7) --------------------
+    m += "q_top" -> split(
+      """SELECT user_id, top(value, 3) AS top_values FROM events
+         GROUP BY user_id ORDER BY user_id""",
+      s"""SELECT user_id, coalesce(string_agg(${fm("value")}, ',' ORDER BY value DESC), '') AS top_values
+          FROM (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rn
+            FROM events WHERE value IS NOT NULL
+          ) WHERE rn <= 3
+          GROUP BY user_id ORDER BY user_id""")
+
+    m += "q_topn_frequency" -> split(
+      """SELECT user_id, topn_frequency(event_type, 2) AS frequent FROM events
+         GROUP BY user_id ORDER BY user_id""",
+      """SELECT user_id, coalesce(string_agg(event_type, ',' ORDER BY c DESC, event_type DESC), '') AS frequent
+         FROM (
+           SELECT user_id, event_type, count(*) AS c,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY count(*) DESC, event_type DESC) AS rn
+           FROM events WHERE event_type IS NOT NULL
+           GROUP BY user_id, event_type
+         ) WHERE rn <= 2
+         GROUP BY user_id ORDER BY user_id""")
+
+    m += "q_top1_ratio" -> split(
+      """SELECT user_id, top1_ratio(event_type) AS ratio FROM events
+         GROUP BY user_id ORDER BY user_id""",
+      """SELECT user_id, max(c) / CAST(sum(c) AS DOUBLE) AS ratio
+         FROM (
+           SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+           FROM events WHERE event_type IS NOT NULL
+           GROUP BY user_id, event_type
+         ) GROUP BY user_id ORDER BY user_id""")
+
+    m += "q_agg_where" -> split(
+      s"""SELECT user_id,
+                CAST(sum_where(value_c, event_type = 'purchase') AS DOUBLE) / 100 AS sum_purchase,
+                count_where(value, event_type = 'purchase') AS cnt_purchase,
+                CAST(sum_where(value_c, value > 10.0) AS DOUBLE) / 100
+                  / count_where(value_c, value > 10.0) AS avg_big,
+                min_where(value, event_type = 'click') AS min_click,
+                max_where(value, event_type = 'click') AS max_click
+         FROM $eventsMsSpark GROUP BY user_id ORDER BY user_id""",
+      s"""SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN value_c END) AS DOUBLE) / 100 AS sum_purchase,
+                count(CASE WHEN event_type = 'purchase' THEN value END) AS cnt_purchase,
+                CAST(sum(CASE WHEN value > 10.0 THEN value_c END) AS DOUBLE) / 100
+                  / count(CASE WHEN value > 10.0 THEN value_c END) AS avg_big,
+                min(CASE WHEN event_type = 'click' THEN value END) AS min_click,
+                max(CASE WHEN event_type = 'click' THEN value END) AS max_click
+         FROM $eventsMsDuck GROUP BY user_id ORDER BY user_id""")
+
+    // cate family: parts are "cate:value" sorted lexicographically.
+    m += "q_cate" -> split(
+      s"""SELECT user_id,
+                sum_cate(value_c, event_type) AS sum_cate,
+                count_cate(value, event_type) AS count_cate,
+                avg_cate(value_c, event_type) AS avg_cate,
+                min_cate(value, event_type) AS min_cate,
+                max_cate(value, event_type) AS max_cate
+         FROM $eventsMsSpark GROUP BY user_id ORDER BY user_id""",
+      s"""WITH g AS (
+            SELECT user_id, event_type AS k,
+                   CAST(sum(value_c) AS DOUBLE) AS s, count(value) AS c,
+                   min(value) AS mn, max(value) AS mx
+            FROM $eventsMsDuck WHERE event_type IS NOT NULL
+            GROUP BY user_id, event_type
+            HAVING count(value) > 0
+          )
+          SELECT u.user_id,
+                 coalesce(a.sum_cate, '') AS sum_cate,
+                 coalesce(a.count_cate, '') AS count_cate,
+                 coalesce(a.avg_cate, '') AS avg_cate,
+                 coalesce(a.min_cate, '') AS min_cate,
+                 coalesce(a.max_cate, '') AS max_cate
+          FROM (SELECT DISTINCT user_id FROM events) u
+          LEFT JOIN (
+            SELECT user_id,
+                   string_agg(k || ':' || ${fm("s")}, ',' ORDER BY k || ':' || ${fm("s")}) AS sum_cate,
+                   string_agg(k || ':' || CAST(c AS VARCHAR), ',' ORDER BY k || ':' || CAST(c AS VARCHAR)) AS count_cate,
+                   string_agg(k || ':' || ${fm("s / c")}, ',' ORDER BY k || ':' || ${fm("s / c")}) AS avg_cate,
+                   string_agg(k || ':' || ${fm("mn")}, ',' ORDER BY k || ':' || ${fm("mn")}) AS min_cate,
+                   string_agg(k || ':' || ${fm("mx")}, ',' ORDER BY k || ':' || ${fm("mx")}) AS max_cate
+            FROM g GROUP BY user_id
+          ) a USING (user_id)
+          ORDER BY u.user_id""")
+
+    m += "q_cate_where" -> split(
+      s"""SELECT user_id,
+                sum_cate_where(value_c, value > 10.0, event_type) AS sum_cw,
+                count_cate_where(value, value > 10.0, event_type) AS count_cw
+         FROM $eventsMsSpark GROUP BY user_id ORDER BY user_id""",
+      s"""WITH g AS (
+            SELECT user_id, event_type AS k,
+                   CAST(sum(CASE WHEN value > 10.0 THEN value_c END) AS DOUBLE) AS s,
+                   count(CASE WHEN value > 10.0 THEN value END) AS c
+            FROM $eventsMsDuck WHERE event_type IS NOT NULL
+            GROUP BY user_id, event_type
+            HAVING count(CASE WHEN value > 10.0 THEN value END) > 0
+          )
+          SELECT u.user_id,
+                 coalesce(a.sum_cw, '') AS sum_cw,
+                 coalesce(a.count_cw, '') AS count_cw
+          FROM (SELECT DISTINCT user_id FROM events) u
+          LEFT JOIN (
+            SELECT user_id,
+                   string_agg(k || ':' || ${fm("s")}, ',' ORDER BY k || ':' || ${fm("s")}) AS sum_cw,
+                   string_agg(k || ':' || CAST(c AS VARCHAR), ',' ORDER BY k || ':' || CAST(c AS VARCHAR)) AS count_cw
+            FROM g GROUP BY user_id
+          ) a USING (user_id)
+          ORDER BY u.user_id""")
+
+    m += "q_top_n_cate" -> split(
+      s"""SELECT user_id,
+                top_n_key_sum_cate_where(value_c, value > 5.0, event_type, 2) AS by_key,
+                top_n_value_sum_cate_where(value_c, value > 5.0, event_type, 2) AS by_value
+         FROM $eventsMsSpark GROUP BY user_id ORDER BY user_id""",
+      s"""WITH g AS (
+            SELECT user_id, event_type AS k, CAST(sum(value_c) AS DOUBLE) AS s
+            FROM $eventsMsDuck WHERE event_type IS NOT NULL AND value > 5.0
+            GROUP BY user_id, event_type
+          ),
+          bk AS (
+            SELECT user_id, string_agg(k || ':' || ${fm("s")}, ',' ORDER BY k DESC) AS by_key
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY k DESC) AS rn FROM g)
+            WHERE rn <= 2 GROUP BY user_id
+          ),
+          bv AS (
+            SELECT user_id, string_agg(k || ':' || ${fm("s")}, ',' ORDER BY s DESC, k DESC) AS by_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY s DESC, k DESC) AS rn FROM g)
+            WHERE rn <= 2 GROUP BY user_id
+          )
+          SELECT u.user_id, coalesce(bk.by_key, '') AS by_key,
+                 coalesce(bv.by_value, '') AS by_value
+          FROM (SELECT DISTINCT user_id FROM events) u
+          LEFT JOIN bk USING (user_id) LEFT JOIN bv USING (user_id)
+          ORDER BY u.user_id""")
+
+    m += "q_ratio_cate" -> split(
+      """SELECT user_id,
+                top_n_key_ratio_cate(value, value > 10.0, event_type, 2) AS rk,
+                top_n_value_ratio_cate(value, value > 10.0, event_type, 2) AS rv
+         FROM events GROUP BY user_id ORDER BY user_id""",
+      s"""WITH g AS (
+            SELECT user_id, event_type AS k,
+                   CAST(count(CASE WHEN value > 10.0 THEN 1 END) AS DOUBLE)
+                     / CAST(count(value) AS DOUBLE) AS r
+            FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY user_id, event_type
+          ),
+          rk AS (
+            SELECT user_id, string_agg(k || ':' || ${fm("r")}, ',' ORDER BY k DESC) AS rk
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY k DESC) AS rn FROM g)
+            WHERE rn <= 2 GROUP BY user_id
+          ),
+          rv AS (
+            SELECT user_id, string_agg(k || ':' || ${fm("r")}, ',' ORDER BY r DESC, k DESC) AS rv
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY r DESC, k DESC) AS rn FROM g)
+            WHERE rn <= 2 GROUP BY user_id
+          )
+          SELECT u.user_id, coalesce(rk.rk, '') AS rk, coalesce(rv.rv, '') AS rv
+          FROM (SELECT DISTINCT user_id FROM events) u
+          LEFT JOIN rk USING (user_id) LEFT JOIN rv USING (user_id)
+          ORDER BY u.user_id""")
+
+    // ML aggregates over sliding windows (streaming semantics, batch mode).
+    m += "q_top_window" -> split(
+      s"""SELECT event_id, user_id,
+                top(value, 3) OVER (PARTITION BY user_id ORDER BY ts_ms
+                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS top_1h
+          FROM $eventsMsSpark ORDER BY event_id""",
+      s"""SELECT e.event_id, e.user_id,
+                 (SELECT coalesce(string_agg(${fm("f.value")}, ',' ORDER BY f.value DESC), '')
+                  FROM (SELECT value FROM $eventsMsDuck f0
+                        WHERE f0.user_id = e.user_id
+                          AND f0.ts_ms BETWEEN e.ts_ms - 3600000 AND e.ts_ms
+                          AND f0.value IS NOT NULL
+                        ORDER BY f0.value DESC LIMIT 3) f) AS top_1h
+          FROM $eventsMsDuck e ORDER BY e.event_id""")
+
+    m.result()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (k, q) => k -> q.spark }
+
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
 }
