@@ -427,6 +427,207 @@ object SparkEntry {
                         ORDER BY f0.value DESC LIMIT 3) f) AS top_1h
           FROM $eventsMsDuck e ORDER BY e.event_id""")
 
+    // ================= LLM-data-pipeline operators ========================
+    // (dedup / similarity / text analysis / multimodal — SURVEY north star)
+    import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, octet_length, md5, length => flength}
+
+    def op(fn: (SparkSession, String) => DataFrame, oracle: String = null): Q =
+      Q((s, dir) => { GraftSession.prepare(s, dir); fn(s, dir) }, Option(oracle))
+
+    /** DuckDB global-flag regexp_replace (Spark replaces all by default). */
+    val duckFp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+    m += "q_fingerprint" -> op(
+      (s, dir) => GraftSession.table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
+          flength(col("text")).as("n_chars2"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, $duckFp AS fp, length(text) AS n_chars2
+          FROM documents ORDER BY doc_id""")
+
+    m += "q_dedup_exact" -> op(
+      (s, dir) => {
+        val docs = GraftSession.table(s, dir, "documents")
+          .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        Dedup.exact(docs, "doc_id", Seq("fp")).select("doc_id", "fp").orderBy("doc_id")
+      },
+      s"""SELECT doc_id, $duckFp AS fp FROM documents
+          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY $duckFp)
+          ORDER BY doc_id""")
+
+    m += "q_text_stats" -> op(
+      (s, dir) => TextAnalysis.stats(GraftSession.table(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id"),
+      """SELECT doc_id,
+               length(text) AS n_chars,
+               CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_subwords,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+               CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+                 CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                   / len(regexp_extract_all(text, '\S+')) END AS mean_token_len,
+               CASE WHEN length(text) > 0 THEN
+                 CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)
+               END AS alpha_ratio,
+               CASE WHEN length(text) > 0 THEN
+                 CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)
+               END AS punct_ratio
+         FROM documents ORDER BY doc_id""")
+
+    m += "q_text_quality" -> op(
+      (s, dir) => GraftSession.table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+               (CASE WHEN nt >= 10 AND nt <= 100000 THEN 1.0 ELSE nt / 10.0 END
+                + CASE WHEN nt > 0 THEN least(sw * 4.0 / nt, 1.0) ELSE 0.0 END
+                + CASE WHEN nc > 0 THEN al / nc ELSE 0.0 END) / 3.0 AS quality
+         FROM (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+                  CAST(length(text) AS DOUBLE) AS nc,
+                  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS al,
+                  CAST(len(regexp_extract_all(lower(text), '\bthe\b'))
+                     + len(regexp_extract_all(lower(text), '\band\b'))
+                     + len(regexp_extract_all(lower(text), '\bof\b'))
+                     + len(regexp_extract_all(lower(text), '\bto\b'))
+                     + len(regexp_extract_all(lower(text), '\ba\b')) AS DOUBLE) AS sw
+           FROM documents
+         ) ORDER BY doc_id""")
+
+    m += "q_lang_id" -> op(
+      (s, dir) => GraftSession.table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+               CASE WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+                    WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                    WHEN es >= de AND es >= fr THEN 'es'
+                    WHEN de >= fr THEN 'de'
+                    ELSE 'fr' END AS lang_guess
+         FROM (
+           SELECT doc_id,
+                  len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
+                + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bto\b'))
+                + len(regexp_extract_all(lower(text), '\ba\b')) AS en,
+                  len(regexp_extract_all(lower(text), '\bel\b')) + len(regexp_extract_all(lower(text), '\bla\b'))
+                + len(regexp_extract_all(lower(text), '\bde\b')) + len(regexp_extract_all(lower(text), '\bque\b'))
+                + len(regexp_extract_all(lower(text), '\by\b')) AS es,
+                  len(regexp_extract_all(lower(text), '\bder\b')) + len(regexp_extract_all(lower(text), '\bdie\b'))
+                + len(regexp_extract_all(lower(text), '\bund\b')) + len(regexp_extract_all(lower(text), '\bdas\b'))
+                + len(regexp_extract_all(lower(text), '\bist\b')) AS de,
+                  len(regexp_extract_all(lower(text), '\ble\b')) + len(regexp_extract_all(lower(text), '\bla\b'))
+                + len(regexp_extract_all(lower(text), '\bet\b')) + len(regexp_extract_all(lower(text), '\bles\b'))
+                + len(regexp_extract_all(lower(text), '\bdes\b')) AS fr
+           FROM documents
+         ) ORDER BY doc_id""")
+
+    m += "q_dedup_ngram" -> op(
+      (s, dir) => Dedup.ngramJaccardDedupExact(
+          GraftSession.table(s, dir, "documents"), "doc_id", "text", 5, 0.8)
+        .select("doc_id").orderBy("doc_id"),
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, substring(text, CAST(u AS INT), 5) AS s
+           FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u
+                 FROM documents)
+         ),
+         cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS m
+           FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ),
+         losers AS (
+           SELECT DISTINCT inter.j AS doc_id
+           FROM inter JOIN cnt ca ON inter.i = ca.doc_id JOIN cnt cb ON inter.j = cb.doc_id
+           WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.8
+         )
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id""")
+
+    // LSH-pruned variants: the 100 TB scale path; rows-only driver check,
+    // exact golden coverage lives in the ScalaTest suite.
+    m += "q_dedup_minhash" -> op(
+      (s, dir) => Dedup.minhashLsh(GraftSession.table(s, dir, "documents"),
+        "doc_id", "text").select("doc_id").orderBy("doc_id"))
+
+    m += "q_dedup_simhash" -> op(
+      (s, dir) => Dedup.simhashDedup(GraftSession.table(s, dir, "documents"),
+        "doc_id", "text").select("doc_id").orderBy("doc_id"))
+
+    m += "q_dedup_embedding" -> op(
+      (s, dir) => Dedup.embeddingDedupExact(
+          GraftSession.table(s, dir, "embeddings"), "vec_id", "embedding", 0.99)
+        .select("vec_id").orderBy("vec_id"),
+      """WITH flat AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS v
+           FROM embeddings
+         ),
+         norms AS (SELECT vec_id, sum(v*v) AS n2 FROM flat GROUP BY vec_id),
+         dots AS (
+           SELECT a.vec_id AS i, b.vec_id AS j, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+           FROM flat a JOIN flat b USING (i) WHERE a.vec_id < b.vec_id GROUP BY 1, 2
+         ),
+         losers AS (
+           SELECT DISTINCT j AS vec_id
+           FROM dots JOIN norms na ON i = na.vec_id JOIN norms nb ON j = nb.vec_id
+           WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.99
+         )
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT vec_id FROM losers) ORDER BY vec_id""")
+
+    m += "q_simsearch" -> op(
+      (s, dir) => {
+        val emb = GraftSession.table(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .orderBy("query_id", "rank")
+      },
+      """WITH flat AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS v
+           FROM embeddings
+         ),
+         norms AS (SELECT vec_id, sum(v*v) AS n2 FROM flat GROUP BY vec_id),
+         dots AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS nn_id, CAST(sum(q.v * e.v) AS BIGINT) AS dot
+           FROM flat q JOIN flat e USING (i)
+           WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id GROUP BY 1, 2
+         ),
+         scored AS (
+           SELECT query_id, nn_id,
+                  CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(ne.n2 AS DOUBLE))) AS cosine
+           FROM dots JOIN norms nq ON query_id = nq.vec_id JOIN norms ne ON nn_id = ne.vec_id
+         )
+         SELECT query_id, CAST(rank AS INT) AS rank, nn_id, cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+           FROM scored
+         ) WHERE rank <= 5 ORDER BY query_id, rank""")
+
+    m += "q_ann_lsh" -> op(
+      (s, dir) => {
+        val emb = GraftSession.table(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .orderBy("query_id", "rank")
+      })
+
+    m += "q_multimodal" -> op(
+      (s, dir) => GraftSession.table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("digest"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+         FROM documents ORDER BY doc_id""")
+
+    m += "q_multimodal_decode" -> op(
+      (s, dir) => Multimodal.decode(
+        GraftSession.table(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload").orderBy("doc_id"))
+
     m.result()
   }
 

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavior tests for the LLM-data-pipeline operators with planted
+  * duplicates/neighbors (the driver testdata lacks embedding near-dups).
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    Seq(
+      (0L, base),
+      (1L, base + " extra"),                       // near-dup of 0
+      (2L, "completely different text about spark catalyst optimizer rules and physical plans"),
+      (3L, base),                                  // exact dup of 0
+      (4L, "another unrelated document discussing parquet column pruning and predicate pushdown")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per identical text") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text")).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("minhash LSH drops near- and exact duplicates, keeps distinct docs") {
+    val out = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 2L, 4L)) // 1 and 3 are dups of 0
+  }
+
+  test("simhash drops exact duplicate (hamming 0), keeps distinct docs") {
+    val out = Dedup.simhashDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.contains(2L) && out.contains(4L) && !out.contains(3L))
+  }
+
+  test("ngram jaccard exact matches LSH-pruned variant on planted dups") {
+    val exact = Dedup.ngramJaccardDedupExact(docs, "doc_id", "text", 5, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val lsh = Dedup.ngramJaccardDedup(docs, "doc_id", "text", 5, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(exact == Seq(0L, 2L, 4L))
+    assert(lsh == exact)
+  }
+
+  private def vecs = {
+    import spark.implicits._
+    val v0 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v0near = v0.clone(); v0near(0) = v0(0) + 0.001f
+    val v1 = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
+    val v2 = Array.tabulate(64)(i => ((i * 37 % 13) - 6).toFloat / 7f)
+    Seq((0L, v0.toSeq), (1L, v0near.toSeq), (2L, v1.toSeq), (3L, v2.toSeq))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("embedding near-dup: exact and LSH variants both drop the planted near-dup") {
+    val exact = Dedup.embeddingDedupExact(vecs, "vec_id", "embedding", 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(exact == Seq(0L, 2L, 3L))
+    val lsh = Dedup.embeddingDedupLsh(vecs, "vec_id", "embedding", 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(lsh == exact)
+  }
+
+  test("brute-force cosine top-k ranks the planted neighbor first") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("nn_id") == 1L) // near-identical vector
+    assert(out(0).getAs[Double]("cosine") > 0.999)
+  }
+
+  test("lsh top-k finds the near-identical neighbor (same bucket w.h.p.)") {
+    val out = Similarity.lshTopK(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .collect()
+    assert(out.nonEmpty && out(0).getAs[Long]("nn_id") == 1L)
+  }
+
+  test("text analysis: token counts and fingerprint normalization") {
+    import spark.implicits._
+    val df = Seq((0L, "  Hello   world!  "), (1L, "hello world!"))
+      .toDF("doc_id", "text")
+    val st = TextAnalysis.stats(df, "doc_id", "text").collect()
+    assert(st(0).getAs[Int]("n_tokens") == 2)
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1)) // whitespace/case-insensitive canonical form
+  }
+
+  test("multimodal decode stub: deterministic metadata from bytes") {
+    import spark.implicits._
+    val df = Seq((7L, "some fake image payload bytes"))
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), col("raw").cast("binary").as("payload"))
+    val out = Multimodal.decode(df, "doc_id", "payload").collect()(0)
+    assert(out.getAs[Int]("n_bytes") == 29)
+    assert(Seq("png", "jpeg", "webp").contains(out.getAs[String]("format")))
+    assert(out.getAs[scala.collection.Seq[Double]]("feature").length == 8)
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload").collect()
+    assert(frames.length == 1 && frames(0).getAs[Int]("frame_idx") == 0)
+  }
+}
