@@ -90,7 +90,7 @@ object SparkEntry {
 
     m += "q_where_like" -> both("""
       SELECT p_partkey, p_name FROM part
-      WHERE p_name LIKE '%green%' ORDER BY p_partkey""")
+      WHERE p_name LIKE '%red%' ORDER BY p_partkey""")
 
     m += "q_case_when" -> both("""
       SELECT event_id,
@@ -178,7 +178,7 @@ object SparkEntry {
 
     m += "q_join_anti" -> both("""
       SELECT c_custkey, c_name FROM customer
-      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
       ORDER BY c_custkey""")
 
     // ---------------- sorts / limits / set ops (SURVEY §2.8) --------------
@@ -429,8 +429,8 @@ object SparkEntry {
 
     // ================= LLM-data-pipeline operators ========================
     // (dedup / similarity / text analysis / multimodal — SURVEY north star)
-    import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
-    import org.apache.spark.sql.functions.{col, octet_length, md5, length => flength}
+    import graft.operators.{Dedup, DedupOracles, Multimodal, Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, concat_ws, octet_length, md5, round, transform, length => flength}
 
     def op(fn: (SparkSession, String) => DataFrame, oracle: String = null): Q =
       Q((s, dir) => { GraftSession.prepare(s, dir); fn(s, dir) }, Option(oracle))
@@ -524,60 +524,31 @@ object SparkEntry {
            FROM documents
          ) ORDER BY doc_id""")
 
+    // Dedup catalog paths are the LSH-pruned scale paths; the DuckDB
+    // oracles (DedupOracles) replay the full pipelines — portable
+    // md5-prefix hashes make candidate generation engine-identical.
+    // Exact all-pairs variants stay test-only (OperatorsSpec).
     m += "q_dedup_ngram" -> op(
-      (s, dir) => Dedup.ngramJaccardDedupExact(
+      (s, dir) => Dedup.ngramJaccardDedup(
           GraftSession.table(s, dir, "documents"), "doc_id", "text", 5, 0.8)
         .select("doc_id").orderBy("doc_id"),
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, substring(text, CAST(u AS INT), 5) AS s
-           FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u
-                 FROM documents)
-         ),
-         cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS m
-           FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
-           GROUP BY 1, 2
-         ),
-         losers AS (
-           SELECT DISTINCT inter.j AS doc_id
-           FROM inter JOIN cnt ca ON inter.i = ca.doc_id JOIN cnt cb ON inter.j = cb.doc_id
-           WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.8
-         )
-         SELECT doc_id FROM documents
-         WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id""")
+      DedupOracles.ngram(5, 0.8))
 
-    // LSH-pruned variants: the 100 TB scale path; rows-only driver check,
-    // exact golden coverage lives in the ScalaTest suite.
     m += "q_dedup_minhash" -> op(
       (s, dir) => Dedup.minhashLsh(GraftSession.table(s, dir, "documents"),
-        "doc_id", "text").select("doc_id").orderBy("doc_id"))
+        "doc_id", "text").select("doc_id").orderBy("doc_id"),
+      DedupOracles.minhash())
 
     m += "q_dedup_simhash" -> op(
       (s, dir) => Dedup.simhashDedup(GraftSession.table(s, dir, "documents"),
-        "doc_id", "text").select("doc_id").orderBy("doc_id"))
+        "doc_id", "text").select("doc_id").orderBy("doc_id"),
+      DedupOracles.simhash())
 
     m += "q_dedup_embedding" -> op(
-      (s, dir) => Dedup.embeddingDedupExact(
+      (s, dir) => Dedup.embeddingDedupLsh(
           GraftSession.table(s, dir, "embeddings"), "vec_id", "embedding", 0.99)
         .select("vec_id").orderBy("vec_id"),
-      """WITH flat AS (
-           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS v
-           FROM embeddings
-         ),
-         norms AS (SELECT vec_id, sum(v*v) AS n2 FROM flat GROUP BY vec_id),
-         dots AS (
-           SELECT a.vec_id AS i, b.vec_id AS j, CAST(sum(a.v * b.v) AS BIGINT) AS dot
-           FROM flat a JOIN flat b USING (i) WHERE a.vec_id < b.vec_id GROUP BY 1, 2
-         ),
-         losers AS (
-           SELECT DISTINCT j AS vec_id
-           FROM dots JOIN norms na ON i = na.vec_id JOIN norms nb ON j = nb.vec_id
-           WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.99
-         )
-         SELECT vec_id FROM embeddings
-         WHERE vec_id NOT IN (SELECT vec_id FROM losers) ORDER BY vec_id""")
+      DedupOracles.embeddingLsh(0.99))
 
     m += "q_simsearch" -> op(
       (s, dir) => {
@@ -611,7 +582,8 @@ object SparkEntry {
         val emb = GraftSession.table(s, dir, "embeddings")
         Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
           .orderBy("query_id", "rank")
-      })
+      },
+      DedupOracles.annLsh(5))
 
     m += "q_multimodal" -> op(
       (s, dir) => GraftSession.table(s, dir, "documents")
@@ -622,11 +594,34 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
          FROM documents ORDER BY doc_id""")
 
+    // Driver-sortable projection: the raw feature array is re-scaled back
+    // to its exact integer per-stride byte sums and stringified (arrays
+    // aren't hashable by the driver's pandas compare). The oracle replays
+    // decodeStub's byte math in SQL — documents.text is ASCII, so DuckDB
+    // char positions equal byte positions.
     m += "q_multimodal_decode" -> op(
       (s, dir) => Multimodal.decode(
-        GraftSession.table(s, dir, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload").orderBy("doc_id"))
+          GraftSession.table(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "doc_id", "payload")
+        .select(col("doc_id"), col("n_bytes"), col("format"), col("width"), col("height"),
+          concat_ws(",", transform(col("feature"),
+            v => round(v * col("n_bytes")).cast("long"))).as("feature_sums"))
+        .orderBy("doc_id"),
+      """WITH s AS (
+           SELECT doc_id, (u - 1) % 8 AS j, sum(ord(substr(text, CAST(u AS INT), 1))) AS sj
+           FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS u FROM documents)
+           GROUP BY doc_id, (u - 1) % 8
+         ),
+         f AS (SELECT doc_id, string_agg(CAST(sj AS VARCHAR), ',' ORDER BY j) AS feature_sums
+               FROM s GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(octet_length(encode(d.text)) AS INT) AS n_bytes,
+                CASE octet_length(encode(d.text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+                CAST(16 + octet_length(encode(d.text)) % 64 AS INT) AS width,
+                CAST(16 + (octet_length(encode(d.text)) // 64) % 64 AS INT) AS height,
+                f.feature_sums
+         FROM documents d JOIN f USING (doc_id) ORDER BY d.doc_id""")
 
     m.result()
   }

@@ -1,28 +1,63 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale training-data pipelines.
   *
   * All variants are pure DataFrame compositions (codegen'd built-ins, no
-  * driver-side loops) and are designed around one shuffle pattern:
-  * candidate generation by bucket key, bucket-local pair join, then an
-  * anti-join to drop losers. At 100 TB the bucket join is the scaling
-  * knob — AQE skew-join handles hot buckets, and every hash is computed
-  * from fixed seeds so results are reproducible across runs/clusters.
+  * driver-side loops) built around one shuffle pattern: candidate
+  * generation by bucket key, bucket-local pair join, then an anti-join to
+  * drop losers. At 100 TB the bucket join is the scaling knob — AQE
+  * skew-join handles hot buckets, and every hash is computed from fixed
+  * seeds so results are reproducible across runs/clusters.
+  *
+  * Signature computation is the linear-cost hot path, so it is structured
+  * for whole-stage codegen: shingles/tokens are exploded ONCE and the
+  * MinHash/SimHash signatures computed as N independent codegen'd
+  * aggregate columns in a single hash-aggregate pass — not as per-row
+  * interpreted higher-order array expressions.
+  *
+  * Hashes are engine-portable (md5-prefix arithmetic) so the full LSH
+  * pipelines are replayable bit-for-bit in DuckDB — see
+  * [[graft.operators.DedupOracles]] for the generated oracle SQL.
   *
   * Dedup policy everywhere: a document is dropped iff some *smaller id*
   * document is near-identical to it ("keep first", deterministic).
   */
 object Dedup {
 
-  private val P31 = 2147483647L // 2^31 - 1, Mersenne prime
+  val P31 = 2147483647L // 2^31 - 1, Mersenne prime
 
-  // shift functions with Column shift amounts (the Scala wrappers take Int)
-  private def shl(c: Column, n: Column): Column = call_function("shiftleft", c, n)
-  private def shr(c: Column, n: Column): Column = call_function("shiftright", c, n)
+  /** Engine-portable 31-bit string hash: first 8 hex chars of md5 parsed
+    * as an integer, mod 2^31-1. DuckDB computes the identical value as
+    * `('0x'||substr(md5(s),1,8))::BIGINT % 2147483647`.
+    */
+  def hash31(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long") % P31
+
+  /** Engine-portable 60-bit string hash (first 15 hex chars of md5). */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Fixed linear-congruential MinHash coefficients (a_i, b_i), seed 42 —
+    * shared with the DuckDB oracle generator so both engines compute
+    * identical signatures: h_i(x) = (a_i*x + b_i) mod (2^31-1).
+    */
+  def minhashCoeffs(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+                 rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Fixed random hyperplanes with integer-quantized weights
+    * (round(u*10000), u uniform in [-1,1)) so sign decisions are exact
+    * integer arithmetic — identical in every engine.
+    */
+  def planeCoeffs(planes: Int, dim: Int, seed: Long): Seq[Seq[Long]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(math.round((rnd.nextDouble() * 2 - 1) * 10000)))
+  }
 
   /** Exact dedup on arbitrary key columns: keeps the min-id row per key.
     * Single hash-shuffle on the key; map-side combine via min().
@@ -34,133 +69,136 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** 31-bit shingle hashes for a text column: k-char shingles -> xxhash64
-    * (fixed seed 42) -> mod 2^31-1. Distinct, as a deduped array.
+  /** One row per (doc, k-char shingle): distinct shingles exploded, hashed
+    * to 31 bits. The single linear pass every text-dedup variant builds on.
     */
-  def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => pmod(xxhash64(text.substr(i, lit(k))), lit(P31))))
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
+          i => col(textCol).substr(i, lit(k))))).as("__s"))
+      .select(col("__id"), hash31(col("__s")).as("__x"))
 
-  /** MinHash signature of a 31-bit shingle-hash array, using fixed
-    * linear-congruential hash functions h_i(x) = (a_i x + b_i) mod (2^31-1).
-    * Coefficients derive from a fixed seed so signatures are reproducible.
+  /** MinHash signatures as one codegen'd hash-aggregate pass: numHashes
+    * min() columns over the exploded shingle rows (plus any extra aggs).
+    * Returns one row per __id with columns m0..m{n-1}.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val rnd = new scala.util.Random(42)
-    val coeffs = Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
-                                      rnd.nextInt(Int.MaxValue).toLong))
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(shingles, x => (lit(a) * x + lit(b)) % lit(P31)))
-    }: _*)
+  private def minhashSigs(sh: DataFrame, numHashes: Int,
+                          extra: Seq[Column] = Nil): DataFrame = {
+    val aggs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__x") + lit(b)) % P31).as(s"m$i")
+    } ++ extra
+    sh.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (id, band, bandKey) rows: the signature sliced into `bands` keys, each
+    * the comma-join of its rowsPerBand values (engine-portable join key).
+    */
+  private def bandRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rpb = numHashes / bands
+    sig.select(col("__id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until rpb).map(r => col(s"m${b * rpb + r}")): _*).as("bk"))
+      }: _*)).as("__e"))
+      .select(col("__id"), col("__e.band").as("__band"), col("__e.bk").as("__bk"))
+  }
+
+  /** Distinct candidate pairs (lid < rid) sharing at least one band key.
+    * Only ids travel through the join — signatures re-attach afterwards.
+    */
+  private def candidatePairs(banded: DataFrame): DataFrame = {
+    val l = banded.select(col("__band"), col("__bk"), col("__id").as("__lid"))
+    val r = banded.select(col("__band"), col("__bk"), col("__id").as("__rid"))
+    l.join(r, Seq("__band", "__bk")).where(col("__lid") < col("__rid"))
+      .select("__lid", "__rid").distinct()
   }
 
   /** MinHash + LSH near-dup removal.
-    * Pipeline: shingle -> signature -> band buckets -> bucket-local pair
-    * join -> signature-similarity filter -> drop larger ids.
+    * Pipeline: explode shingles -> one hash-agg pass for the signature ->
+    * band buckets -> bucket-local pair join (ids only) -> re-attach
+    * signatures -> estimated-Jaccard filter -> drop larger ids.
     *
-    * @param threshold estimated-Jaccard threshold (fraction of equal
-    *                  signature positions) at or above which the larger id
-    *                  is dropped.
+    * @param threshold fraction of equal signature positions at or above
+    *                  which the larger id is dropped.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 5, numHashes: Int = 128, bands: Int = 16,
                  threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-
-    val sigs = df.select(col(idCol).as("__id"),
-      minhashSignature(shingleHashes(col(textCol), k), numHashes).as("__sig"))
-
-    // (id, band, bandHash): hash of each signature slice
-    val banded = sigs.select(col("__id"), col("__sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .select(col("__id"), col("__sig"), col("pos").as("__band"), col("col").as("__bh"))
-
-    val l = banded.select(col("__band"), col("__bh"), col("__id").as("__lid"), col("__sig").as("__lsig"))
-    val r = banded.select(col("__band"), col("__bh"), col("__id").as("__rid"), col("__sig").as("__rsig"))
-    val pairs = l.join(r, Seq("__band", "__bh")).where(col("__lid") < col("__rid"))
-      .select(col("__lid"), col("__rid"), col("__lsig"), col("__rsig"))
-      .dropDuplicates("__lid", "__rid")
-
-    val simFrac = aggregate(
+    val sig = minhashSigs(shingleRows(df, idCol, textCol, k), numHashes)
+    val sigArr = sig.select(col("__id"),
+      array((0 until numHashes).map(i => col(s"m$i")): _*).as("__sig"))
+    val pairs = candidatePairs(bandRows(sig, numHashes, bands))
+      .join(sigArr.select(col("__id").as("__lid"), col("__sig").as("__lsig")), "__lid")
+      .join(sigArr.select(col("__id").as("__rid"), col("__sig").as("__rsig")), "__rid")
+    val eq = aggregate(
       zip_with(col("__lsig"), col("__rsig"), (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes)
-
-    val losers = pairs.where(simFrac >= threshold)
+      lit(0), (acc, x) => acc + x)
+    val losers = pairs.where(eq.cast("double") / numHashes >= threshold)
       .select(col("__rid").as(idCol)).distinct()
-
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash fingerprint of whitespace tokens: per bit, tokens vote
-    * +1/-1 by their hash bit; fingerprint bit set iff votes > 0.
-    */
-  def simhash(text: Column): Column = {
-    val tokens = regexp_extract_all(text, lit("\\S+"), lit(0))
-    val hashes = transform(tokens, t => xxhash64(t))
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
-      acc + when(
-        aggregate(hashes, lit(0),
-          (v, h) => v + when(shr(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)) > 0,
-        shl(lit(1L), b)).otherwise(0L))
-  }
-
-  /** SimHash near-dup removal: candidates share one of four 16-bit bands;
-    * verified by Hamming distance <= maxHamming; larger ids dropped.
+  /** SimHash near-dup removal over a 60-bit fingerprint: per bit, token
+    * occurrences vote +1/-1 by their hash bit (one codegen'd sum() per
+    * bit in a single aggregate pass); fingerprint bit set iff votes > 0.
+    * Candidates share one of four 15-bit bands (pigeonhole: hamming <= 3
+    * over 4 bands guarantees a shared band); verified by Hamming distance.
     */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fps = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__fp"))
+    val bits = 60; val bandBits = 15; val nBands = 4
+    val tok = df.select(col(idCol).as("__id"),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("__t"))
+      .select(col("__id"), hash60(col("__t")).as("__h"))
+    val voteAggs = (0 until bits).map(b =>
+      sum(when(call_function("shiftright", col("__h"), lit(b))
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b"))
+    val votes = tok.groupBy("__id").agg(voteAggs.head, voteAggs.tail: _*)
+    // CASE WHEN null > 0 falls through to 0, so token-less docs get fp 0.
+    val fpCol = (0 until bits).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val fps = df.select(col(idCol).as("__id")).join(votes, Seq("__id"), "left")
+      .select(col("__id"), fpCol.as("__fp"))
     val banded = fps.select(col("__id"), col("__fp"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          i => shr(col("__fp"), i * lit(16)).bitwiseAND(lit(0xFFFFL)))))
-      .select(col("__id"), col("__fp"), col("pos").as("__band"), col("col").as("__bh"))
-    val l = banded.select(col("__band"), col("__bh"), col("__id").as("__lid"), col("__fp").as("__lfp"))
-    val r = banded.select(col("__band"), col("__bh"), col("__id").as("__rid"), col("__fp").as("__rfp"))
-    val losers = l.join(r, Seq("__band", "__bh")).where(col("__lid") < col("__rid"))
+        explode(array((0 until nBands).map(i =>
+          struct(lit(i).as("band"),
+            call_function("shiftright", col("__fp"), lit(i * bandBits))
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("bk"))): _*)).as("__e"))
+      .select(col("__id"), col("__fp"), col("__e.band").as("__band"), col("__e.bk").as("__bk"))
+    val l = banded.select(col("__band"), col("__bk"), col("__id").as("__lid"), col("__fp").as("__lfp"))
+    val r = banded.select(col("__band"), col("__bk"), col("__id").as("__rid"), col("__fp").as("__rfp"))
+    val losers = l.join(r, Seq("__band", "__bk")).where(col("__lid") < col("__rid"))
       .where(bit_count(col("__lfp").bitwiseXOR(col("__rfp"))) <= maxHamming)
       .select(col("__rid").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Exact n-gram Jaccard similarity of two texts (distinct shingle sets). */
-  def ngramJaccard(a: Column, b: Column, k: Int): Column = {
-    val sa = shingleHashes(a, k)
-    val sb = shingleHashes(b, k)
-    val inter = size(array_intersect(sa, sb))
-    val uni = size(array_union(sa, sb))
-    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
-  }
-
   /** Exact n-gram-Jaccard near-dup removal, LSH-pruned: MinHash bands
-    * propose candidates, exact shingle Jaccard verifies.
+    * propose candidates; exact Jaccard over the hashed shingle sets
+    * verifies. Signature and shingle set come out of the same single
+    * aggregate pass over the exploded shingles.
     */
   def ngramJaccardDedup(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 5, threshold: Double = 0.8): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-    val withSh = base.select(col("__id"), shingleHashes(col("__text"), k).as("__sh"),
-      minhashSignature(shingleHashes(col("__text"), k), 32).as("__sig"))
-    val banded = withSh.select(col("__id"), col("__sh"),
-        posexplode(transform(sequence(lit(0), lit(7)),
-          b => xxhash64(slice(col("__sig"), b * 4 + 1, lit(4))))))
-      .select(col("__id"), col("__sh"), col("pos").as("__band"), col("col").as("__bh"))
-    val l = banded.select(col("__band"), col("__bh"), col("__id").as("__lid"), col("__sh").as("__lsh"))
-    val r = banded.select(col("__band"), col("__bh"), col("__id").as("__rid"), col("__sh").as("__rsh"))
-    val inter = size(array_intersect(col("__lsh"), col("__rsh")))
-    val uni = size(array_union(col("__lsh"), col("__rsh")))
+                        k: Int = 5, threshold: Double = 0.8,
+                        numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sig = minhashSigs(shingleRows(df, idCol, textCol, k), numHashes,
+      extra = Seq(collect_set(col("__x")).as("__set")))
+    val sets = sig.select(col("__id"), col("__set"))
+    val pairs = candidatePairs(bandRows(sig, numHashes, bands))
+      .join(sets.select(col("__id").as("__lid"), col("__set").as("__lset")), "__lid")
+      .join(sets.select(col("__id").as("__rid"), col("__set").as("__rset")), "__rid")
+    val inter = size(array_intersect(col("__lset"), col("__rset")))
+    val uni = size(col("__lset")) + size(col("__rset")) - inter
     val jac = when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
-    val losers = l.join(r, Seq("__band", "__bh")).where(col("__lid") < col("__rid"))
-      .dropDuplicates("__lid", "__rid")
-      .where(jac >= threshold)
+    val losers = pairs.where(jac >= threshold)
       .select(col("__rid").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Exact n-gram-Jaccard near-dup removal over ALL pairs, with string
-    * shingles (no hashing) — the oracle-checkable reference path; use
-    * `ngramJaccardDedup` (LSH-pruned) at scale.
+    * shingles (no hashing) — a test-only reference path for validating
+    * `ngramJaccardDedup`; O(n^2), never the catalog/bench path.
     */
   def ngramJaccardDedupExact(df: DataFrame, idCol: String, textCol: String,
                              k: Int = 5, threshold: Double = 0.8): DataFrame = {
@@ -179,59 +217,55 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  private def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 10000).cast("long"))
+
+  private def norm2(q: Column): Column =
+    aggregate(q, lit(0L), (acc, x) => acc + x * x)
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** Embedding cosine near-dup removal, exact (all pairs): quantizes
     * components to integers (round(x * 10000)) so dot products and norms
     * are exact and results engine-reproducible; drops the larger id of any
-    * pair with cosine >= threshold.
-    *
-    * O(n^2) pair join — correct-but-small-scale reference path; the LSH
-    * variant below is the 100 TB path.
+    * pair with cosine >= threshold. O(n^2) — test-only reference path for
+    * `embeddingDedupLsh`.
     */
   def embeddingDedupExact(df: DataFrame, idCol: String, embCol: String,
                           threshold: Double = 0.99): DataFrame = {
-    val q = df.select(col(idCol).as("__id"),
-      transform(col(embCol), x => round(x.cast("double") * 10000).cast("long")).as("__q"))
-    val withNorm = q.select(col("__id"), col("__q"),
-      aggregate(col("__q"), lit(0L), (acc, x) => acc + x * x).as("__n2"))
+    val q = df.select(col(idCol).as("__id"), quantize(col(embCol)).as("__q"))
+    val withNorm = q.select(col("__id"), col("__q"), norm2(col("__q")).as("__n2"))
     val l = withNorm.select(col("__id").as("__lid"), col("__q").as("__lq"), col("__n2").as("__ln2"))
     val r = withNorm.select(col("__id").as("__rid"), col("__q").as("__rq"), col("__n2").as("__rn2"))
-    val dot = aggregate(zip_with(col("__lq"), col("__rq"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
-    val cos = dot.cast("double") / (sqrt(col("__ln2").cast("double")) * sqrt(col("__rn2").cast("double")))
+    val cos = dotL(col("__lq"), col("__rq")).cast("double") /
+      (sqrt(col("__ln2").cast("double")) * sqrt(col("__rn2").cast("double")))
     val losers = l.crossJoin(r).where(col("__lid") < col("__rid"))
       .where(cos >= threshold)
       .select(col("__rid").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Embedding near-dup removal via random-hyperplane LSH: 16 sign bits
-    * (fixed pseudo-random hyperplanes) bucket the vectors; exact quantized
-    * cosine verifies candidates within a bucket. Near-identical vectors
-    * land in the same bucket with high probability; linear shuffle cost.
+  /** Embedding near-dup removal via random-hyperplane LSH: `planes` sign
+    * bits (integer-quantized hyperplanes, exact sign decisions) bucket the
+    * vectors; exact quantized cosine verifies candidates within a bucket.
+    * Near-identical vectors land in the same bucket with high probability;
+    * linear shuffle cost.
     */
   def embeddingDedupLsh(df: DataFrame, idCol: String, embCol: String,
-                        threshold: Double = 0.99, planes: Int = 16): DataFrame = {
-    val dim = 64
-    val rnd = new scala.util.Random(7)
-    // fixed hyperplanes, components in [-1, 1)
-    val hp: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
-    val q = df.select(col(idCol).as("__id"),
-      transform(col(embCol), x => round(x.cast("double") * 10000).cast("long")).as("__q"))
-    val bucket = hp.zipWithIndex.map { case (plane, i) =>
-      val dot = aggregate(
-        zip_with(col("__q"), array(plane.map(lit): _*),
-          (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+                        threshold: Double = 0.99, planes: Int = 16,
+                        dim: Int = 64): DataFrame = {
+    val hp = planeCoeffs(planes, dim, seed = 7)
+    val q = df.select(col(idCol).as("__id"), quantize(col(embCol)).as("__q"))
+    val bucket = hp.zipWithIndex.map { case (w, i) =>
+      when(dotL(col("__q"), array(w.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val withB = q.select(col("__id"), col("__q"),
-      aggregate(col("__q"), lit(0L), (acc, x) => acc + x * x).as("__n2"),
+    val withB = q.select(col("__id"), col("__q"), norm2(col("__q")).as("__n2"),
       bucket.as("__bucket"))
     val l = withB.select(col("__bucket"), col("__id").as("__lid"), col("__q").as("__lq"), col("__n2").as("__ln2"))
     val r = withB.select(col("__bucket"), col("__id").as("__rid"), col("__q").as("__rq"), col("__n2").as("__rn2"))
-    val dot = aggregate(zip_with(col("__lq"), col("__rq"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
-    val cos = dot.cast("double") / (sqrt(col("__ln2").cast("double")) * sqrt(col("__rn2").cast("double")))
+    val cos = dotL(col("__lq"), col("__rq")).cast("double") /
+      (sqrt(col("__ln2").cast("double")) * sqrt(col("__rn2").cast("double")))
     val losers = l.join(r, Seq("__bucket")).where(col("__lid") < col("__rid"))
       .where(cos >= threshold)
       .select(col("__rid").as(idCol)).distinct()

@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   * Components are quantized to integers (round(x*10000)) before any
   * arithmetic so dot products/norms are exact and rankings deterministic
   * and engine-reproducible; cosine = exact_dot / (sqrt(n1) * sqrt(n2)).
+  * Hyperplane weights are integer-quantized too, so bucket sign decisions
+  * are exact — the whole pipeline replays in DuckDB (DedupOracles.annLsh).
   *
   * - `bruteForceTopK` — exact baseline: broadcast the (small) query set,
   *   score every corpus vector, per-query top-k. One pass over the corpus,
@@ -19,6 +21,10 @@ import org.apache.spark.sql.functions._
   *   a fraction of the corpus is scored per query.
   */
 object Similarity {
+
+  /** Fixed ANN hyperplanes (seed 11), shared with the DuckDB oracle. */
+  def planeCoeffsAnn(planes: Int, dim: Int): Seq[Seq[Long]] =
+    Dedup.planeCoeffs(planes, dim, seed = 11)
 
   private def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 10000).cast("long"))
@@ -49,31 +55,28 @@ object Similarity {
       .select("query_id", "rank", "nn_id", "cosine")
   }
 
-  /** Random-hyperplane LSH buckets (fixed seed), shared by index and probe. */
-  private def bucketExpr(q: Column, planes: Int, dim: Int): Column = {
-    val rnd = new scala.util.Random(11)
-    val hp: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
-    hp.zipWithIndex.map { case (plane, i) =>
-      val d = aggregate(zip_with(q, array(plane.map(lit): _*), (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+  /** Integer-quantized hyperplane bucket: bit i set iff dot(q, plane_i) >= 0. */
+  private def bucketExpr(q: Column, planes: Seq[Seq[Long]]): Column =
+    planes.zipWithIndex.map { case (w, i) =>
+      when(dot(q, array(w.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** ANN top-k via LSH with single-bit multi-probe: recall < 1 but each
-    * query scores only matching buckets instead of the full corpus.
+    * query scores only matching buckets instead of the full corpus. The
+    * bucket is computed once per row; probes explode from the stored value.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
+    val hp = planeCoeffsAnn(planes, dim)
     val c = corpus.select(col(idCol).as("nn_id"), quantize(col(embCol)).as("__cq"))
       .withColumn("__cn2", norm2(col("__cq")))
-      .withColumn("__bucket", bucketExpr(col("__cq"), planes, dim))
-    val probes = explode(array((0 until planes).map(i =>
-      bucketExpr(col("__qq"), planes, dim).bitwiseXOR(shiftleft(lit(1L), i))) :+
-      bucketExpr(col("__qq"), planes, dim): _*))
+      .withColumn("__bucket", bucketExpr(col("__cq"), hp))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("__qq"))
       .withColumn("__qn2", norm2(col("__qq")))
-      .withColumn("__bucket", probes)
+      .withColumn("__b0", bucketExpr(col("__qq"), hp))
+      .withColumn("__bucket", explode(array(
+        col("__b0") +: (0 until planes).map(i => col("__b0").bitwiseXOR(lit(1L << i))): _*)))
+      .drop("__b0")
     val cos = dot(col("__qq"), col("__cq")).cast("double") /
       (sqrt(col("__qn2").cast("double")) * sqrt(col("__cn2").cast("double")))
     val scored = c.join(broadcast(q), Seq("__bucket"))
