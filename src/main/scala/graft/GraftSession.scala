@@ -35,17 +35,27 @@ object GraftSession {
     spark
   }
 
+  /** (session identity, dir) pairs already prepared — registration runs
+    * once per pair, so repeated catalog-query invocations don't re-register
+    * 30 functions and re-read 10 parquet footers per call.
+    */
+  private val prepared =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
   /** Idempotent per-(session, dir) setup: register functions and, when a
     * data dir is given, each parquet table as a temp view.
     */
   def prepare(spark: SparkSession, dir: String): SparkSession = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native type
-    // for; read it as BIGINT nanos (queries derive ts_ms from it).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    GraftFunctions.register(spark)
-    if (dir != null) {
-      tables.foreach { t =>
-        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    val key = (System.identityHashCode(spark), if (dir == null) "" else dir)
+    if (prepared.add(key)) {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native type
+      // for; read it as BIGINT nanos (queries derive ts_ms from it).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      GraftFunctions.register(spark)
+      if (dir != null) {
+        tables.foreach { t =>
+          spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+        }
       }
     }
     spark

@@ -246,6 +246,42 @@ object SparkEntry {
                         RANGE BETWEEN 7200000 PRECEDING AND CURRENT ROW)
          ) ORDER BY event_id""")
 
+    // Streaming per-row sliding emission (SURVEY §2.6): the stateful
+    // flatMapGroupsWithState engine run as a REAL streaming query (file
+    // source -> state store -> file sink, terminal-watermark flush), and
+    // its per-row output checked against the batch OVER-window oracle —
+    // the reference-model comparison (window_operator_tests.rs:621) as a
+    // driver CORRECTNESS row. Integer cents keep the tile-reordered float
+    // sums exact in both engines.
+    m += "q_window_streaming" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.col
+        import graft.streaming.StreamVerify
+        import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
+        val ev = s.sql(
+          """SELECT ts DIV 1000000 AS ts_ms, CAST(user_id AS STRING) AS key,
+                    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS value
+             FROM events""")
+        StreamVerify.runBounded(s, ev, "key", "ts_ms", "value",
+            Seq(AggSpec("sum_1h_c", "sum", RangeMs(3600000)),
+                AggSpec("cnt_1h", "count", RangeMs(3600000))),
+            latenessMs = 0, tileGranularityMs = 600000)
+          .select(col("ts_ms"), col("key"), (col("value") / 100).as("value"),
+            (col("sum_1h_c") / 100).as("sum_1h"), col("cnt_1h").cast("long").as("cnt_1h"))
+          .orderBy("ts_ms", "key", "value")
+      },
+      Some("""
+        SELECT ts_ms, CAST(user_id AS VARCHAR) AS key,
+               CAST(value_c AS DOUBLE) / 100 AS value,
+               CAST(sum(value_c) OVER w AS DOUBLE) / 100 AS sum_1h,
+               count(*) OVER w AS cnt_1h
+        FROM (SELECT epoch_ms(ts) AS ts_ms, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        ORDER BY ts_ms, key, value"""))
+
     // ---------------- ML aggregate family (SURVEY §2.7) --------------------
     m += "q_top" -> split(
       """SELECT user_id, top(value, 3) AS top_values FROM events

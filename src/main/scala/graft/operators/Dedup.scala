@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale training-data pipelines.
@@ -103,12 +104,43 @@ object Dedup {
       .select(col("__id"), col("__e.band").as("__band"), col("__e.bk").as("__bk"))
   }
 
+  /** Default hot-bucket membership cap for all LSH variants. */
+  val DefaultMaxBucket = 10000
+
+  /** Hot-bucket guard: the bucket-local pair join is O(c²) in a bucket's
+    * membership c, and web-scale corpora have boilerplate-driven buckets
+    * with c in the millions — AQE skew-join splits the shuffle but not the
+    * pair count. Rows in buckets with more than `cap` members are excluded
+    * from candidate generation (production dedup semantics: a bucket that
+    * hot is boilerplate, not near-duplication signal). The drop count is
+    * recorded as an `observe` metric (`rows_dropped`, `max_bucket`) so runs
+    * can alert on it without a second pass over the data.
+    *
+    * The membership count reuses the hash shuffle the pair join needs
+    * anyway (window count over the bucket key), so the guard adds no extra
+    * shuffle of the big side.
+    */
+  def capBuckets(rows: DataFrame, keys: Seq[String], cap: Int,
+                 label: String): DataFrame = {
+    if (cap <= 0) rows
+    else {
+      val w = Window.partitionBy(keys.map(col): _*)
+      rows.withColumn("__bc", count(lit(1)).over(w))
+        .observe(s"hot_buckets_$label",
+          sum(when(col("__bc") > cap, 1L).otherwise(0L)).as("rows_dropped"),
+          max(col("__bc")).as("max_bucket"))
+        .where(col("__bc") <= cap).drop("__bc")
+    }
+  }
+
   /** Distinct candidate pairs (lid < rid) sharing at least one band key.
     * Only ids travel through the join — signatures re-attach afterwards.
     */
-  private def candidatePairs(banded: DataFrame): DataFrame = {
-    val l = banded.select(col("__band"), col("__bk"), col("__id").as("__lid"))
-    val r = banded.select(col("__band"), col("__bk"), col("__id").as("__rid"))
+  private def candidatePairs(banded: DataFrame, maxBucket: Int,
+                             label: String): DataFrame = {
+    val capped = capBuckets(banded, Seq("__band", "__bk"), maxBucket, label)
+    val l = capped.select(col("__band"), col("__bk"), col("__id").as("__lid"))
+    val r = capped.select(col("__band"), col("__bk"), col("__id").as("__rid"))
     l.join(r, Seq("__band", "__bk")).where(col("__lid") < col("__rid"))
       .select("__lid", "__rid").distinct()
   }
@@ -123,12 +155,13 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 5, numHashes: Int = 128, bands: Int = 16,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8,
+                 maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val sig = minhashSigs(shingleRows(df, idCol, textCol, k), numHashes)
     val sigArr = sig.select(col("__id"),
       array((0 until numHashes).map(i => col(s"m$i")): _*).as("__sig"))
-    val pairs = candidatePairs(bandRows(sig, numHashes, bands))
+    val pairs = candidatePairs(bandRows(sig, numHashes, bands), maxBucket, "minhash")
       .join(sigArr.select(col("__id").as("__lid"), col("__sig").as("__lsig")), "__lid")
       .join(sigArr.select(col("__id").as("__rid"), col("__sig").as("__rsig")), "__rid")
     val eq = aggregate(
@@ -146,7 +179,8 @@ object Dedup {
     * over 4 bands guarantees a shared band); verified by Hamming distance.
     */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bits = 60; val bandBits = 15; val nBands = 4
     val tok = df.select(col(idCol).as("__id"),
         explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("__t"))
@@ -166,8 +200,9 @@ object Dedup {
             call_function("shiftright", col("__fp"), lit(i * bandBits))
               .bitwiseAND(lit((1L << bandBits) - 1)).as("bk"))): _*)).as("__e"))
       .select(col("__id"), col("__fp"), col("__e.band").as("__band"), col("__e.bk").as("__bk"))
-    val l = banded.select(col("__band"), col("__bk"), col("__id").as("__lid"), col("__fp").as("__lfp"))
-    val r = banded.select(col("__band"), col("__bk"), col("__id").as("__rid"), col("__fp").as("__rfp"))
+    val capped = capBuckets(banded, Seq("__band", "__bk"), maxBucket, "simhash")
+    val l = capped.select(col("__band"), col("__bk"), col("__id").as("__lid"), col("__fp").as("__lfp"))
+    val r = capped.select(col("__band"), col("__bk"), col("__id").as("__rid"), col("__fp").as("__rfp"))
     val losers = l.join(r, Seq("__band", "__bk")).where(col("__lid") < col("__rid"))
       .where(bit_count(col("__lfp").bitwiseXOR(col("__rfp"))) <= maxHamming)
       .select(col("__rid").as(idCol)).distinct()
@@ -181,11 +216,12 @@ object Dedup {
     */
   def ngramJaccardDedup(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, threshold: Double = 0.8,
-                        numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                        numHashes: Int = 32, bands: Int = 8,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = minhashSigs(shingleRows(df, idCol, textCol, k), numHashes,
       extra = Seq(collect_set(col("__x")).as("__set")))
     val sets = sig.select(col("__id"), col("__set"))
-    val pairs = candidatePairs(bandRows(sig, numHashes, bands))
+    val pairs = candidatePairs(bandRows(sig, numHashes, bands), maxBucket, "ngram")
       .join(sets.select(col("__id").as("__lid"), col("__set").as("__lset")), "__lid")
       .join(sets.select(col("__id").as("__rid"), col("__set").as("__rset")), "__rid")
     val inter = size(array_intersect(col("__lset"), col("__rset")))
@@ -254,14 +290,17 @@ object Dedup {
     */
   def embeddingDedupLsh(df: DataFrame, idCol: String, embCol: String,
                         threshold: Double = 0.99, planes: Int = 16,
-                        dim: Int = 64): DataFrame = {
+                        dim: Int = 64,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val hp = planeCoeffs(planes, dim, seed = 7)
     val q = df.select(col(idCol).as("__id"), quantize(col(embCol)).as("__q"))
     val bucket = hp.zipWithIndex.map { case (w, i) =>
       when(dotL(col("__q"), array(w.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val withB = q.select(col("__id"), col("__q"), norm2(col("__q")).as("__n2"),
-      bucket.as("__bucket"))
+    val withB = capBuckets(
+      q.select(col("__id"), col("__q"), norm2(col("__q")).as("__n2"),
+        bucket.as("__bucket")),
+      Seq("__bucket"), maxBucket, "embedding")
     val l = withB.select(col("__bucket"), col("__id").as("__lid"), col("__q").as("__lq"), col("__n2").as("__ln2"))
     val r = withB.select(col("__bucket"), col("__id").as("__rid"), col("__q").as("__rq"), col("__n2").as("__rn2"))
     val cos = dotL(col("__lq"), col("__rq")).cast("double") /

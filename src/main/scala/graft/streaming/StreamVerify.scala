@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.SlidingWindows.AggSpec
+
+/** Runs the per-row sliding-window engine over a bounded input as a real
+  * Structured Streaming query — file source in, file sink out, durable
+  * checkpoint — and returns the result read back from the sink directory.
+  *
+  * This is the scale-correct shape (no driver-side collect anywhere): the
+  * input parquet streams through `readStream`, state lives in the state
+  * store, and emissions append to a parquet sink. Bounded-run termination
+  * mirrors the reference's terminal MAX_WATERMARK
+  * (src/common/message.rs:191): a flush file with `FLUSH_TS` sentinel rows
+  * per key pushes the watermark past every real event, and nudge batches
+  * let the event-time timeouts fire the final emissions.
+  */
+object StreamVerify {
+
+  /** @param input bounded frame with (tsMsCol LONG, keyCol STRING-castable,
+    *              valueCol DOUBLE-castable) columns.
+    * @return the engine output (ts_ms, key, value, one column per spec),
+    *         read back from the parquet sink.
+    */
+  def runBounded(spark: SparkSession, input: DataFrame, keyCol: String,
+                 tsMsCol: String, valueCol: String, specs: Seq[AggSpec],
+                 latenessMs: Long = 0, tileGranularityMs: Long = 60000L,
+                 checkpointDir: String = null): DataFrame = {
+    val root = Files.createTempDirectory("graft_stream_").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"
+    val ckpt = if (checkpointDir == null) s"$root/ckpt" else checkpointDir
+
+    val staged = input.select(
+      col(tsMsCol).cast("long").as("ts_ms"),
+      col(keyCol).cast("string").as("key"),
+      col(valueCol).cast("double").as("value"))
+    staged.write.parquet(inDir)
+    val flush = SlidingWindows.flushRows(staged, "key", "ts_ms", "value")
+    flush.write.mode("append").parquet(inDir)
+
+    val streamIn = spark.readStream.schema(staged.schema).parquet(inDir)
+    val out = SlidingWindows.streaming(streamIn, "key", "ts_ms", "value",
+      specs, latenessMs, tileGranularityMs)
+    val q = out.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      // nudge batches: after the flush batch the watermark covers every
+      // real event, but emission happens on the NEXT invocation of the
+      // state function — append no-op flush files until it fires.
+      var i = 0
+      while (i < 3) { flush.write.mode("append").parquet(inDir); q.processAllAvailable(); i += 1 }
+    } finally q.stop()
+    spark.read.parquet(outDir)
+  }
+}

@@ -59,6 +59,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("hot-bucket cap bounds the pair join; planted hot bucket is dropped, cold dups still dedup") {
+    import spark.implicits._
+    // 50 identical docs (one boilerplate hot bucket) + a distinct pair of
+    // near-dups + 2 singletons.
+    val boiler = (0 until 50).map(i => (100L + i, "boilerplate header repeated verbatim across the whole crawl corpus"))
+    val pairA = Seq((0L, "unique text about catalyst rules and codegen stages in spark sql"),
+                    (1L, "unique text about catalyst rules and codegen stages in spark sql!"))
+    val singles = Seq((2L, "totally unrelated words concerning parquet footers and row groups"),
+                      (3L, "another document on watermarks lateness and state store checkpoints"))
+    val df = (boiler ++ pairA ++ singles).toDF("doc_id", "text")
+    // cap below the hot bucket's membership: boilerplate contributes no
+    // pairs (kept, not deduped), the cold near-dup pair still dedups.
+    val capped = Dedup.minhashLsh(df, "doc_id", "text", threshold = 0.5, maxBucket = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(capped.count(_ >= 100L) == 50, "hot-bucket docs must survive (no pairs generated)")
+    assert(capped.contains(0L) && !capped.contains(1L), "cold near-dup pair must still dedup")
+    // with the default (high) cap the hot bucket dedups normally
+    val uncapped = Dedup.minhashLsh(df, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(uncapped.count(_ >= 100L) == 1, "default cap leaves near-dup behavior unchanged")
+  }
+
   private def vecs = {
     import spark.implicits._
     val v0 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)

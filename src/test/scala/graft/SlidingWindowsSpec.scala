@@ -108,6 +108,27 @@ class SlidingWindowsSpec extends AnyFunSuite {
     assert(got == batchReference(events))
   }
 
+  test("q_window_streaming catalog entry == batch OVER windows on sf0.001 events") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_window_streaming")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toSeq.sorted
+    val want = spark.sql("""
+      SELECT ts_ms, CAST(user_id AS STRING) AS key,
+             CAST(value_c AS DOUBLE) / 100 AS value,
+             CAST(sum(value_c) OVER w AS DOUBLE) / 100 AS sum_1h,
+             count(*) OVER w AS cnt_1h
+      FROM (SELECT ts DIV 1000000 AS ts_ms, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    """).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toSeq.sorted
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
   test("late rows beyond watermark are dropped, not wrong") {
     // batch 1 advances the watermark far; batch 2's old row must be dropped
     val b1 = (0 until 100).map(i => (1704067200000L + 1000L * i, "k", i.toDouble))
