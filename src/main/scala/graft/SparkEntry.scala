@@ -463,6 +463,35 @@ object SparkEntry {
                         ORDER BY f0.value DESC LIMIT 3) f) AS top_1h
           FROM $eventsMsDuck e ORDER BY e.event_id""")
 
+    // Same semantics as q_top_window, evaluated through the tiled per-key
+    // engine sweep (SlidingWindows.batchCompute) instead of WindowExec —
+    // the scale path for ML aggregates over long frames: O(buckets + edge)
+    // per row instead of rebuilding the aggregation buffer per output row.
+    m += "q_top_window_tiled" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.col
+        import graft.streaming.SlidingWindows
+        import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
+        val ev = s.sql(
+          """SELECT ts DIV 1000000 AS ts_ms, CAST(user_id AS STRING) AS key, value
+             FROM events""")
+        SlidingWindows.batchCompute(ev, "key", "ts_ms", "value",
+            Seq(AggSpec("top_1h", "top", RangeMs(3600000), 3)),
+            tileGranularityMs = 600000)
+          .orderBy("ts_ms", "key", "value")
+      },
+      Some(s"""
+        WITH ev AS (SELECT epoch_ms(ts) AS ts_ms, user_id, value FROM events)
+        SELECT e.ts_ms, CAST(e.user_id AS VARCHAR) AS key, e.value,
+               (SELECT coalesce(string_agg(${fm("f.value")}, ',' ORDER BY f.value DESC), '')
+                FROM (SELECT value FROM ev f0
+                      WHERE f0.user_id = e.user_id
+                        AND f0.ts_ms BETWEEN e.ts_ms - 3600000 AND e.ts_ms
+                        AND f0.value IS NOT NULL
+                      ORDER BY f0.value DESC LIMIT 3) f) AS top_1h
+        FROM ev e ORDER BY e.ts_ms, key, e.value"""))
+
     // ================= LLM-data-pipeline operators ========================
     // (dedup / similarity / text analysis / multimodal — SURVEY north star)
     import graft.operators.{Dedup, DedupOracles, Multimodal, Similarity, TextAnalysis}

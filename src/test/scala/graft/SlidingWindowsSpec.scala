@@ -129,6 +129,96 @@ class SlidingWindowsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // ------------------------------------------------------------------
+  // Aggregate parity: stddev/variance family + ML aggregates, matching
+  // the reference's 11 window agg kinds + retractable UDAFs
+  // (aggregates/mod.rs:104-120,184-199).
+  // ------------------------------------------------------------------
+
+  /** Events with a category column; dyadic values (quarters) so float sums
+    * are exact in any accumulation order (tiles reorder additions). */
+  private def cateEvents: Seq[(Long, String, Double, String)] = {
+    val cats = Seq("alpha", "beta", "gamma", null)
+    (0 until 400).map { i =>
+      (1704067200000L + 997L * i, s"k${i % 3}", (i * 7 % 40) / 4.0, cats(i % 7 % 4))
+    }
+  }
+
+  private val mlSql = """
+      SELECT ts_ms, key, value, cate,
+             stddev_samp(value) OVER w AS sd,
+             var_pop(value)     OVER w AS vp,
+             top(value, 3)      OVER w AS top3,
+             topn_frequency(value, 2) OVER w AS tf2,
+             top1_ratio(value)  OVER w AS t1r,
+             sum_cate(value, cate)   OVER w AS sc,
+             count_cate(value, cate) OVER w AS cc,
+             avg(value) OVER (PARTITION BY key ORDER BY ts_ms
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS avg_8r
+      FROM evt_ml WINDOW w AS (PARTITION BY key ORDER BY ts_ms
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)"""
+
+  private val mlSpecs = Seq(
+    AggSpec("sd", "stddev_samp", RangeMs(10000)),
+    AggSpec("vp", "var_pop", RangeMs(10000)),
+    AggSpec("top3", "top", RangeMs(10000), 3),
+    AggSpec("tf2", "topn_frequency", RangeMs(10000), 2),
+    AggSpec("t1r", "top1_ratio", RangeMs(10000)),
+    AggSpec("sc", "sum_cate", RangeMs(10000)),
+    AggSpec("cc", "count_cate", RangeMs(10000)),
+    AggSpec("avg_8r", "avg", RowsN(7)))
+
+  private type MlRow = (Long, String, Double, String, Option[Double], Option[Double],
+    String, String, Option[Double], String, String, Double)
+
+  private def mlRow(r: org.apache.spark.sql.Row): MlRow =
+    (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3),
+      Option(r.get(4)).map(d => R.r6(d.asInstanceOf[Double])),
+      Option(r.get(5)).map(d => R.r6(d.asInstanceOf[Double])),
+      r.getString(6), r.getString(7),
+      Option(r.get(8)).map(d => R.r6(d.asInstanceOf[Double])),
+      r.getString(9), r.getString(10), R.r6(r.getDouble(11)))
+
+  private def mlReference(): Set[MlRow] = {
+    import spark.implicits._
+    GraftSession.prepare(spark, null) // registers top/cate into SQL
+    cateEvents.toDF("ts_ms", "key", "value", "cate").createOrReplaceTempView("evt_ml")
+    spark.sql(mlSql).collect().map(mlRow).toSet
+  }
+
+  test("batchCompute (tiled sweep) == batch OVER for stddev/var + ML aggregates") {
+    import spark.implicits._
+    val got = SlidingWindows.batchCompute(
+        cateEvents.toDF("ts_ms", "key", "value", "cate"),
+        "key", "ts_ms", "value", mlSpecs, tileGranularityMs = 3000, cateCol = "cate")
+      .collect().map(mlRow).toSet
+    assert(got == mlReference())
+  }
+
+  test("streaming engine == batch OVER for stddev/var + ML aggregates, out-of-order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(5)
+    val batches = cateEvents.sortBy(_._1).grouped(80).toSeq.map(b => rnd.shuffle(b))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double, String)]
+    val df = mem.toDF().toDF("ts_ms", "key", "value", "cate")
+    val out = SlidingWindows.streaming(df, "key", "ts_ms", "value", mlSpecs,
+      latenessMs = 60000, tileGranularityMs = 3000, cateCol = "cate")
+    val qname = s"slwin_ml_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val keys = cateEvents.map(_._2).distinct
+      mem.addData(keys.map(k => (SlidingWindows.FLUSH_TS, k, 0.0, null: String)): _*)
+      q.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, keys.head, 0.0, null: String))
+      q.processAllAvailable()
+      val got = spark.table(qname).collect().map(mlRow).toSet
+      assert(got == mlReference())
+    } finally q.stop()
+  }
+
   test("late rows beyond watermark are dropped, not wrong") {
     // batch 1 advances the watermark far; batch 2's old row must be dropped
     val b1 = (0 until 100).map(i => (1704067200000L + 1000L * i, "k", i.toDouble))
