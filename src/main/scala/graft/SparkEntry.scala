@@ -492,6 +492,55 @@ object SparkEntry {
                       ORDER BY f0.value DESC LIMIT 3) f) AS top_1h
         FROM ev e ORDER BY e.ts_ms, key, e.value"""))
 
+    // Request mode (SURVEY §2.6 WindowRequestOperator / §3.3): window
+    // aggregates evaluated at a virtual point-in-time for every key —
+    // the batch rendition of the reference's request-time evaluation
+    // (window_request_operator.rs:90-300). The virtual point is derived
+    // from the data (24 h before the newest event) exactly as a live
+    // request would carry "now"; the 72 h frame keeps every user in play
+    // (events span ~30 days). Exact integer cents end-to-end.
+    m += "q_request_pit" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{col, max => fmax}
+        import graft.serving.RequestServing
+        import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
+        val ev = s.sql(
+          """SELECT ts DIV 1000000 AS ts_ms, user_id,
+                    CAST(round(value * 100) AS BIGINT) AS value_c
+             FROM events""")
+        val atTs = ev.agg(fmax("ts_ms")).head().getLong(0) - 86400000L
+        RequestServing.pointInTime(ev, "user_id", "ts_ms", "value_c",
+            Seq(AggSpec("sum_3d_c", "sum", RangeMs(259200000L)),
+                AggSpec("cnt_3d", "count", RangeMs(259200000L)),
+                AggSpec("avg_3d_c", "avg", RangeMs(259200000L)),
+                AggSpec("min_3d_c", "min", RangeMs(259200000L)),
+                AggSpec("max_3d_c", "max", RangeMs(259200000L)),
+                AggSpec("cnt_12h", "count", RangeMs(43200000L))), atTs)
+          .select(col("user_id"),
+            (col("sum_3d_c").cast("double") / 100).as("sum_3d"),
+            col("cnt_3d"),
+            (col("avg_3d_c") / 100).as("avg_3d"),
+            (col("min_3d_c").cast("double") / 100).as("min_3d"),
+            (col("max_3d_c").cast("double") / 100).as("max_3d"),
+            col("cnt_12h"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (SELECT epoch_ms(ts) AS ts_ms, user_id,
+                           CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        t AS (SELECT max(ts_ms) - 86400000 AS at_ts FROM ev)
+        SELECT user_id,
+               CAST(sum(value_c) AS DOUBLE) / 100 AS sum_3d,
+               count(value_c) AS cnt_3d,
+               (CAST(sum(value_c) AS DOUBLE) / count(value_c)) / 100 AS avg_3d,
+               CAST(min(value_c) AS DOUBLE) / 100 AS min_3d,
+               CAST(max(value_c) AS DOUBLE) / 100 AS max_3d,
+               count(CASE WHEN ts_ms > at_ts - 43200000 THEN value_c END) AS cnt_12h
+        FROM ev, t
+        WHERE ts_ms <= at_ts AND ts_ms > at_ts - 259200000
+        GROUP BY user_id ORDER BY user_id"""))
+
     // ================= LLM-data-pipeline operators ========================
     // (dedup / similarity / text analysis / multimodal — SURVEY north star)
     import graft.operators.{Dedup, DedupOracles, Multimodal, Similarity, TextAnalysis}

@@ -1,0 +1,87 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** HTTP feature-serving endpoint — the reference's request source/sink
+  * pair (src/runtime/functions/source/request_source.rs:38-190: axum
+  * server, `POST /request` with a keyed JSON payload, response completed
+  * with the feature row; src/runtime/functions/sink/request_sink.rs).
+  *
+  * `POST /request` body `{"key": "<entity key>"}` answers with the latest
+  * feature row for that key from the [[FeatureStore]] the streaming query
+  * keeps upserting — point-in-time-correct serving without an external KV
+  * store, which is the reference's flagship claim (README.md:60-100).
+  * Unknown keys get 404; malformed payloads 400.
+  *
+  * Built on the JDK's HttpServer (no extra dependencies); JSON via
+  * Jackson, which Spark already ships.
+  */
+final class RequestServer(store: FeatureStore, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+
+  /** Starts the server; returns the actual bound port. */
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/request", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try respond(ex) finally ex.close()
+    })
+    server.setExecutor(null) // serve on the dispatcher thread
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def respond(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") { send(ex, 405, errJson("POST only")); return }
+    val key =
+      try {
+        val root = mapper.readTree(ex.getRequestBody)
+        val k = root.get("key")
+        if (k == null || !k.isTextual) null else k.asText()
+      } catch { case _: Exception => null }
+    if (key == null) { send(ex, 400, errJson("body must be {\"key\": \"...\"}")); return }
+    store.get(key) match {
+      case None => send(ex, 404, errJson(s"no features for key $key"))
+      case Some(entry) =>
+        val root = mapper.createObjectNode()
+        root.put("key", key)
+        root.put("ts_ms", entry.tsMs)
+        val feats = root.putObject("features")
+        entry.values.toSeq.sortBy(_._1).foreach { case (n, v) => putAny(feats, n, v) }
+        send(ex, 200, mapper.writeValueAsString(root))
+    }
+  }
+
+  private def putAny(o: ObjectNode, n: String, v: Any): Unit = v match {
+    case null                 => o.putNull(n)
+    case d: java.lang.Double  => o.put(n, d.doubleValue())
+    case f: java.lang.Float   => o.put(n, f.doubleValue())
+    case l: java.lang.Long    => o.put(n, l.longValue())
+    case i: java.lang.Integer => o.put(n, i.longValue())
+    case b: java.lang.Boolean => o.put(n, b.booleanValue())
+    case s                    => o.put(n, String.valueOf(s))
+  }
+
+  private def errJson(msg: String): String = {
+    val root = mapper.createObjectNode()
+    root.put("error", msg)
+    mapper.writeValueAsString(root)
+  }
+
+  private def send(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+}
