@@ -1,0 +1,318 @@
+package graft.api
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions
+import graft.serving.{FeatureStore, RequestServer}
+import graft.sources.{Datagen, Kafka}
+import graft.streaming.SlidingWindows
+import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
+
+/** Pipeline-spec JSON front-end — the production entry point of the
+  * reference engine (src/api/spec/pipeline.rs:33-55, compiled at
+  * src/api/compiler.rs:79-130): a JSON document declares execution mode,
+  * sources (with Arrow JSON schemas), the SQL, event-time defaults, and
+  * the sink; the loader registers sources, dispatches batch vs streaming
+  * vs request serving, and wires the sink.
+  *
+  * Field names mirror the reference spec (snake_case, externally-tagged
+  * source/sink kinds) so a reference spec file ports by renaming the
+  * connector payloads only.
+  *
+  * ```json
+  * { "execution_mode": "Batch" | "Streaming" | "Request",
+  *   "sources": [ { "table_name": "events",
+  *                  "schema_json": {"fields":[{"name":"v","type":{"name":"utf8"}}]},
+  *                  "event_time_column": "ts",       // optional, streaming
+  *                  "source": { "Parquet": {"path": "..."} }
+  *                           | { "Kafka": {"bootstrap_servers": "...", "topic": "...",
+  *                                          "offset": "Earliest"} }
+  *                           | { "Datagen": {"limit": 1000, "rate": 100.0,
+  *                                            "fields": {"k": {"Key": {"num_unique": 4}}}} }
+  *                           | { "Memory": {} } } ],   // supplied via `tables`
+  *   "sql": "SELECT ...",
+  *   "event_time": { "watermark": {"out_of_orderness_ms": 0},
+  *                    "window": {"allowed_lateness_ms": 0} },
+  *   "window": { "key_column": "k", "ts_column": "ts_ms", "value_column": "v",
+  *               "tile_granularity_ms": 60000,
+  *               "aggs": [ {"name": "sum_1h", "kind": "sum", "range_ms": 3600000},
+  *                          {"name": "avg_100", "kind": "avg", "rows": 100} ] },
+  *   "request_source_sink": { "bind_address": "127.0.0.1:0" },
+  *   "sink": { "Parquet": {"path": "..."} }
+  *         | { "Memory": {"table_name": "out"} }
+  *         | { "Upsert": {"key_column": "key", "ts_column": "ts_ms"} } }
+  * ```
+  *
+  * Modes:
+  *  - Batch: sources read eagerly, `sql` runs on Catalyst, sink written.
+  *  - Streaming: sources as readStream (+ per-source watermark), `sql`
+  *    runs as a streaming query into the sink.
+  *  - Request: the declared `window` block runs through the sliding-window
+  *    engine into an Upsert [[FeatureStore]], and an HTTP [[RequestServer]]
+  *    serves keyed lookups — the reference's request-mode graph rewrite
+  *    (src/api/logical_graph.rs:362-494: window branch cloned into
+  *    request_source -> window_request -> request_sink).
+  */
+object Pipeline {
+
+  /** A running (or completed) pipeline. */
+  final case class Handle(
+      mode: String,
+      result: Option[DataFrame],
+      query: Option[StreamingQuery],
+      store: Option[FeatureStore],
+      server: Option[RequestServer],
+      port: Option[Int]) {
+    def stop(): Unit = {
+      query.foreach(_.stop())
+      server.foreach(_.stop())
+    }
+  }
+
+  private val mapper = new ObjectMapper()
+
+  def runFile(spark: SparkSession, path: String,
+              tables: Map[String, DataFrame] = Map.empty): Handle =
+    runJson(spark, new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"), tables)
+
+  def runJson(spark: SparkSession, json: String,
+              tables: Map[String, DataFrame] = Map.empty): Handle = {
+    val spec = mapper.readTree(json)
+    val mode = text(spec, "execution_mode", "Batch")
+    GraftFunctions.register(spark)
+
+    val streamingMode = mode != "Batch"
+    val latenessMs = opt(spec, "event_time")
+      .flatMap(et => opt(et, "window"))
+      .flatMap(w => opt(w, "allowed_lateness_ms")).map(_.asLong(0L)).getOrElse(0L)
+    val oooMs = opt(spec, "event_time")
+      .flatMap(et => opt(et, "watermark"))
+      .flatMap(w => opt(w, "out_of_orderness_ms")).map(_.asLong(0L)).getOrElse(0L)
+
+    // ---- sources --------------------------------------------------------
+    val sourceFrames: Map[String, DataFrame] =
+      opt(spec, "sources").toSeq.flatMap(_.elements().asScala).map { s =>
+        val name = text(s, "table_name", sys.error("source needs table_name"))
+        val schema = opt(s, "schema_json").map(parseArrowSchema).orNull
+        val df0 = loadSource(spark, s, schema, streamingMode, tables)
+        // per-source watermark for streaming SQL (the reference places
+        // watermark assigners at sources — logical_graph.rs:184-247)
+        val etCol = opt(s, "event_time_column").map(_.asText())
+        val df = etCol match {
+          case Some(c) if streamingMode && mode == "Streaming" =>
+            df0.withWatermark(c, s"$oooMs milliseconds")
+          case _ => df0
+        }
+        df.createOrReplaceTempView(name)
+        name -> df
+      }.toMap
+
+    // ---- dispatch -------------------------------------------------------
+    mode match {
+      case "Batch" =>
+        val df = opt(spec, "sql").map(q => spark.sql(q.asText()))
+          .getOrElse(sys.error("Batch pipeline needs sql"))
+        runBatchSink(spark, spec, df)
+      case "Streaming" =>
+        val df = opt(spec, "sql").map(q => spark.sql(q.asText()))
+          .getOrElse(sys.error("Streaming pipeline needs sql"))
+        runStreamSink(spec, df, latenessMs)
+      case "Request" =>
+        val win = opt(spec, "window")
+          .getOrElse(sys.error("Request pipeline needs a window block"))
+        val src = sourceFrames.values.headOption
+          .getOrElse(sys.error("Request pipeline needs a source"))
+        runRequestMode(spec, win, src, latenessMs)
+      case other => sys.error(s"unknown execution_mode $other")
+    }
+  }
+
+  // -- source kinds -------------------------------------------------------
+
+  private def loadSource(spark: SparkSession, s: JsonNode, schema: StructType,
+                         streaming: Boolean,
+                         tables: Map[String, DataFrame]): DataFrame = {
+    val src = opt(s, "source").getOrElse(sys.error("source needs a source kind"))
+    val (kind, cfg) = src.properties().asScala.headOption
+      .map(e => e.getKey -> e.getValue)
+      .getOrElse(sys.error("empty source kind"))
+    kind match {
+      case "Parquet" =>
+        val path = text(cfg, "path", sys.error("Parquet source needs path"))
+        if (streaming) {
+          val sch = if (schema != null) schema else spark.read.parquet(path).schema
+          spark.readStream.schema(sch).parquet(path)
+        } else spark.read.parquet(path)
+      case "Kafka" =>
+        val spec = Kafka.Spec(
+          bootstrapServers = text(cfg, "bootstrap_servers", sys.error("Kafka needs bootstrap_servers")),
+          topic = text(cfg, "topic", sys.error("Kafka needs topic")),
+          offset = text(cfg, "offset", "Earliest"),
+          groupId = opt(cfg, "group_id").map(_.asText()),
+          clientConfigs = opt(cfg, "client_configs").map(_.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+          maxBatchRecords = opt(cfg, "max_batch_records").map(_.asLong()))
+        require(schema != null, "Kafka source needs schema_json")
+        Kafka.stream(spark, spec, schema)
+      case "Datagen" =>
+        val fields = opt(cfg, "fields").map(parseDatagenFields)
+          .getOrElse(sys.error("Datagen needs fields"))
+        if (streaming)
+          Datagen.stream(spark, opt(cfg, "rate").map(_.asLong()).getOrElse(1000L), fields)
+        else
+          Datagen.batch(spark, opt(cfg, "limit").map(_.asLong()).getOrElse(1000L), fields)
+      case "Memory" =>
+        val name = text(s, "table_name", "")
+        tables.getOrElse(name, sys.error(s"Memory source '$name' not supplied via tables"))
+      case other => sys.error(s"unknown source kind $other")
+    }
+  }
+
+  /** Reference datagen field generators (datagen_source.rs:71-92). */
+  private def parseDatagenFields(n: JsonNode): Map[String, Datagen.Field] =
+    n.properties().asScala.map { e =>
+      val (kind, cfg) = e.getValue.properties().asScala.headOption
+        .map(x => x.getKey -> x.getValue)
+        .getOrElse(e.getValue.asText() -> null) // bare string variants
+      val f: Datagen.Field = kind match {
+        case "IncrementalTimestamp" =>
+          Datagen.IncrementalTimestamp(
+            opt(cfg, "start_ms").map(_.asLong()).getOrElse(0L),
+            opt(cfg, "step_ms").map(_.asLong()).getOrElse(1L))
+        case "ProcessingTimestamp" => Datagen.ProcessingTimestamp
+        case "Key" => Datagen.Key(opt(cfg, "num_unique").map(_.asInt()).getOrElse(1))
+        case "Increment" => Datagen.Increment
+        case "Uniform" =>
+          Datagen.Uniform(opt(cfg, "min").map(_.asDouble()).getOrElse(0.0),
+            opt(cfg, "max").map(_.asDouble()).getOrElse(1.0))
+        case "Values" =>
+          Datagen.Values(opt(cfg, "values").toSeq
+            .flatMap(_.elements().asScala).map(_.asText()))
+        case "String" => Datagen.Str(opt(cfg, "prefix").map(_.asText()).getOrElse("s"))
+        case other => sys.error(s"unknown datagen field kind $other")
+      }
+      e.getKey -> f
+    }.toMap
+
+  // -- sinks --------------------------------------------------------------
+
+  private def runBatchSink(spark: SparkSession, spec: JsonNode, df: DataFrame): Handle = {
+    sinkKind(spec) match {
+      case Some(("Parquet", cfg)) =>
+        df.write.mode("overwrite").parquet(text(cfg, "path", sys.error("Parquet sink needs path")))
+      case Some(("Memory", cfg)) =>
+        df.createOrReplaceTempView(text(cfg, "table_name", "pipeline_out"))
+      case Some(("Upsert", cfg)) => // batch upsert: load the store once
+        val store = new FeatureStore
+        FeatureStore.upsertBatch(store,
+          text(cfg, "key_column", "key"), text(cfg, "ts_column", "ts_ms"))(df, 0L)
+        return Handle("Batch", Some(df), None, Some(store), None, None)
+      case _ => // no sink: hand the frame back
+    }
+    Handle("Batch", Some(df), None, None, None, None)
+  }
+
+  private def runStreamSink(spec: JsonNode, df: DataFrame, latenessMs: Long): Handle = {
+    val writer = df.writeStream.trigger(Trigger.ProcessingTime(0))
+    sinkKind(spec) match {
+      case Some(("Parquet", cfg)) =>
+        val path = text(cfg, "path", sys.error("Parquet sink needs path"))
+        val q = writer.format("parquet").option("path", path)
+          .option("checkpointLocation", text(cfg, "checkpoint", s"$path/_ckpt"))
+          .outputMode("append").start()
+        Handle("Streaming", None, Some(q), None, None, None)
+      case Some(("Memory", cfg)) =>
+        val name = text(cfg, "table_name", "pipeline_out")
+        val q = writer.format("memory").queryName(name)
+          .outputMode(text(cfg, "output_mode", "append")).start()
+        Handle("Streaming", None, Some(q), None, None, None)
+      case Some(("Upsert", cfg)) =>
+        val store = new FeatureStore
+        val q = writer.outputMode("append")
+          .foreachBatch(FeatureStore.upsertBatch(store,
+            text(cfg, "key_column", "key"), text(cfg, "ts_column", "ts_ms")) _)
+          .start()
+        Handle("Streaming", None, Some(q), Some(store), None, None)
+      case other => sys.error(s"Streaming pipeline needs a sink, got $other")
+    }
+  }
+
+  /** Request mode: window engine -> upsert store -> HTTP server. */
+  private def runRequestMode(spec: JsonNode, win: JsonNode, src: DataFrame,
+                             latenessMs: Long): Handle = {
+    val keyCol = text(win, "key_column", "key")
+    val tsCol = text(win, "ts_column", "ts_ms")
+    val valueCol = text(win, "value_column", "value")
+    val gran = opt(win, "tile_granularity_ms").map(_.asLong()).getOrElse(60000L)
+    val specs = opt(win, "aggs").toSeq.flatMap(_.elements().asScala).map { a =>
+      val name = text(a, "name", sys.error("agg needs name"))
+      val kind = text(a, "kind", sys.error("agg needs kind"))
+      val frame = opt(a, "range_ms").map(r => RangeMs(r.asLong()): SlidingWindows.Frame)
+        .orElse(opt(a, "rows").map(r => RowsN(r.asInt()): SlidingWindows.Frame))
+        .getOrElse(sys.error(s"agg $name needs range_ms or rows"))
+      AggSpec(name, kind, frame, opt(a, "n").map(_.asInt()).getOrElse(0))
+    }
+    val out = SlidingWindows.streaming(src, keyCol, tsCol, valueCol, specs,
+      latenessMs, gran)
+    val store = new FeatureStore
+    val q = out.writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch(FeatureStore.upsertBatch(store, "key", "ts_ms") _)
+      .start()
+    val bind = opt(spec, "request_source_sink")
+      .map(r => text(r, "bind_address", "127.0.0.1:0")).getOrElse("127.0.0.1:0")
+    val port0 = bind.split(':').last.toInt
+    val server = new RequestServer(store, port0)
+    val port = server.start()
+    Handle("Request", None, Some(q), Some(store), Some(server), Some(port))
+  }
+
+  // -- helpers ------------------------------------------------------------
+
+  private def sinkKind(spec: JsonNode): Option[(String, JsonNode)] =
+    opt(spec, "sink").flatMap(s => s.properties().asScala.headOption
+      .map(e => e.getKey -> e.getValue))
+
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
+
+  private def text(n: JsonNode, field: String, default: => String): String =
+    opt(n, field).map(_.asText()).getOrElse(default)
+
+  /** Arrow JSON schema (the reference's `schema_json`, parsed by
+    * arrow_integration_test::schema_from_json — compiler.rs:17-20) ->
+    * Spark StructType. Covers the types the reference exercises: int,
+    * floatingpoint, utf8, bool, timestamp (SURVEY §1.2).
+    */
+  def parseArrowSchema(schema: JsonNode): StructType = {
+    val fields = opt(schema, "fields").toSeq.flatMap(_.elements().asScala).map { f =>
+      val name = text(f, "name", sys.error("schema field needs name"))
+      val nullable = opt(f, "nullable").forall(_.asBoolean(true))
+      val t = opt(f, "type").getOrElse(sys.error(s"field $name needs type"))
+      val dt: DataType = text(t, "name", "utf8") match {
+        case "utf8" | "largeutf8" => StringType
+        case "bool" => BooleanType
+        case "int" =>
+          val bits = opt(t, "bitWidth").map(_.asInt()).getOrElse(64)
+          bits match {
+            case 8 => ByteType; case 16 => ShortType
+            case 32 => IntegerType; case _ => LongType
+          }
+        case "floatingpoint" =>
+          if (text(t, "precision", "DOUBLE") == "SINGLE") FloatType else DoubleType
+        case "timestamp" => TimestampType
+        case "date" => DateType
+        case "binary" | "largebinary" => BinaryType
+        case other => sys.error(s"unsupported arrow type $other")
+      }
+      StructField(name, dt, nullable)
+    }
+    StructType(fields)
+  }
+}

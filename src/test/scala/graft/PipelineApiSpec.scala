@@ -1,0 +1,187 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Pipeline
+import graft.sources.Kafka
+import graft.streaming.SlidingWindows
+
+/** Pipeline-spec front-end tests: the README flagship pipeline
+  * (reference README.md:105-146 — join + RANGE/ROWS OVER windows +
+  * top/cate aggregates) runs end-to-end from a JSON spec file, plus
+  * streaming dispatch, Kafka option mapping/decode, and request mode.
+  */
+class PipelineApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val flagshipSql = """
+    SELECT u.user_id,
+           count(*) OVER w_short AS purchases_1h,
+           sum(o.amount) OVER w_long AS spent_30d,
+           top(o.amount, 3) OVER w_long AS top_amounts_30d,
+           topn_frequency(o.product_type, 2) OVER w_long AS top_product_freq_30d,
+           top1_ratio(o.product_type) OVER w_rows AS top_product_dominance,
+           sum_cate(o.amount, o.product_type) OVER w_long AS spent_per_category,
+           count_cate_where(o.product_id, o.product_type = 'ON_SALE', o.product_type)
+             OVER w_short AS on_sale_count_1h
+    FROM users u JOIN orders o ON u.user_id = o.buyer_id
+    WINDOW
+      w_short AS (PARTITION BY u.user_id ORDER BY o.event_time
+                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
+      w_long AS (PARTITION BY u.user_id ORDER BY o.event_time
+                 RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW),
+      w_rows AS (PARTITION BY u.user_id ORDER BY o.event_time
+                 ROWS BETWEEN 100 PRECEDING AND CURRENT ROW)"""
+
+  test("README flagship pipeline runs end-to-end from a JSON spec file (Batch)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pipe_").toString
+    (1 to 8).map(i => (i.toLong, s"user_$i"))
+      .toDF("user_id", "name").write.parquet(s"$dir/users")
+    (0 until 500).map { i =>
+      (i.toLong, (i % 8 + 1).toLong, 1704067200000L + 977000L * i,
+        (i * 3 % 50) / 4.0, s"p${i % 23}", Seq("GADGET", "BOOK", "ON_SALE")(i % 3))
+    }.toDF("order_id", "buyer_id", "event_time", "amount", "product_id", "product_type")
+      .write.parquet(s"$dir/orders")
+
+    val spec = s"""{
+      "execution_mode": "Batch",
+      "parallelism": 4,
+      "sources": [
+        { "table_name": "users",
+          "schema_json": {"fields": [
+            {"name": "user_id", "nullable": false, "type": {"name": "int", "bitWidth": 64}},
+            {"name": "name", "nullable": true, "type": {"name": "utf8"}}]},
+          "source": { "Parquet": {"path": "$dir/users"} } },
+        { "table_name": "orders",
+          "source": { "Parquet": {"path": "$dir/orders"} } }
+      ],
+      "sql": ${jstr(flagshipSql)},
+      "sink": { "Memory": {"table_name": "flagship_out"} }
+    }"""
+    val specPath = s"$dir/pipeline_spec.json"
+    Files.writeString(java.nio.file.Paths.get(specPath), spec)
+
+    val handle = Pipeline.runFile(spark, specPath)
+    val got = spark.table("flagship_out").collect().map(_.toSeq).toSet
+    assert(got.size == 500)
+    // loader output == the same SQL run directly on the registered views
+    val want = spark.sql(flagshipSql).collect().map(_.toSeq).toSet
+    assert(got == want)
+    handle.stop()
+  }
+
+  test("Streaming pipeline: memory source -> sql -> memory sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val spec = """{
+      "execution_mode": "Streaming",
+      "sources": [ { "table_name": "ev_stream", "source": { "Memory": {} } } ],
+      "sql": "SELECT ts_ms, key, value * 2 AS v2 FROM ev_stream WHERE value > 1.0",
+      "sink": { "Memory": {"table_name": "stream_out"} }
+    }"""
+    val handle = Pipeline.runJson(spark, spec,
+      tables = Map("ev_stream" -> mem.toDF().toDF("ts_ms", "key", "value")))
+    try {
+      mem.addData((1L, "a", 0.5), (2L, "b", 2.0), (3L, "c", 3.0))
+      handle.query.get.processAllAvailable()
+      val got = spark.table("stream_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set((2L, "b", 4.0), (3L, "c", 6.0)))
+    } finally handle.stop()
+  }
+
+  test("Kafka spec maps 1:1 to Spark kafka options; decode parses JSON values") {
+    val spec = Kafka.Spec("broker1:9092,broker2:9092", "events", offset = "Group",
+      groupId = Some("graft-g1"), clientConfigs = Map("security.protocol" -> "SSL"),
+      maxBatchRecords = Some(5000L))
+    val opts = Kafka.options(spec)
+    assert(opts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(opts("subscribe") == "events")
+    assert(opts("startingOffsets") == "earliest") // Group -> checkpointed resume
+    assert(opts("kafka.group.id") == "graft-g1")
+    assert(opts("kafka.security.protocol") == "SSL")
+    assert(opts("maxOffsetsPerTrigger") == "5000")
+    assert(Kafka.options(spec.copy(offset = "Latest"))("startingOffsets") == "latest")
+
+    // decode path (the same transform a real kafka frame goes through)
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val raw = Seq("""{"user_id": 7, "event_type": "click", "value": 1.5}""",
+                  """{"user_id": 8, "event_type": "view", "value": 2.5}""")
+      .toDF("value")
+    val got = Kafka.decode(raw, schema).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((7L, "click", 1.5), (8L, "view", 2.5)))
+  }
+
+  test("Request-mode pipeline: window block -> upsert store -> HTTP lookups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val spec = """{
+      "execution_mode": "Request",
+      "sources": [ { "table_name": "ev_req", "source": { "Memory": {} } } ],
+      "window": { "key_column": "key", "ts_column": "ts_ms", "value_column": "value",
+                  "tile_granularity_ms": 2000,
+                  "aggs": [ {"name": "sum_10s", "kind": "sum", "range_ms": 10000},
+                             {"name": "cnt_10s", "kind": "count", "range_ms": 10000} ] },
+      "request_source_sink": { "bind_address": "127.0.0.1:0" }
+    }"""
+    val handle = Pipeline.runJson(spark, spec,
+      tables = Map("ev_req" -> mem.toDF().toDF("ts_ms", "key", "value")))
+    try {
+      val events = (0 until 200).map(i => (1704067200000L + 500L * i, s"u${i % 3}", (i % 9) / 4.0))
+      events.grouped(80).foreach { b => mem.addData(b: _*); handle.query.get.processAllAvailable() }
+      val keys = events.map(_._2).distinct
+      mem.addData(keys.map(k => (SlidingWindows.FLUSH_TS, k, 0.0)): _*)
+      handle.query.get.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, keys.head, 0.0))
+      handle.query.get.processAllAvailable()
+
+      // expected: last row per key of the batch OVER reference
+      events.toDF("ts_ms", "key", "value").createOrReplaceTempView("req_pipe_evt")
+      val want = spark.sql("""
+        SELECT key, sum_10s FROM (
+          SELECT key, sum(value) OVER (PARTITION BY key ORDER BY ts_ms
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS sum_10s,
+                 row_number() OVER (PARTITION BY key ORDER BY ts_ms DESC) AS rn
+          FROM req_pipe_evt) WHERE rn = 1
+      """).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+      val client = HttpClient.newHttpClient()
+      keys.foreach { k =>
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:${handle.port.get}/request"))
+            .POST(HttpRequest.BodyPublishers.ofString(s"""{"key": "$k"}""")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200, s"key $k")
+        assert(resp.body().contains(s""""sum_10s":${want(k)}"""), s"key $k: ${resp.body()}")
+      }
+    } finally handle.stop()
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+}
