@@ -1,10 +1,132 @@
 package graft
 
-/** Benchmark main: times every catalog query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. A failing query contributes an `errors` entry and
-  * a -1 time — failures are never silently folded into the total.
+/** Benchmark main: times every catalog query on SPARK_GRAFT_SF_DIR plus
+  * the reference's streaming window workload, and prints ONE JSON line.
+  * A failing query contributes an `errors` entry and a -1 time — failures
+  * are never silently folded into the total.
   */
 object Bench {
+
+  /** The reference's window streaming benchmark workload
+    * (src/runtime/tests/window_operator_benchmark.rs:74-93 defaults:
+    * 4 keys, 20k records, batch size 1000, one retractable SUM over
+    * RANGE 1000ms), fed by the Datagen source and run through the
+    * sliding-window engine as a real streaming query (file source in
+    * ~1000-record batches). Returns (records, elapsedSec).
+    */
+  private def streamingWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double) = {
+    import graft.sources.Datagen
+    import graft.streaming.SlidingWindows
+    import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+
+    val records = 20000L
+    val batchRecords = 1000L
+    val startMs = 1704067200000L; val stepMs = 25L
+    val root = java.nio.file.Files.createTempDirectory("graft_bench_stream_").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    val input = Datagen.batch(spark, records, Map(
+        "ts_ms" -> Datagen.IncrementalTimestamp(startMs, stepMs),
+        "key" -> Datagen.Key(4),
+        "value" -> Datagen.Uniform(0.0, 100.0)))
+      .select(col("ts_ms").cast("long"), col("key"), col("value"))
+    // one time-ordered file per 1000-record batch (the source feeds the
+    // operator in event-time order, like the reference's datagen); written
+    // sequentially so the file source replays them in order
+    val chunkSpan = batchRecords * stepMs
+    (0L until records / batchRecords).foreach { i =>
+      input.where(col("ts_ms") >= startMs + i * chunkSpan &&
+                  col("ts_ms") < startMs + (i + 1) * chunkSpan)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    SlidingWindows.flushRows(input, "key", "ts_ms", "value")
+      .write.mode("append").parquet(inDir)
+
+    val t0 = System.nanoTime()
+    val streamIn = spark.readStream.schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    // lateness = one batch span, absorbing file mod-time ties
+    val out = SlidingWindows.streaming(streamIn, "key", "ts_ms", "value",
+      Seq(AggSpec("sum_1s", "sum", RangeMs(1000))), latenessMs = chunkSpan,
+      tileGranularityMs = 250)
+    // counting sink — the reference measures records/s through the
+    // operator into its in-memory sink, not a durable file sink
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        { emitted.addAndGet(b.count()); () })
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      var rounds = 0
+      while (emitted.get() < records && rounds < 5) {
+        SlidingWindows.flushRows(input, "key", "ts_ms", "value")
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        rounds += 1
+      }
+      require(emitted.get() == records, s"streaming bench emitted ${emitted.get()} of $records")
+    } finally q.stop()
+    (records, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The reference's request-mode benchmark workload
+    * (window_operator_benchmark.rs:590-625: 200k records, 40 keys,
+    * ROWS 10000 PRECEDING, plain MIN/MAX aggs) evaluated at a virtual
+    * point through RequestServing, plus HTTP lookup QPS against the
+    * feature store (window_request_operator_benchmark.rs shape).
+    * Returns (records, evalSec, qps).
+    */
+  private def requestWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double, Double) = {
+    import graft.serving.{FeatureStore, RequestServer, RequestServing}
+    import graft.sources.Datagen
+    import graft.streaming.SlidingWindows.{AggSpec, RowsN}
+    import org.apache.spark.sql.functions.{col, lit}
+
+    val records = 200000L; val keys = 40
+    val startMs = 1704067200000L; val stepMs = 5L
+    val input = Datagen.batch(spark, records, Map(
+        "ts_ms" -> Datagen.IncrementalTimestamp(startMs, stepMs),
+        "key" -> Datagen.Key(keys),
+        "value" -> Datagen.Uniform(0.0, 100.0)))
+      .select(col("ts_ms").cast("long"), col("key"), col("value"))
+    val atTs = startMs + records * stepMs
+    val t0 = System.nanoTime()
+    val pit = RequestServing.pointInTime(input, "key", "ts_ms", "value",
+      Seq(AggSpec("min_10k", "min", RowsN(10000)),
+          AggSpec("max_10k", "max", RowsN(10000))), atTs)
+    val store = new FeatureStore
+    FeatureStore.upsertBatch(store, "key", "ts_ms")(
+      pit.withColumn("ts_ms", lit(atTs)), 0L)
+    require(store.size == keys, s"request bench produced ${store.size} of $keys keys")
+    val evalSec = (System.nanoTime() - t0) / 1e9
+
+    // HTTP lookup QPS (sequential client, like the reference's harness)
+    val server = new RequestServer(store)
+    val port = server.start()
+    val qps =
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val n = 2000
+        val t1 = System.nanoTime()
+        var i = 0
+        while (i < n) {
+          val resp = client.send(
+            java.net.http.HttpRequest.newBuilder(
+                java.net.URI.create(s"http://localhost:$port/request"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                s"""{"key": "key_${i % keys}"}""")).build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200)
+          i += 1
+        }
+        n / ((System.nanoTime() - t1) / 1e9)
+      } finally server.stop()
+    (records, evalSec, qps)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,10 +151,30 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // streaming window workload (reference window_operator_benchmark.rs)
+    val streaming =
+      try {
+        val (recs, sec) = streamingWorkload(spark)
+        f"""{"records":$recs,"elapsed_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f,"keys":4,"range_ms":1000,"batch_records":1000}"""
+      } catch { case e: Throwable =>
+        errors("streaming_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        "null"
+      }
+
+    // request-mode workload (reference window_operator_benchmark.rs:590-625)
+    val request =
+      try {
+        val (recs, sec, qps) = requestWorkload(spark)
+        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f}"""
+      } catch { case e: Throwable =>
+        errors("request_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        "null"
+      }
+
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"request":$request,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
