@@ -25,21 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - top-n orderings: KeyDesc = key desc; MetricDesc = metric desc then
   *    key desc (reference: top/heap.rs:47-63).
   */
-object JavaSer {
-  def write(o: AnyRef): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val oos = new java.io.ObjectOutputStream(bos)
-    oos.writeObject(o); oos.close(); bos.toByteArray
-  }
-  def read(b: Array[Byte]): AnyRef = {
-    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
-    val o = ois.readObject(); ois.close(); o
-  }
-}
-
 abstract class GraftTypedAgg[T <: AnyRef] extends TypedImperativeAggregate[T] {
-  final override def serialize(buffer: T): Array[Byte] = JavaSer.write(buffer)
-  final override def deserialize(bytes: Array[Byte]): T = JavaSer.read(bytes).asInstanceOf[T]
   protected def foldToInt(e: Expression, name: String): Int = {
     require(e.foldable, s"$name requires a literal n")
     e.eval(InternalRow.empty) match {
@@ -56,13 +42,20 @@ final class CountMapBuf extends Serializable {
   def mergeIn(o: CountMapBuf): Unit = o.m.foreach { case (k, v) => add(k, v) }
 }
 
+/** Shuffle codec for count-map-buffered aggregates (BufCodec, not Java
+  * serialization: every partial/final hop pays this per group). */
+trait CountMapSer { self: TypedImperativeAggregate[CountMapBuf] =>
+  final override def serialize(b: CountMapBuf): Array[Byte] = BufCodec.writeCountMap(b)
+  final override def deserialize(bytes: Array[Byte]): CountMapBuf = BufCodec.readCountMap(bytes)
+}
+
 /** `top(value, n)`: top n values desc, duplicates preserved, CSV. */
 case class TopValues(
     value: Expression,
     nExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends GraftTypedAgg[CountMapBuf] {
+  extends GraftTypedAgg[CountMapBuf] with CountMapSer {
 
   private lazy val n = foldToInt(nExpr, "top")
   override def prettyName: String = "top"
@@ -99,7 +92,7 @@ case class TopNFrequency(
     nExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends GraftTypedAgg[CountMapBuf] {
+  extends GraftTypedAgg[CountMapBuf] with CountMapSer {
 
   private lazy val n = foldToInt(nExpr, "topn_frequency")
   override def prettyName: String = "topn_frequency"
@@ -128,7 +121,7 @@ case class Top1Ratio(
     value: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends GraftTypedAgg[CountMapBuf] {
+  extends GraftTypedAgg[CountMapBuf] with CountMapSer {
 
   override def prettyName: String = "top1_ratio"
   override def children: Seq[Expression] = Seq(value)
@@ -227,6 +220,9 @@ case class CateAgg(
     inputAggBufferOffset: Int = 0)
   extends GraftTypedAgg[CateMapBuf] {
 
+  override def serialize(b: CateMapBuf): Array[Byte] = BufCodec.writeCateMap(b)
+  override def deserialize(bytes: Array[Byte]): CateMapBuf = BufCodec.readCateMap(bytes)
+
   private lazy val n = nExpr.map(foldToInt(_, fnName)).getOrElse(Int.MaxValue)
   override def prettyName: String = fnName
   override def children: Seq[Expression] = Seq(value) ++ cond.toSeq ++ Seq(cate) ++ nExpr.toSeq
@@ -297,6 +293,9 @@ case class RatioCate(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends GraftTypedAgg[RatioBuf] {
+
+  override def serialize(b: RatioBuf): Array[Byte] = BufCodec.writeRatio(b)
+  override def deserialize(bytes: Array[Byte]): RatioBuf = BufCodec.readRatio(bytes)
 
   private lazy val n = foldToInt(nExpr, prettyName)
   override def prettyName: String = if (byValue) "top_n_value_ratio_cate" else "top_n_key_ratio_cate"
