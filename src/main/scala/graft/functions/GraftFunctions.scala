@@ -31,6 +31,7 @@ object GraftFunctions {
   def builders: Seq[(String, Seq[Expression] => Expression)] = {
     val out = Seq.newBuilder[(String, Seq[Expression] => Expression)]
 
+    out += "text_stats" -> { args => TextStatsExpr(args(0)) }
     out += "top" -> { args => TopValues(args(0), args(1)) }
     out += "topn_frequency" -> { args => TopNFrequency(args(0), args(1)) }
     out += "top1_ratio" -> { args => Top1Ratio(args(0)) }

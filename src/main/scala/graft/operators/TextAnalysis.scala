@@ -21,23 +21,29 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
-  /** Per-document stats frame: counts + exact-ratio quality features. */
+  /** Per-document stats frame: counts + exact-ratio quality features.
+    * All counts come from ONE scan over the text
+    * (graft.functions.TextStats) instead of ~10 independent regex passes —
+    * same formulas, the regex versions remain the DuckDB oracle.
+    */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val nChars = length(t)
-    val nTokens = tokenCount(t)
-    val nAlpha = length(regexp_replace(t, "[^a-zA-Z]", ""))
-    val nPunct = length(regexp_replace(t, "[^.!?,;:]", ""))
-    val nSpace = length(regexp_replace(t, "[^ ]", ""))
-    df.select(col(idCol),
-      nChars.as("n_chars"),
-      nTokens.as("n_tokens"),
-      subwordCount(t).as("n_subwords"),
-      nAlpha.as("n_alpha"),
-      nPunct.as("n_punct"),
-      when(nTokens > 0, (nChars - nSpace).cast("double") / nTokens).as("mean_token_len"),
-      when(nChars > 0, nAlpha.cast("double") / nChars).as("alpha_ratio"),
-      when(nChars > 0, nPunct.cast("double") / nChars).as("punct_ratio"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val st = col("__st")
+    val nChars = st.getField("n_chars")
+    val nTokens = st.getField("n_tokens")
+    val nAlpha = st.getField("n_alpha")
+    val nPunct = st.getField("n_punct")
+    val nSpace = st.getField("n_space")
+    df.select(col(idCol), call_function("text_stats", col(textCol)).as("__st"))
+      .select(col(idCol),
+        nChars.as("n_chars"),
+        nTokens.as("n_tokens"),
+        st.getField("n_subwords").as("n_subwords"),
+        nAlpha.as("n_alpha"),
+        nPunct.as("n_punct"),
+        when(nTokens > 0, (nChars - nSpace).cast("double") / nTokens).as("mean_token_len"),
+        when(nChars > 0, nAlpha.cast("double") / nChars).as("alpha_ratio"),
+        when(nChars > 0, nPunct.cast("double") / nChars).as("punct_ratio"))
   }
 
   /** Stopword-list scores used by quality scoring and language ID. */

@@ -64,8 +64,8 @@ object SlidingWindows {
     */
   final case class AggSpec(name: String, kind: String, frame: Frame, n: Int = 0)
 
-  private val cmKinds = Set("top", "topn_frequency", "top1_ratio")
-  private def isCate(kind: String): Boolean = kind.endsWith("_cate")
+  private[streaming] val cmKinds = Set("top", "topn_frequency", "top1_ratio")
+  private[streaming] def isCate(kind: String): Boolean = kind.endsWith("_cate")
   private def isString(kind: String): Boolean =
     kind == "top" || kind == "topn_frequency" || isCate(kind)
 
@@ -146,7 +146,7 @@ object SlidingWindows {
     var emittedSeq: Long = Long.MinValue
   }
 
-  private def insertSorted(st: KeyState, ts: Long, v: Double, c: String,
+  private[streaming] def insertSorted(st: KeyState, ts: Long, v: Double, c: String,
                            gran: Long, needCm: Boolean, needCate: Boolean): Unit = {
     val seq = st.nextSeq; st.nextSeq += 1
     val row = (ts, seq, v, c)
@@ -165,7 +165,7 @@ object SlidingWindows {
       new Tile(needCm, needCate)).add(v, c)
   }
 
-  @inline private def ordLeq(ts1: Long, seq1: Long, ts2: Long, seq2: Long): Boolean =
+  @inline private[streaming] def ordLeq(ts1: Long, seq1: Long, ts2: Long, seq2: Long): Boolean =
     ts1 < ts2 || (ts1 == ts2 && seq1 <= seq2)
 
   // ------------------------------------------------------------------
@@ -304,7 +304,7 @@ object SlidingWindows {
     }
   }
 
-  private def evalSpec(st: KeyState, spec: AggSpec, upIdx: Int, gran: Long): Any = {
+  private[streaming] def evalSpec(st: KeyState, spec: AggSpec, upIdx: Int, gran: Long): Any = {
     val needCm = cmKinds.contains(spec.kind)
     val needCate = isCate(spec.kind)
     val a = new Acc(needCm, needCate)

@@ -1,0 +1,200 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+import graft.streaming.SlidingWindows._
+
+/** The sliding-window engine on `transformWithState` (Spark 4) with
+  * GRANULAR state: per-key state is a MapState of time buckets instead of
+  * one Kryo blob, so a trigger writes only the buckets it touched.
+  *
+  * Why this exists alongside [[SlidingWindows.streaming]]
+  * (flatMapGroupsWithState): FMGWS rewrites the WHOLE KeyState — event
+  * buffer plus every tile — to the state store on every trigger for every
+  * touched key. For high-churn keys with long windows that write
+  * amplification is the bottleneck (the reference instead appends to
+  * per-bucket segments and dumps hot buckets incrementally —
+  * src/storage/index/bucket_index.rs, window_operator_state.rs:178-330).
+  * Here a bucket = one tile granularity of rows + its tile pre-aggregate;
+  * ingest updates O(batch buckets) entries, pruning deletes whole expired
+  * buckets, and the emitted position lives in a tiny ValueState.
+  *
+  * Emission semantics, aggregate kinds, and output schema are identical
+  * to [[SlidingWindows.streaming]] — both are reference-model-tested
+  * against batch OVER output.
+  */
+object SlidingWindowsTws {
+
+  /** One time bucket of state: sorted rows + their tile pre-aggregate. */
+  final class Bucket extends Serializable {
+    val rows: mutable.ArrayBuffer[(Long, Long, Double, String)] = mutable.ArrayBuffer.empty
+    var tile: Tile = _
+  }
+
+  /** Tiny per-key scalar state (positions + the registered timer). */
+  final case class Meta(nextSeq: Long, emittedTs: Long, emittedSeq: Long, timerTs: Long)
+
+  final class Processor(specs: Seq[AggSpec], gran: Long, hasCate: Boolean,
+                        needCm: Boolean, needCate: Boolean,
+                        maxRangeMs: Long, maxRows: Int)
+    extends StatefulProcessor[String, (Long, String, Double, String, java.sql.Timestamp), Row] {
+
+    @transient private var buckets: MapState[Long, Bucket] = _
+    @transient private var meta: ValueState[Meta] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buckets = getHandle.getMapState[Long, Bucket]("buckets",
+        Encoders.scalaLong, Encoders.kryo[Bucket], TTLConfig.NONE)
+      meta = getHandle.getValueState[Meta]("meta", Encoders.kryo[Meta], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(Long, String, Double, String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[Row] =
+      process(key, rows, timerValues)
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] =
+      process(key, Iterator.empty, timerValues)
+
+    private def process(
+        key: String,
+        rows: Iterator[(Long, String, Double, String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[Row] = {
+      val m0 = Option(meta.get()).getOrElse(Meta(0L, Long.MinValue, Long.MinValue, 0L))
+      var nextSeq = m0.nextSeq
+      var emTs = m0.emittedTs; var emSeq = m0.emittedSeq
+      val wm = timerValues.getCurrentWatermarkInMs()
+
+      // load retained buckets (TreeMap: ascending bucket order)
+      val local = mutable.TreeMap.empty[Long, Bucket]
+      buckets.iterator().foreach { case (b, bk) => local(b) = bk }
+      val touched = mutable.HashSet.empty[Long]
+
+      // ingest into buckets (drop flush sentinels and pre-emitted positions)
+      rows.foreach { r =>
+        val ts = r._1
+        if (ts != FLUSH_TS && ts > emTs) {
+          val seq = nextSeq; nextSeq += 1
+          val bStart = Math.floorDiv(ts, gran) * gran
+          val bk = local.getOrElseUpdate(bStart, {
+            val b = new Bucket; b.tile = new Tile(needCm, needCate); b
+          })
+          val rb = bk.rows
+          val row = (ts, seq, r._3, r._4)
+          if (rb.isEmpty || ordLeq(rb.last._1, rb.last._2, ts, seq)) rb += row
+          else {
+            var lo = 0; var hi = rb.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ordLeq(rb(mid)._1, rb(mid)._2, ts, seq)) lo = mid + 1 else hi = mid
+            }
+            rb.insert(lo, row)
+          }
+          bk.tile.add(r._3, r._4)
+          touched += bStart
+        }
+      }
+
+      // materialize the evaluation view (same-ts rows share a bucket, so
+      // bucket concatenation preserves global (ts, seq) order)
+      val st = new KeyState
+      local.foreach { case (b, bk) => st.buffer ++= bk.rows; st.tiles(b) = bk.tile }
+      st.nextSeq = nextSeq; st.emittedTs = emTs; st.emittedSeq = emSeq
+
+      // advance: emit every buffered row with ts <= wm not yet emitted
+      val out = mutable.ArrayBuffer.empty[Row]
+      val buf = st.buffer
+      var i = 0
+      while (i < buf.length && ordLeq(buf(i)._1, buf(i)._2, emTs, emSeq)) i += 1
+      while (i < buf.length && buf(i)._1 <= wm) {
+        val (ts, seq, v, c) = buf(i)
+        val aggs = specs.map(evalSpec(st, _, i, gran))
+        val head = if (hasCate) Seq(ts, key, v, c) else Seq(ts, key, v)
+        out += Row.fromSeq(head ++ aggs)
+        emTs = ts; emSeq = seq
+        i += 1
+      }
+
+      // prune: delete whole buckets no future frame can reference
+      {
+        val tsHorizon = emTs - maxRangeMs
+        var tsOk = 0
+        while (tsOk < buf.length && buf(tsOk)._1 < tsHorizon) tsOk += 1
+        val dropTo = math.min(tsOk, math.max(0, i - maxRows))
+        var consumed = 0
+        val removable = mutable.ArrayBuffer.empty[Long]
+        val it = local.iterator
+        var scanning = true
+        while (scanning && it.hasNext) {
+          val (b, bk) = it.next()
+          if (consumed + bk.rows.length <= dropTo) {
+            removable += b; consumed += bk.rows.length
+          } else scanning = false
+        }
+        removable.foreach { b =>
+          local.remove(b); touched.remove(b); buckets.removeKey(b)
+        }
+      }
+
+      // write back ONLY the touched buckets — the structural win over
+      // rewriting the whole per-key state blob
+      touched.foreach(b => local.get(b).foreach(bk => buckets.updateValue(b, bk)))
+
+      // single live timer at the earliest unemitted row
+      var timerTs = m0.timerTs
+      if (i < buf.length) {
+        val want = math.max(buf(i)._1, wm + 1)
+        if (want != timerTs) {
+          if (timerTs > 0) getHandle.deleteTimer(timerTs)
+          getHandle.registerTimer(want)
+          timerTs = want
+        }
+      }
+      meta.update(Meta(nextSeq, emTs, emSeq, timerTs))
+      out.iterator
+    }
+  }
+
+  /** Same contract as [[SlidingWindows.streaming]].
+    *
+    * Note: transformWithState needs a state store with column families, so
+    * this sets the session's provider to RocksDB (the production-grade
+    * store; the HDFS-backed default supports only one family). The setting
+    * is per-session and also fine for the FMGWS engine.
+    */
+  def streaming(df: DataFrame, keyCol: String, tsMsCol: String, valueCol: String,
+                specs: Seq[AggSpec], latenessMs: Long = 0,
+                tileGranularityMs: Long = 60000L,
+                cateCol: String = null): DataFrame = {
+    df.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val hasCate = cateCol != null
+    val outEnc = Encoders.row(outputSchema(specs, hasCate))
+    val maxRangeMs = specs.collect { case AggSpec(_, _, RangeMs(l), _) => l }.foldLeft(0L)(math.max)
+    val maxRows = specs.collect { case AggSpec(_, _, RowsN(n), _) => n }.foldLeft(0)(math.max)
+    val needCm = specs.exists(s => cmKinds.contains(s.kind) && s.frame.isInstanceOf[RangeMs])
+    val needCate = specs.exists(s => isCate(s.kind) && s.frame.isInstanceOf[RangeMs])
+
+    val prepared = df.select(
+        col(tsMsCol).cast("long").as("__ts"),
+        col(keyCol).cast("string").as("__key"),
+        col(valueCol).cast("double").as("__value"),
+        (if (hasCate) col(cateCol).cast("string") else lit(null).cast("string")).as("__cate"))
+      .withColumn("__et", timestamp_millis(col("__ts")))
+      .withWatermark("__et", s"$latenessMs milliseconds")
+
+    import prepared.sparkSession.implicits._
+    prepared.as[(Long, String, Double, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .transformWithState(
+        new Processor(specs, tileGranularityMs, hasCate, needCm, needCate,
+          maxRangeMs, maxRows),
+        TimeMode.EventTime(), OutputMode.Append())(outEnc)
+  }
+}

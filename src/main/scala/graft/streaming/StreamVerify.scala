@@ -30,7 +30,8 @@ object StreamVerify {
   def runBounded(spark: SparkSession, input: DataFrame, keyCol: String,
                  tsMsCol: String, valueCol: String, specs: Seq[AggSpec],
                  latenessMs: Long = 0, tileGranularityMs: Long = 60000L,
-                 checkpointDir: String = null): DataFrame = {
+                 checkpointDir: String = null,
+                 statePartitions: Int = 8): DataFrame = {
     val root = Files.createTempDirectory("graft_stream_").toString
     val inDir = s"$root/in"; val outDir = s"$root/out"
     val ckpt = if (checkpointDir == null) s"$root/ckpt" else checkpointDir
@@ -40,23 +41,34 @@ object StreamVerify {
       col(keyCol).cast("string").as("key"),
       col(valueCol).cast("double").as("value"))
     staged.write.parquet(inDir)
+    val expected = spark.read.parquet(inDir).count()
     val flush = SlidingWindows.flushRows(staged, "key", "ts_ms", "value")
     flush.write.mode("append").parquet(inDir)
 
-    val streamIn = spark.readStream.schema(staged.schema).parquet(inDir)
-    val out = SlidingWindows.streaming(streamIn, "key", "ts_ms", "value",
-      specs, latenessMs, tileGranularityMs)
-    val q = out.writeStream.outputMode("append").format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime(0)).start()
+    // state-store partition count is pinned at first query start; size it
+    // to the workload instead of inheriting the batch shuffle setting
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
-      q.processAllAvailable()
-      // nudge batches: after the flush batch the watermark covers every
-      // real event, but emission happens on the NEXT invocation of the
-      // state function — append no-op flush files until it fires.
-      var i = 0
-      while (i < 3) { flush.write.mode("append").parquet(inDir); q.processAllAvailable(); i += 1 }
-    } finally q.stop()
+      val streamIn = spark.readStream.schema(staged.schema).parquet(inDir)
+      val out = SlidingWindows.streaming(streamIn, "key", "ts_ms", "value",
+        specs, latenessMs, tileGranularityMs)
+      val q = out.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      def landed: Long =
+        try spark.read.parquet(outDir).count() catch { case _: Exception => -1L }
+      try {
+        q.processAllAvailable()
+        // nudge batches: after the flush batch the watermark covers every
+        // real event, but emission happens on the NEXT invocation of the
+        // state function — append no-op flush files until all rows landed.
+        var i = 0
+        while (i < 4 && landed < expected) {
+          flush.write.mode("append").parquet(inDir); q.processAllAvailable(); i += 1
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.read.parquet(outDir)
   }
 }

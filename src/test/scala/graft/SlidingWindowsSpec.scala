@@ -68,13 +68,17 @@ class SlidingWindowsSpec extends AnyFunSuite {
   }
 
   private def runStreaming(batches: Seq[Seq[(Long, String, Double)]],
-                           lateness: Long, tileGran: Long): Set[(Long, String, Double, Double, Double, Double, Double, Double)] = {
+                           lateness: Long, tileGran: Long,
+                           tws: Boolean = false): Set[(Long, String, Double, Double, Double, Double, Double, Double)] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
     val df = mem.toDF().toDF("ts_ms", "key", "value")
-    val out = SlidingWindows.streaming(df, "key", "ts_ms", "value", specs,
-      latenessMs = lateness, tileGranularityMs = tileGran)
+    val out =
+      if (tws) graft.streaming.SlidingWindowsTws.streaming(df, "key", "ts_ms", "value", specs,
+        latenessMs = lateness, tileGranularityMs = tileGran)
+      else SlidingWindows.streaming(df, "key", "ts_ms", "value", specs,
+        latenessMs = lateness, tileGranularityMs = tileGran)
     val qname = s"slwin_out_${System.nanoTime()}"
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName(qname).trigger(Trigger.ProcessingTime(0)).start()
@@ -127,6 +131,18 @@ class SlidingWindowsSpec extends AnyFunSuite {
       .toSeq.sorted
     assert(got.size == want.size)
     assert(got == want)
+  }
+
+  test("transformWithState engine == batch OVER windows, out-of-order micro-batches with lateness") {
+    val rnd = new scala.util.Random(99)
+    val batches = rnd.shuffle(events).sortBy(_._1).grouped(60).toSeq.map(b => rnd.shuffle(b))
+    val got = runStreaming(batches, lateness = 120000, tileGran = 3000, tws = true)
+    assert(got == batchReference(events))
+  }
+
+  test("transformWithState engine == batch OVER windows, in-order") {
+    val got = runStreaming(Seq(events), lateness = 0, tileGran = 2000, tws = true)
+    assert(got == batchReference(events))
   }
 
   // ------------------------------------------------------------------
