@@ -79,6 +79,43 @@ object Bench {
     (records, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** The reference's word-count benchmark workload
+    * (src/runtime/tests/word_count_benchmark.rs:355-400: synthetic word
+    * source -> keyby word -> reduce count -> sink, records/s): a
+    * Datagen word stream through a streaming groupBy-count in complete
+    * mode. Returns (records, elapsedSec).
+    */
+  private def wordCountWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double) = {
+    import graft.sources.Datagen
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    import org.apache.spark.sql.streaming.Trigger
+
+    val records = 100000L; val dictSize = 1000
+    val root = java.nio.file.Files.createTempDirectory("graft_bench_wc_").toString
+    val inDir = s"$root/in"
+    Datagen.batch(spark, records, Map("word" -> Datagen.Key(dictSize)))
+      .repartition(10).write.parquet(inDir)
+
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val t0 = System.nanoTime()
+    val counts = spark.readStream.schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .groupBy(col("word")).count()
+    val qname = s"wc_bench_${System.nanoTime()}"
+    val q = counts.writeStream.outputMode("complete").format("memory")
+      .queryName(qname).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table(qname).agg(fsum("count")).head().getLong(0)
+      require(total == records, s"word count saw $total of $records records")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    (records, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** The reference's request-mode benchmark workload
     * (window_operator_benchmark.rs:590-625: 200k records, 40 keys,
     * ROWS 10000 PRECEDING, plain MIN/MAX aggs) evaluated at a virtual
@@ -175,6 +212,16 @@ object Bench {
         "null"
       }
 
+    // word-count workload (reference word_count_benchmark.rs:355-400)
+    val wordcount =
+      try {
+        val (recs, sec) = wordCountWorkload(spark)
+        f"""{"records":$recs,"dict":1000,"elapsed_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f}"""
+      } catch { case e: Throwable =>
+        errors("wordcount_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        "null"
+      }
+
     // request-mode workload (reference window_operator_benchmark.rs:590-625)
     val request =
       try {
@@ -188,7 +235,7 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"request":$request,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -541,6 +541,17 @@ object SparkEntry {
         WHERE ts_ms <= at_ts AND ts_ms > at_ts - 259200000
         GROUP BY user_id ORDER BY user_id"""))
 
+    // Word count (SURVEY §2.1 word-count source / word_count_benchmark
+    // shape: tokenize -> keyby word -> reduce count) over the documents
+    // corpus; top 100 by count with a total tie-break.
+    m += "q_wordcount" -> split(
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT explode(regexp_extract_all(text, '\\S+', 0)) AS token FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 100""")
+
     // ================= LLM-data-pipeline operators ========================
     // (dedup / similarity / text analysis / multimodal — SURVEY north star)
     import graft.operators.{Dedup, DedupOracles, Multimodal, Similarity, TextAnalysis}
