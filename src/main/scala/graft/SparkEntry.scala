@@ -463,6 +463,38 @@ object SparkEntry {
                         ORDER BY f0.value DESC LIMIT 3) f) AS top_1h
           FROM $eventsMsDuck e ORDER BY e.event_id""")
 
+    // The same bounded streaming run through the transformWithState engine
+    // (granular per-bucket state, RocksDB column families) — driver-checks
+    // the TWS path against the identical batch OVER oracle.
+    m += "q_window_streaming_tws" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.col
+        import graft.streaming.StreamVerify
+        import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
+        val ev = s.sql(
+          """SELECT ts DIV 1000000 AS ts_ms, CAST(user_id AS STRING) AS key,
+                    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS value
+             FROM events""")
+        StreamVerify.runBounded(s, ev, "key", "ts_ms", "value",
+            Seq(AggSpec("sum_1h_c", "sum", RangeMs(3600000)),
+                AggSpec("cnt_1h", "count", RangeMs(3600000))),
+            latenessMs = 0, tileGranularityMs = 600000, useTws = true)
+          .select(col("ts_ms"), col("key"), (col("value") / 100).as("value"),
+            (col("sum_1h_c") / 100).as("sum_1h"), col("cnt_1h").cast("long").as("cnt_1h"))
+          .orderBy("ts_ms", "key", "value")
+      },
+      Some("""
+        SELECT ts_ms, CAST(user_id AS VARCHAR) AS key,
+               CAST(value_c AS DOUBLE) / 100 AS value,
+               CAST(sum(value_c) OVER w AS DOUBLE) / 100 AS sum_1h,
+               count(*) OVER w AS cnt_1h
+        FROM (SELECT epoch_ms(ts) AS ts_ms, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        ORDER BY ts_ms, key, value"""))
+
     // Same semantics as q_top_window, evaluated through the tiled per-key
     // engine sweep (SlidingWindows.batchCompute) instead of WindowExec —
     // the scale path for ML aggregates over long frames: O(buckets + edge)

@@ -31,7 +31,8 @@ object StreamVerify {
                  tsMsCol: String, valueCol: String, specs: Seq[AggSpec],
                  latenessMs: Long = 0, tileGranularityMs: Long = 60000L,
                  checkpointDir: String = null,
-                 statePartitions: Int = 8): DataFrame = {
+                 statePartitions: Int = 8,
+                 useTws: Boolean = false): DataFrame = {
     val root = Files.createTempDirectory("graft_stream_").toString
     val inDir = s"$root/in"; val outDir = s"$root/out"
     val ckpt = if (checkpointDir == null) s"$root/ckpt" else checkpointDir
@@ -51,8 +52,11 @@ object StreamVerify {
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
       val streamIn = spark.readStream.schema(staged.schema).parquet(inDir)
-      val out = SlidingWindows.streaming(streamIn, "key", "ts_ms", "value",
-        specs, latenessMs, tileGranularityMs)
+      val out =
+        if (useTws) SlidingWindowsTws.streaming(streamIn, "key", "ts_ms", "value",
+          specs, latenessMs, tileGranularityMs)
+        else SlidingWindows.streaming(streamIn, "key", "ts_ms", "value",
+          specs, latenessMs, tileGranularityMs)
       val q = out.writeStream.outputMode("append").format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime(0)).start()

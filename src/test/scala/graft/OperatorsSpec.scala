@@ -114,6 +114,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.nonEmpty && out(0).getAs[Long]("nn_id") == 1L)
   }
 
+  test("ANN LSH recall@5 vs brute force is quantified on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 20)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nn_id")).toSet }
+    val exact = topk(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    def meanRecall(h: Int): Double = {
+      val ann = topk(Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        probeHamming = h))
+      val rs = exact.map { case (q, truth) =>
+        ann.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+      }
+      rs.sum / rs.size
+    }
+    val r1 = meanRecall(1); val r2 = meanRecall(2)
+    info(f"ANN recall@5 over ${exact.size} queries: radius1 $r1%.3f, radius2 $r2%.3f")
+    // isotropic random embeddings are hyperplane LSH's worst case (true
+    // neighbors near-orthogonal); assert the measured floors and that a
+    // wider probe radius buys recall — regressions in bucketing/probing
+    // break both
+    assert(r1 >= 0.08, f"radius-1 recall $r1%.3f below measured floor")
+    assert(r2 >= r1 + 0.05, f"radius-2 recall $r2%.3f should clearly beat radius-1 $r1%.3f")
+  }
+
   test("text analysis: token counts and fingerprint normalization") {
     import spark.implicits._
     val df = Seq((0L, "  Hello   world!  "), (1L, "hello world!"))
