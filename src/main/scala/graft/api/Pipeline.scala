@@ -120,8 +120,19 @@ object Pipeline {
           .getOrElse(sys.error("Batch pipeline needs sql"))
         runBatchSink(spark, spec, df)
       case "Streaming" =>
-        val df = opt(spec, "sql").map(q => spark.sql(q.asText()))
+        val sqlText = opt(spec, "sql").map(_.asText())
           .getOrElse(sys.error("Streaming pipeline needs sql"))
+        // per-row OVER windows can't run on Spark's streaming runner;
+        // compile them into the sliding-window engine (the reference's
+        // SQL -> WindowOperator path). Anything else runs as streaming SQL.
+        val df = WindowSql.compile(spark, sqlText) match {
+          case Right(c) if sourceFrames.contains(c.table) =>
+            val gran = opt(spec, "window")
+              .flatMap(w => opt(w, "tile_granularity_ms")).map(_.asLong())
+              .getOrElse(60000L)
+            c.run(sourceFrames(c.table), latenessMs, gran)
+          case _ => spark.sql(sqlText)
+        }
         runStreamSink(spec, df, latenessMs)
       case "Request" =>
         val win = opt(spec, "window")
