@@ -135,11 +135,26 @@ object Pipeline {
         }
         runStreamSink(spec, df, latenessMs)
       case "Request" =>
-        val win = opt(spec, "window")
-          .getOrElse(sys.error("Request pipeline needs a window block"))
-        val src = sourceFrames.values.headOption
-          .getOrElse(sys.error("Request pipeline needs a source"))
-        runRequestMode(spec, win, src, latenessMs)
+        // windows come either from SQL (compiled — the reference README's
+        // request-mode pipelines declare a `query`) or an explicit block
+        opt(spec, "sql").map(_.asText()) match {
+          case Some(sqlText) =>
+            val c = WindowSql.compile(spark, sqlText)
+              .fold(e => sys.error(s"Request pipeline sql: $e"), identity)
+            val src = sourceFrames.getOrElse(c.table,
+              sys.error(s"Request pipeline source '${c.table}' not declared"))
+            val gran = opt(spec, "window")
+              .flatMap(w => opt(w, "tile_granularity_ms")).map(_.asLong())
+              .getOrElse(60000L)
+            startRequestServing(spec, c.run(src, latenessMs, gran),
+              c.keyCol, c.tsCol)
+          case None =>
+            val win = opt(spec, "window")
+              .getOrElse(sys.error("Request pipeline needs sql or a window block"))
+            val src = sourceFrames.values.headOption
+              .getOrElse(sys.error("Request pipeline needs a source"))
+            runRequestMode(spec, win, src, latenessMs)
+        }
       case other => sys.error(s"unknown execution_mode $other")
     }
   }
@@ -271,10 +286,17 @@ object Pipeline {
     }
     val out = SlidingWindows.streaming(src, keyCol, tsCol, valueCol, specs,
       latenessMs, gran)
+    startRequestServing(spec, out, "key", "ts_ms")
+  }
+
+  /** Serving tail shared by both request-mode variants: upsert store fed
+    * by the streaming window output + the HTTP endpoint. */
+  private def startRequestServing(spec: JsonNode, out: DataFrame,
+                                  keyCol: String, tsCol: String): Handle = {
     val store = new FeatureStore
     val q = out.writeStream.outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch(FeatureStore.upsertBatch(store, "key", "ts_ms") _)
+      .foreachBatch(FeatureStore.upsertBatch(store, keyCol, tsCol) _)
       .start()
     val bind = opt(spec, "request_source_sink")
       .map(r => text(r, "bind_address", "127.0.0.1:0")).getOrElse("127.0.0.1:0")

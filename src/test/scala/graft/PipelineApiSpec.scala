@@ -179,6 +179,57 @@ class PipelineApiSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("Request-mode pipeline declared by SQL (README user_features shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.prepare(spark, null)
+    val reqSql = """
+      SELECT ts_ms, key,
+             sum(value) OVER w AS spent_10s,
+             count(*) OVER w AS purchases_10s
+      FROM req_sql_evt
+      WINDOW w AS (PARTITION BY key ORDER BY ts_ms
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)"""
+    val mem = MemoryStream[(Long, String, Double)]
+    val spec = s"""{
+      "execution_mode": "Request",
+      "sources": [ { "table_name": "req_sql_evt", "source": { "Memory": {} } } ],
+      "sql": ${jstr(reqSql)},
+      "window": { "tile_granularity_ms": 2000 },
+      "request_source_sink": { "bind_address": "127.0.0.1:0" }
+    }"""
+    val events = (0 until 200).map(i => (1704067200000L + 400L * i, s"u${i % 3}", (i % 13) / 4.0))
+    val handle = Pipeline.runJson(spark, spec,
+      tables = Map("req_sql_evt" -> mem.toDF().toDF("ts_ms", "key", "value")))
+    try {
+      events.grouped(80).foreach { b => mem.addData(b: _*); handle.query.get.processAllAvailable() }
+      val keys = events.map(_._2).distinct
+      mem.addData(keys.map(k => (SlidingWindows.FLUSH_TS, k, 0.0)): _*)
+      handle.query.get.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, keys.head, 0.0))
+      handle.query.get.processAllAvailable()
+
+      events.toDF("ts_ms", "key", "value").createOrReplaceTempView("req_sql_ref")
+      val want = spark.sql("""
+        SELECT key, spent_10s FROM (
+          SELECT key, sum(value) OVER (PARTITION BY key ORDER BY ts_ms
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS spent_10s,
+                 row_number() OVER (PARTITION BY key ORDER BY ts_ms DESC) AS rn
+          FROM req_sql_ref) WHERE rn = 1
+      """).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+      val client = HttpClient.newHttpClient()
+      keys.foreach { k =>
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:${handle.port.get}/request"))
+            .POST(HttpRequest.BodyPublishers.ofString(s"""{"key": "$k"}""")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200, s"key $k")
+        assert(resp.body().contains(s""""spent_10s":${want(k)}"""), s"key $k: ${resp.body()}")
+      }
+    } finally handle.stop()
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
