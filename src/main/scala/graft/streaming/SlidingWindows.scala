@@ -138,8 +138,12 @@ object SlidingWindows {
   final class KeyState extends Serializable {
     /** (ts, seq, value, cate), ascending (ts, seq). */
     val buffer: mutable.ArrayBuffer[(Long, Long, Double, String)] = mutable.ArrayBuffer.empty
-    /** bucketStart -> tile, at `tileGranularityMs`. */
-    val tiles: mutable.HashMap[Long, Tile] = mutable.HashMap.empty
+    /** granularity -> (bucketStart -> tile). Multi-granularity tiling per
+      * the reference (state/tiles.rs:104-112 — default 1m/5m/1h/1d): long
+      * frame interiors are covered greedily by the coarsest aligned tiles,
+      * so a 30-day window costs tens of tile folds, not tens of
+      * thousands. */
+    val tiles: mutable.HashMap[Long, mutable.HashMap[Long, Tile]] = mutable.HashMap.empty
     var nextSeq: Long = 0L
     /** Highest (ts, seq) already emitted. */
     var emittedTs: Long = Long.MinValue
@@ -147,7 +151,7 @@ object SlidingWindows {
   }
 
   private[streaming] def insertSorted(st: KeyState, ts: Long, v: Double, c: String,
-                           gran: Long, needCm: Boolean, needCate: Boolean): Unit = {
+                           grans: Seq[Long], needCm: Boolean, needCate: Boolean): Unit = {
     val seq = st.nextSeq; st.nextSeq += 1
     val row = (ts, seq, v, c)
     val buf = st.buffer
@@ -161,8 +165,11 @@ object SlidingWindows {
       }
       buf.insert(lo, row)
     }
-    st.tiles.getOrElseUpdate(Math.floorDiv(ts, gran) * gran,
-      new Tile(needCm, needCate)).add(v, c)
+    grans.foreach { g =>
+      st.tiles.getOrElseUpdate(g, mutable.HashMap.empty)
+        .getOrElseUpdate(Math.floorDiv(ts, g) * g, new Tile(needCm, needCate))
+        .add(v, c)
+    }
   }
 
   @inline private[streaming] def ordLeq(ts1: Long, seq1: Long, ts2: Long, seq2: Long): Boolean =
@@ -267,7 +274,8 @@ object SlidingWindows {
     * the two edges. Frame = all buffered rows with ts in [lo, ts(upIdx)] —
     * including same-ts peers after upIdx (SQL RANGE semantics; all peers
     * <= watermark are buffered before emission). */
-  private def rangeAcc(st: KeyState, lo: Long, upIdx: Int, gran: Long, a: Acc): Unit = {
+  private def rangeAcc(st: KeyState, lo: Long, upIdx: Int, grans: Seq[Long], a: Acc): Unit = {
+    val gran = grans.head // finest: defines edge resolution
     val buf = st.buffer
     val hiTs = buf(upIdx)._1
     // include peers: last index with ts == hiTs
@@ -287,11 +295,21 @@ object SlidingWindows {
       // raw edge before the first full bucket
       var i = startIdx
       while (i <= endIdx && buf(i)._1 < firstFull) { a.addRow(buf(i)._3, buf(i)._4); i += 1 }
-      // tiles over [firstFull, lastFullEnd)
+      // tiles over [firstFull, lastFullEnd): greedy coarsest-aligned walk
+      // (a missing tile means no rows in that span — still advance)
+      val desc = grans.reverse
       var b = firstFull
       while (b < lastFullEnd) {
-        st.tiles.get(b).foreach(a.addTile)
-        b += gran
+        var step = gran
+        var gi = 0
+        var found = false
+        while (!found && gi < desc.length) {
+          val g = desc(gi)
+          if (b % g == 0 && b + g <= lastFullEnd) { step = g; found = true }
+          gi += 1
+        }
+        st.tiles.get(step).flatMap(_.get(b)).foreach(a.addTile)
+        b += step
       }
       // raw edge: current bucket rows up to the peer end
       var k2 = endIdx
@@ -304,12 +322,12 @@ object SlidingWindows {
     }
   }
 
-  private[streaming] def evalSpec(st: KeyState, spec: AggSpec, upIdx: Int, gran: Long): Any = {
+  private[streaming] def evalSpec(st: KeyState, spec: AggSpec, upIdx: Int, grans: Seq[Long]): Any = {
     val needCm = cmKinds.contains(spec.kind)
     val needCate = isCate(spec.kind)
     val a = new Acc(needCm, needCate)
     spec.frame match {
-      case RangeMs(len) => rangeAcc(st, st.buffer(upIdx)._1 - len, upIdx, gran, a)
+      case RangeMs(len) => rangeAcc(st, st.buffer(upIdx)._1 - len, upIdx, grans, a)
       case RowsN(n) =>
         val buf = st.buffer
         var i = math.max(0, upIdx - n)
@@ -335,7 +353,9 @@ object SlidingWindows {
   def streaming(df: DataFrame, keyCol: String, tsMsCol: String, valueCol: String,
                 specs: Seq[AggSpec], latenessMs: Long = 0,
                 tileGranularityMs: Long = 60000L,
-                cateCol: String = null): DataFrame = {
+                cateCol: String = null,
+                coarseTilesMs: Seq[Long] = Nil): DataFrame = {
+    val grans = tileGrans(tileGranularityMs, coarseTilesMs)
     val hasCate = cateCol != null
     val outEnc = Encoders.row(outputSchema(specs, hasCate))
     val stateEnc = Encoders.kryo[KeyState]
@@ -356,7 +376,6 @@ object SlidingWindows {
     val grouped = prepared.as[(Long, String, Double, String, java.sql.Timestamp)]
       .groupByKey(_._2)
 
-    val gran = tileGranularityMs
     val fn = (key: String, rows: Iterator[(Long, String, Double, String, java.sql.Timestamp)],
               state: GroupState[KeyState]) => {
       val st = state.getOption.getOrElse(new KeyState)
@@ -365,7 +384,7 @@ object SlidingWindows {
       rows.foreach { r =>
         val ts = r._1
         if (ts != FLUSH_TS && ts > st.emittedTs)
-          insertSorted(st, ts, r._3, r._4, gran, needCm, needCate)
+          insertSorted(st, ts, r._3, r._4, grans, needCm, needCate)
       }
       // advance: emit every buffered row with ts <= wm not yet emitted
       val out = mutable.ArrayBuffer.empty[Row]
@@ -375,7 +394,7 @@ object SlidingWindows {
       while (i < buf.length && ordLeq(buf(i)._1, buf(i)._2, st.emittedTs, st.emittedSeq)) i += 1
       while (i < buf.length && buf(i)._1 <= wm) {
         val (ts, seq, v, c) = buf(i)
-        val aggs = specs.map(evalSpec(st, _, i, gran))
+        val aggs = specs.map(evalSpec(st, _, i, grans))
         val head = if (hasCate) Seq(ts, key, v, c) else Seq(ts, key, v)
         out += Row.fromSeq(head ++ aggs)
         st.emittedTs = ts; st.emittedSeq = seq
@@ -392,7 +411,9 @@ object SlidingWindows {
         val dropTo = math.min(tsOk, math.max(0, i - maxRows))
         if (dropTo > 0) {
           buf.remove(0, dropTo)
-          st.tiles.filterInPlace { case (b, _) => b + gran > tsHorizon }
+          st.tiles.foreach { case (g, m) =>
+            m.filterInPlace { case (b, _) => b + g > tsHorizon }
+          }
         }
       }
       state.update(st)
@@ -421,12 +442,13 @@ object SlidingWindows {
   def batchCompute(df: DataFrame, keyCol: String, tsMsCol: String,
                    valueCol: String, specs: Seq[AggSpec],
                    tileGranularityMs: Long = 60000L,
-                   cateCol: String = null): DataFrame = {
+                   cateCol: String = null,
+                   coarseTilesMs: Seq[Long] = Nil): DataFrame = {
+    val grans = tileGrans(tileGranularityMs, coarseTilesMs)
     val hasCate = cateCol != null
     val outEnc = Encoders.row(outputSchema(specs, hasCate))
     val needCm = specs.exists(s => cmKinds.contains(s.kind) && s.frame.isInstanceOf[RangeMs])
     val needCate = specs.exists(s => isCate(s.kind) && s.frame.isInstanceOf[RangeMs])
-    val gran = tileGranularityMs
 
     val prepared = df.select(
       col(tsMsCol).cast("long").as("__ts"),
@@ -439,15 +461,27 @@ object SlidingWindows {
       .groupByKey(_._2)
       .flatMapGroups { (key: String, rows: Iterator[(Long, String, Double, String)]) =>
         val st = new KeyState
-        rows.foreach(r => insertSorted(st, r._1, r._3, r._4, gran, needCm, needCate))
+        rows.foreach(r => insertSorted(st, r._1, r._3, r._4, grans, needCm, needCate))
         val buf = st.buffer
         (0 until buf.length).iterator.map { i =>
           val (ts, _, v, c) = buf(i)
-          val aggs = specs.map(evalSpec(st, _, i, gran))
+          val aggs = specs.map(evalSpec(st, _, i, grans))
           val head = if (hasCate) Seq(ts, key, v, c) else Seq(ts, key, v)
           Row.fromSeq(head ++ aggs)
         }
       }(outEnc)
+  }
+
+  /** The reference's default tile hierarchy: 1m / 5m / 1h / 1d
+    * (state/tiles.rs:104-112). Pass the tail as `coarseTilesMs` with a
+    * 1-minute finest granularity. */
+  val DefaultCoarseTilesMs: Seq[Long] = Seq(300000L, 3600000L, 86400000L)
+
+  private[streaming] def tileGrans(finest: Long, coarse: Seq[Long]): Seq[Long] = {
+    val grans = (finest +: coarse).distinct.sorted
+    grans.foreach(g => require(g % grans.head == 0,
+      s"tile granularity $g must be a multiple of the finest ${grans.head}"))
+    grans
   }
 
   /** One terminal-flush row per key (the reference's MAX_WATERMARK) for

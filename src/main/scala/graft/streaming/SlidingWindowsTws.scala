@@ -104,7 +104,8 @@ object SlidingWindowsTws {
       // materialize the evaluation view (same-ts rows share a bucket, so
       // bucket concatenation preserves global (ts, seq) order)
       val st = new KeyState
-      local.foreach { case (b, bk) => st.buffer ++= bk.rows; st.tiles(b) = bk.tile }
+      val tileMap = st.tiles.getOrElseUpdate(gran, mutable.HashMap.empty)
+      local.foreach { case (b, bk) => st.buffer ++= bk.rows; tileMap(b) = bk.tile }
       st.nextSeq = nextSeq; st.emittedTs = emTs; st.emittedSeq = emSeq
 
       // advance: emit every buffered row with ts <= wm not yet emitted
@@ -114,7 +115,7 @@ object SlidingWindowsTws {
       while (i < buf.length && ordLeq(buf(i)._1, buf(i)._2, emTs, emSeq)) i += 1
       while (i < buf.length && buf(i)._1 <= wm) {
         val (ts, seq, v, c) = buf(i)
-        val aggs = specs.map(evalSpec(st, _, i, gran))
+        val aggs = specs.map(evalSpec(st, _, i, Seq(gran)))
         val head = if (hasCate) Seq(ts, key, v, c) else Seq(ts, key, v)
         out += Row.fromSeq(head ++ aggs)
         emTs = ts; emSeq = seq
