@@ -542,7 +542,16 @@ object SparkEntry {
                     CAST(round(value * 100) AS BIGINT) AS value_c
              FROM events""")
         val atTs = ev.agg(fmax("ts_ms")).head().getLong(0) - 86400000L
-        RequestServing.pointInTime(ev, "user_id", "ts_ms", "value_c",
+        // pre-filter on the RAW ts column so the bound reaches the parquet
+        // scan (PushedFilters / rowgroup pruning) — a filter on the derived
+        // ts_ms wouldn't push. ts is BIGINT nanos; ts_ms > B <=> ts >= (B+1)e6.
+        val bounded = s.sql(
+          s"""SELECT ts DIV 1000000 AS ts_ms, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_c
+              FROM events
+              WHERE ts >= ${(atTs - 259200000L + 1) * 1000000L}
+                AND ts < ${(atTs + 1) * 1000000L}""")
+        RequestServing.pointInTime(bounded, "user_id", "ts_ms", "value_c",
             Seq(AggSpec("sum_3d_c", "sum", RangeMs(259200000L)),
                 AggSpec("cnt_3d", "count", RangeMs(259200000L)),
                 AggSpec("avg_3d_c", "avg", RangeMs(259200000L)),

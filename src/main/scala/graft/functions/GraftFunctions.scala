@@ -32,6 +32,14 @@ object GraftFunctions {
     val out = Seq.newBuilder[(String, Seq[Expression] => Expression)]
 
     out += "text_stats" -> { args => TextStatsExpr(args(0)) }
+    out += "word_hits" -> { args =>
+      require(args(1).foldable, "word_hits requires a literal word array")
+      val arr = args(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val words = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+      WordHitsExpr(args(0), words)
+    }
     out += "top" -> { args => TopValues(args(0), args(1)) }
     out += "topn_frequency" -> { args => TopNFrequency(args(0), args(1)) }
     out += "top1_ratio" -> { args => Top1Ratio(args(0)) }

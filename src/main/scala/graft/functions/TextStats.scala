@@ -73,6 +73,58 @@ object TextStats {
   }
 }
 
+object WordHits {
+  /** Whole-word occurrence count in ONE scan: runs of word chars
+    * ([A-Za-z0-9_], i.e. regex `\w`) are matched against the word set —
+    * exactly `\b<word>\b` semantics summed over the set, without one
+    * regex automaton pass per word. */
+  def count(s: UTF8String, words: java.util.HashSet[String]): Int = {
+    val str = s.toString
+    val n = str.length
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '_') {
+        val start = i
+        while (i < n && {
+          val d = str.charAt(i)
+          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+            (d >= '0' && d <= '9') || d == '_'
+        }) i += 1
+        if (words.contains(str.substring(start, i))) hits += 1
+      } else i += 1
+    }
+    hits
+  }
+}
+
+/** `word_hits(text, array('w1', ...))` -> INT, registered in GraftFunctions.
+  * The word list is folded at plan time (must be a literal array). */
+case class WordHitsExpr(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  override def prettyName: String = "word_hits"
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add); s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordHits.count(input.asInstanceOf[UTF8String], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", wordSet, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordHits.count($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `text_stats(text)` -> struct, registered in GraftFunctions. */
 case class TextStatsExpr(child: Expression) extends UnaryExpression {
 

@@ -53,9 +53,12 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
+  /** Whole-word hit count in one scan (graft.functions.WordHitsExpr) —
+    * identical to summing `\b<word>\b` regex counts, which remains the
+    * DuckDB oracle formula. Requires GraftFunctions registered (done by
+    * GraftSession.prepare). */
   private def hits(text: Column, words: Seq[String]): Column =
-    words.map(w => size(regexp_extract_all(text, lit("\\b" + w + "\\b"), lit(0))))
-      .reduce(_ + _)
+    call_function("word_hits", text, array(words.map(lit): _*))
 
   /** Heuristic quality score in [0,1]: blends length sanity, stopword
     * density and alphabetic ratio — the usual cheap pre-filter before
