@@ -22,6 +22,30 @@ class MlAggregatesSpec extends AnyFunSuite {
 
   private def one(sql: String): Any = spark.sql(sql).collect()(0).get(0)
 
+  test("BufCodec roundtrips every buffer family exactly") {
+    import graft.functions._
+    import graft.functions.SV._
+    val cm = new CountMapBuf
+    cm.add(DblV(1.5), 3); cm.add(StrV("héllo,x:y"), 2); cm.add(LongV(-7)); cm.add(BoolV(true))
+    val cm2 = BufCodec.readCountMap(BufCodec.writeCountMap(cm))
+    assert(cm2.m == cm.m)
+
+    val cate = new CateMapBuf
+    cate.acc(StrV("a")).add(DblV(2.25)); cate.acc(StrV("a")).add(LongV(4))
+    cate.acc(StrV("empty-min")).count = 5 // count-only acc (min/max null)
+    val cate2 = BufCodec.readCateMap(BufCodec.writeCateMap(cate))
+    assert(cate2.m.keySet == cate.m.keySet)
+    cate.m.foreach { case (k, a) =>
+      val b = cate2.m(k)
+      assert(b.count == a.count && b.sum == a.sum && b.min == a.min && b.max == a.max)
+    }
+
+    val ratio = new RatioBuf
+    ratio.acc(StrV("x"))(0) = 10; ratio.acc(StrV("x"))(1) = 3
+    val ratio2 = BufCodec.readRatio(BufCodec.writeRatio(ratio))
+    assert(ratio2.m.view.mapValues(_.toSeq).toMap == ratio.m.view.mapValues(_.toSeq).toMap)
+  }
+
   test("top(value, n): top n values desc, duplicates preserved (top/README.md ex.1)") {
     import spark.implicits._
     Seq((1000L, 1.0), (2000L, 2.0), (3000L, 4.0), (4000L, 4.0), (5000L, 3.0))

@@ -108,6 +108,33 @@ class PipelineApiSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("Datagen source: field generators produce the declared columns deterministically") {
+    val spec = """{
+      "execution_mode": "Batch",
+      "sources": [
+        { "table_name": "gen",
+          "source": { "Datagen": { "limit": 10, "fields": {
+            "ts": {"IncrementalTimestamp": {"start_ms": 1000, "step_ms": 5}},
+            "k": {"Key": {"num_unique": 3}},
+            "i": {"Increment": {}},
+            "v": {"Values": {"values": ["a", "b"]}},
+            "s": {"String": {"prefix": "doc_"}},
+            "u": {"Uniform": {"min": 1.0, "max": 2.0}} } } } }
+      ],
+      "sql": "SELECT ts, k, i, v, s, u FROM gen",
+      "sink": { "Memory": {"table_name": "gen_out"} }
+    }"""
+    val handle = Pipeline.runJson(spark, spec)
+    val rows = spark.table("gen_out").orderBy("i").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).toSeq == (0 until 10).map(i => 1000L + 5L * i))
+    assert(rows.map(_.getString(1)).toSeq == (0 until 10).map(i => s"key_${i % 3}"))
+    assert(rows.map(_.getString(3)).toSeq == (0 until 10).map(i => Seq("a", "b")(i % 2)))
+    assert(rows.map(_.getString(4)).toSeq == (0 until 10).map(i => s"doc_$i"))
+    assert(rows.forall(r => r.getDouble(5) >= 1.0 && r.getDouble(5) < 2.0))
+    handle.stop()
+  }
+
   test("Kafka spec maps 1:1 to Spark kafka options; decode parses JSON values") {
     val spec = Kafka.Spec("broker1:9092,broker2:9092", "events", offset = "Group",
       groupId = Some("graft-g1"), clientConfigs = Map("security.protocol" -> "SSL"),
