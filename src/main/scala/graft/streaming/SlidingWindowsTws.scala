@@ -175,6 +175,10 @@ object SlidingWindowsTws {
                 cateCol: String = null): DataFrame = {
     df.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: commit the per-batch delta, snapshot in the
+    // background — the fast-commit mode granular bucket writes are for
+    df.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     val hasCate = cateCol != null
     val outEnc = Encoders.row(outputSchema(specs, hasCate))
     val maxRangeMs = specs.collect { case AggSpec(_, _, RangeMs(l), _) => l }.foldLeft(0L)(math.max)

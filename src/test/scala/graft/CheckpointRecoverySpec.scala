@@ -31,6 +31,14 @@ class CheckpointRecoverySpec extends AnyFunSuite {
   }
 
   test("stop + restart from a durable checkpoint is exactly-once and state-correct") {
+    runKillRecovery(tws = false)
+  }
+
+  test("transformWithState engine: stop + restart from a durable checkpoint is exactly-once") {
+    runKillRecovery(tws = true)
+  }
+
+  private def runKillRecovery(tws: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -44,8 +52,12 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
 
     val mem = MemoryStream[(Long, String, Double)]
-    val out = SlidingWindows.streaming(mem.toDF().toDF("ts_ms", "key", "value"),
-      "key", "ts_ms", "value", specs, latenessMs = 0, tileGranularityMs = 2000)
+    val src = mem.toDF().toDF("ts_ms", "key", "value")
+    val out =
+      if (tws) graft.streaming.SlidingWindowsTws.streaming(src,
+        "key", "ts_ms", "value", specs, latenessMs = 0, tileGranularityMs = 2000)
+      else SlidingWindows.streaming(src,
+        "key", "ts_ms", "value", specs, latenessMs = 0, tileGranularityMs = 2000)
 
     def start() = out.writeStream.outputMode("append").format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
