@@ -55,6 +55,60 @@ object Similarity {
       .select("query_id", "rank", "nn_id", "cosine")
   }
 
+  /** IVF-Flat ANN (the FAISS-style inverted-file index as a DataFrame
+    * pipeline): a seeded KMeans coarse quantizer partitions the corpus
+    * into `nlist` cells; each query scores exact cosine against only its
+    * `nprobe` nearest cells (~nprobe/nlist of the corpus). Compared to
+    * [[lshTopK]], the quantizer adapts to the data distribution, which is
+    * what recovers recall on clustered production embeddings.
+    *
+    * Plan shape at scale: the quantizer trains once (MLlib KMeans,
+    * distributed); cell assignment is a map-side transform; the probe
+    * list (queries x nprobe) broadcasts, so the corpus is never shuffled.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
+              seed: Long = 13): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val corpusVec = corpus.select(col(idCol).as("nn_id"), quantize(col(embCol)).as("__cq"))
+      .withColumn("__cn2", norm2(col("__cq")))
+      .withColumn("__features",
+        array_to_vector(transform(col("__cq"), x => x.cast("double"))))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+      .fit(corpusVec)
+    val assigned = model.transform(corpusVec).drop("__features")
+
+    import spark.implicits._
+    val centDf = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("__cell", "__cent")
+
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("__qq"))
+      .withColumn("__qn2", norm2(col("__qq")))
+    val l2 = aggregate(
+      zip_with(col("__qq"), col("__cent"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val wc = Window.partitionBy("query_id").orderBy(col("__dist"), col("__cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("__dist", l2)
+      .withColumn("__rn", row_number().over(wc)).where(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qq"), col("__qn2"), col("__cell"))
+
+    val cos = dot(col("__qq"), col("__cq")).cast("double") /
+      (sqrt(col("__qn2").cast("double")) * sqrt(col("__cn2").cast("double")))
+    val scored = assigned.join(broadcast(probes), Seq("__cell"))
+      .where(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"), cos.as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cosine")
+  }
+
   /** Integer-quantized hyperplane bucket: bit i set iff dot(q, plane_i) >= 0. */
   private def bucketExpr(q: Column, planes: Seq[Seq[Long]]): Column =
     planes.zipWithIndex.map { case (w, i) =>

