@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFu
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, CurrentRow, Expression, Literal, RangeFrame, RowFrame, SortOrder, SpecifiedWindowFrame, UnaryMinus, UnresolvedWindowExpression, WindowExpression, WindowSpecDefinition, WindowSpecReference}
 import org.apache.spark.sql.catalyst.plans.logical.{Project, WithWindowDefinition}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StringType
 
 import graft.streaming.SlidingWindows
 import graft.streaming.SlidingWindows.{AggSpec, Frame, RangeMs, RowsN}
@@ -14,58 +15,84 @@ import graft.streaming.SlidingWindows.{AggSpec, Frame, RangeMs, RowsN}
   * KeyBy and the window expressions into the WindowOperator
   * (src/api/planner.rs:390-432). Spark's own streaming runner rejects
   * per-row OVER windows, so this compiler parses the query, extracts the
-  * window specs, and routes them through [[SlidingWindows.streaming]] —
-  * the SAME SQL then runs in batch mode via Catalyst and in streaming
-  * mode via the engine, with identical results.
+  * window specs, and routes them through the sliding-window engine — the
+  * SAME SQL then runs in batch mode via Catalyst and in streaming mode
+  * via the engine, with identical results.
   *
   * Supported shape (the reference's window contract, SURVEY §2.6: one
   * PARTITION BY key, ORDER BY one ms timestamp column, frames
   * `RANGE/ROWS ... PRECEDING AND CURRENT ROW`):
   *
   * {{{
-  * SELECT <key>, <ts>, [<value>, <cate>,]
-  *        agg(<value>) OVER w AS alias, ...       -- sum/count/avg/min/max,
-  *        count(*) OVER w AS alias,               -- stddev/var family,
-  *        top(<value>, n) OVER w AS alias,        -- top family,
-  *        sum_cate(<value>, <cate>) OVER w AS a   -- cate family
+  * SELECT <key>, <ts>, [arg columns...,]
+  *        sum(<num>) OVER w AS a,  count(*) OVER w AS b,
+  *        stddev_samp(<num2>) OVER w AS c,
+  *        top(<num or str>, 3) OVER w AS d,
+  *        topn_frequency(<num or str>, 2) OVER w AS e,
+  *        sum_cate(<num>, <str>) OVER w AS f
   * FROM <table>
   * WINDOW w AS (PARTITION BY <key> ORDER BY <ts>
   *              RANGE BETWEEN <ms> PRECEDING AND CURRENT ROW)
   * }}}
   *
-  * All aggregates must share one numeric value column (plus at most one
-  * category column); that is the engine's state-row shape.
+  * Each aggregate evaluates its own argument columns (numeric value
+  * columns, string values for the top family, string categories) — the
+  * engine's state rows carry one slot per referenced column.
   */
 object WindowSql {
+
+  /** One compiled window aggregate: slots are resolved against the source
+    * schema at run time (the parser can't know column types). */
+  final case class AggDef(name: String, kind: String, frame: Frame, n: Int,
+                          valueArg: Option[String], cateArg: Option[String])
 
   final case class Compiled(
       table: String,
       keyCol: String,
       tsCol: String,
-      valueCol: Option[String],
-      cateCol: Option[String],
-      specs: Seq[AggSpec],
+      aggs: Seq[AggDef],
       /** Output columns in SELECT order (pass-through cols + aliases). */
       outCols: Seq[String]) {
 
     /** Run the compiled windows over a (streaming or batch) frame of the
       * source table through the engine. */
     def run(src: DataFrame, latenessMs: Long = 0,
-            tileGranularityMs: Long = 60000L, useBatchSweep: Boolean = false): DataFrame = {
-      val vc = valueCol.getOrElse(tsCol) // count(*)-only queries: any numeric
+            tileGranularityMs: Long = 60000L,
+            useBatchSweep: Boolean = false): DataFrame = {
+      val schema = src.schema
+      def isStr(c: String): Boolean =
+        schema(schema.fieldIndex(c)).dataType == StringType
+      // slot assignment: numeric value columns + string columns (top-family
+      // string values and categories), in first-use order
+      val numCols = aggs.flatMap(_.valueArg).filter(!isStr(_)).distinct
+      val strCols = (aggs.flatMap(_.valueArg).filter(isStr) ++
+        aggs.flatMap(_.cateArg)).distinct
+      val specs = aggs.map { a =>
+        val vStr = a.valueArg.exists(isStr)
+        if (SlidingWindows.isCate(a.kind) && vStr)
+          sys.error(s"${a.name}: the cate family needs a numeric value column")
+        if (vStr && !(a.kind == "count" || SlidingWindows.cmKinds.contains(a.kind)))
+          sys.error(s"${a.name}: ${a.kind} needs a numeric value column")
+        val useStr = vStr && a.kind != "count"
+        val vIdx = a.valueArg match {
+          case Some(v) if useStr => strCols.indexOf(v)
+          case Some(v) if !vStr  => numCols.indexOf(v)
+          case _                 => 0 // count(*) / count(<str>): no value slot read
+        }
+        val cIdx = a.cateArg.map(strCols.indexOf).getOrElse(0)
+        AggSpec(a.name, a.kind, a.frame, a.n, math.max(vIdx, 0), cIdx, useStr)
+      }
       val out =
         if (useBatchSweep)
-          SlidingWindows.batchCompute(src, keyCol, tsCol, vc, specs,
-            tileGranularityMs, cateCol.orNull)
+          SlidingWindows.batchComputeMulti(src, keyCol, tsCol, numCols, strCols,
+            specs, tileGranularityMs)
         else
-          SlidingWindows.streaming(src, keyCol, tsCol, vc, specs, latenessMs,
-            tileGranularityMs, cateCol.orNull)
-      // engine emits (ts_ms, key, value[, cate], <specs>): rename back
-      var renamed = out.withColumnRenamed("ts_ms", tsCol).withColumnRenamed("key", keyCol)
-      renamed = valueCol.map(v => renamed.withColumnRenamed("value", v))
-        .getOrElse(renamed)
-      renamed = cateCol.map(c => renamed.withColumnRenamed("cate", c)).getOrElse(renamed)
-      renamed.select(outCols.map(col): _*)
+          SlidingWindows.streamingMulti(src, keyCol, tsCol, numCols, strCols,
+            specs, latenessMs, tileGranularityMs)
+      // engine emits (ts_ms, key, <numCols>, <strCols>, <specs>) with the
+      // original column names — only ts/key need renaming back
+      out.withColumnRenamed("ts_ms", tsCol).withColumnRenamed("key", keyCol)
+        .select(outCols.map(col): _*)
     }
   }
 
@@ -88,8 +115,7 @@ object WindowSql {
     }
 
     var keyCol: String = null; var tsCol: String = null
-    var valueCol: Option[String] = None; var cateCol: Option[String] = None
-    val specs = Seq.newBuilder[AggSpec]
+    val aggs = Seq.newBuilder[AggDef]
     val outCols = Seq.newBuilder[String]
 
     def attr(e: Expression, what: String): Either[String, String] = e match {
@@ -115,7 +141,6 @@ object WindowSql {
 
     def handleWindow(fn: UnresolvedFunction, spec: WindowSpecDefinition,
                      alias: String): Either[String, Unit] = {
-      // partition / order consistency
       for {
         k <- spec.partitionSpec match {
           case Seq(p) => attr(p, "PARTITION BY")
@@ -136,30 +161,19 @@ object WindowSql {
             // count(*) parses as a star (or, defensively, literal) argument
             val isStar = args.headOption.exists(_.isInstanceOf[UnresolvedStar]) ||
               (name == "count" && args.forall(_.isInstanceOf[Literal]))
-            // value column (count(*) has none)
-            val vErr: Option[String] =
-              if (isStar || args.isEmpty) None
-              else attr(args.head, s"$name value") match {
-                case Left(e) => Some(e)
-                case Right(v) =>
-                  if (valueCol.exists(_ != v)) Some(s"all aggregates must share one value column (${valueCol.get} vs $v)")
-                  else { valueCol = Some(v); None }
-              }
-            val cErr: Option[String] =
-              if (vErr.isDefined) None
-              else if (name.endsWith("_cate")) attr(args(1), s"$name category") match {
-                case Left(e) => Some(e)
-                case Right(c) =>
-                  if (cateCol.exists(_ != c)) Some(s"all cate aggregates must share one category column (${cateCol.get} vs $c)")
-                  else { cateCol = Some(c); None }
-              } else None
+            val valueArg: Either[String, Option[String]] =
+              if (isStar || args.isEmpty) Right(None)
+              else attr(args.head, s"$name value").map(Some(_))
+            val cateArg: Either[String, Option[String]] =
+              if (name.endsWith("_cate")) attr(args(1), s"$name category").map(Some(_))
+              else Right(None)
             val n = args.collectFirst { case Literal(v: Number, _) => v.intValue() }.getOrElse(0)
-            vErr.orElse(cErr) match {
-              case Some(e) => Left(e)
-              case None =>
-                val kind = if (isStar && name == "count") "count" else name
-                specs += AggSpec(alias, kind, frame, n)
+            (valueArg, cateArg) match {
+              case (Right(v), Right(c)) =>
+                aggs += AggDef(alias, name, frame, n, v, c)
                 Right(())
+              case (Left(e), _) => Left(e)
+              case (_, Left(e)) => Left(e)
             }
           }
         }
@@ -184,14 +198,15 @@ object WindowSql {
       case other => return Left(s"unsupported select item: $other")
     }
 
-    val built = specs.result()
+    val built = aggs.result()
     if (built.isEmpty) Left("no window aggregates found")
     else {
       // pass-through columns must be engine-carried columns
-      val carried = Set(keyCol, tsCol) ++ valueCol ++ cateCol
+      val carried = Set(keyCol, tsCol) ++
+        built.flatMap(_.valueArg) ++ built.flatMap(_.cateArg)
       val bad = outCols.result().filterNot(c => carried(c) || built.exists(_.name == c))
       if (bad.nonEmpty) Left(s"select items not carried by the engine: ${bad.mkString(", ")}")
-      else Right(Compiled(table, keyCol, tsCol, valueCol, cateCol, built, outCols.result()))
+      else Right(Compiled(table, keyCol, tsCol, built, outCols.result()))
     }
   }
 }

@@ -38,6 +38,14 @@ import graft.functions.SV
   * O(buckets + edge), the reference's retractable-accumulator answer to
   * per-row frame recomputation (retractable_range.rs:54-140).
   *
+  * Like the reference's window expressions, each aggregate evaluates its
+  * OWN argument columns: state rows carry a slot array of numeric values
+  * and a slot array of strings, and each [[AggSpec]] addresses its slots
+  * (`vIdx` into the numeric slots — or the string slots when `vStr`, as
+  * the top family accepts any scalar type — and `cIdx` into the string
+  * slots for the cate family's category). The single-column signatures
+  * remain as wrappers.
+  *
   * State lives in the Structured Streaming state store (RocksDB-backed on
   * a real cluster), keyed by the PARTITION BY column — the same hash
   * distribution the reference builds with its KeyBy operator.
@@ -60,20 +68,43 @@ object SlidingWindows {
     * kinds: sum count avg min max | stddev stddev_pop stddev_samp var_pop
     * var_samp variance | top topn_frequency top1_ratio |
     * {sum,avg,count,min,max}_cate. `n` is the top-N parameter where the
-    * kind takes one.
+    * kind takes one. `vIdx` picks the value slot (numeric slots, or string
+    * slots when `vStr`); `cIdx` picks the cate family's category slot.
     */
-  final case class AggSpec(name: String, kind: String, frame: Frame, n: Int = 0)
+  final case class AggSpec(name: String, kind: String, frame: Frame, n: Int = 0,
+                           vIdx: Int = 0, cIdx: Int = 0, vStr: Boolean = false)
 
-  private[streaming] val cmKinds = Set("top", "topn_frequency", "top1_ratio")
-  private[streaming] def isCate(kind: String): Boolean = kind.endsWith("_cate")
+  /** The top family accepts any scalar value type. */
+  val cmKinds: Set[String] = Set("top", "topn_frequency", "top1_ratio")
+  def isCate(kind: String): Boolean = kind.endsWith("_cate")
   private def isString(kind: String): Boolean =
     kind == "top" || kind == "topn_frequency" || isCate(kind)
 
-  def outputSchema(specs: Seq[AggSpec], cate: Boolean): StructType =
+  /** Which payloads tiles must carry for a spec set. */
+  private[streaming] final case class Needs(
+      nNum: Int, nStr: Int,
+      cmNum: Array[Boolean], cmStr: Array[Boolean],
+      catePairs: Array[(Int, Int)]) extends Serializable
+
+  private[streaming] def needsOf(specs: Seq[AggSpec], nNum: Int, nStr: Int): Needs = {
+    val cmNum = new Array[Boolean](nNum); val cmStr = new Array[Boolean](nStr)
+    val pairs = mutable.LinkedHashSet.empty[(Int, Int)]
+    specs.foreach { s =>
+      val tiled = s.frame.isInstanceOf[RangeMs]
+      if (cmKinds.contains(s.kind) && tiled) {
+        if (s.vStr) cmStr(s.vIdx) = true else cmNum(s.vIdx) = true
+      }
+      if (isCate(s.kind) && tiled) pairs += ((s.vIdx, s.cIdx))
+    }
+    Needs(nNum, nStr, cmNum, cmStr, pairs.toArray)
+  }
+
+  def outputSchema(specs: Seq[AggSpec], valueCols: Seq[String],
+                   strCols: Seq[String]): StructType =
     StructType(
-      Seq(StructField("ts_ms", LongType), StructField("key", StringType),
-          StructField("value", DoubleType)) ++
-        (if (cate) Seq(StructField("cate", StringType)) else Nil) ++
+      Seq(StructField("ts_ms", LongType), StructField("key", StringType)) ++
+        valueCols.map(StructField(_, DoubleType)) ++
+        strCols.map(StructField(_, StringType)) ++
         specs.map(s => StructField(s.name,
           if (isString(s.kind)) StringType else DoubleType)))
 
@@ -103,41 +134,66 @@ object SlidingWindows {
   // Tiles and per-key state
   // ------------------------------------------------------------------
 
-  /** Tile: mergeable pre-aggregate of one time bucket. Numeric stats are
-    * always kept; the count-map (`top` family) and per-category
-    * (`*_cate` family) payloads only when some spec needs them
-    * (reference: tiles carry accumulator state per agg —
-    * state/tiles.rs:62-70).
+  /** Tile: mergeable pre-aggregate of one time bucket, one stat set per
+    * numeric slot. Count-map (`top` family) and per-category (`*_cate`)
+    * payloads only for the slots some spec needs (reference: tiles carry
+    * accumulator state per agg — state/tiles.rs:62-70). Values are assumed
+    * non-null (the reference's window args are).
     */
-  final class Tile(needCm: Boolean, needCate: Boolean) extends Serializable {
-    var sum: Double = 0.0
-    var sum2: Double = 0.0
+  final class Tile(needs: Needs) extends Serializable {
     var count: Long = 0L
-    var min: Double = Double.NaN
-    var max: Double = Double.NaN
-    val cm: mutable.HashMap[Double, Long] =
-      if (needCm) mutable.HashMap.empty else null
-    /** cate -> [count, sum, min, max] over value. */
-    val cate: mutable.HashMap[String, Array[Double]] =
-      if (needCate) mutable.HashMap.empty else null
-    def add(v: Double, c: String): Unit = {
-      sum += v; sum2 += v * v; count += 1
-      if (count == 1 || v < min) min = v
-      if (count == 1 || v > max) max = v
-      if (cm != null) cm.update(v, cm.getOrElse(v, 0L) + 1L)
-      if (cate != null && c != null) {
-        val a = cate.getOrElseUpdate(c, Array(0.0, 0.0, Double.NaN, Double.NaN))
-        a(0) += 1; a(1) += v
-        if (a(0) == 1 || v < a(2)) a(2) = v
-        if (a(0) == 1 || v > a(3)) a(3) = v
+    val sum = new Array[Double](needs.nNum)
+    val sum2 = new Array[Double](needs.nNum)
+    val min = Array.fill(needs.nNum)(Double.NaN)
+    val max = Array.fill(needs.nNum)(Double.NaN)
+    val cmNum: Array[mutable.HashMap[Double, Long]] =
+      needs.cmNum.map(b => if (b) mutable.HashMap.empty[Double, Long] else null)
+    val cmStr: Array[mutable.HashMap[String, Long]] =
+      needs.cmStr.map(b => if (b) mutable.HashMap.empty[String, Long] else null)
+    /** aligned with needs.catePairs: cate -> [count, sum, min, max]. */
+    val cate: Array[mutable.HashMap[String, Array[Double]]] =
+      Array.fill(needs.catePairs.length)(mutable.HashMap.empty)
+
+    def add(nums: Array[Double], strs: Array[String]): Unit = {
+      val first = count == 0
+      count += 1
+      var i = 0
+      while (i < nums.length) {
+        val v = nums(i)
+        sum(i) += v; sum2(i) += v * v
+        if (first || v < min(i)) min(i) = v
+        if (first || v > max(i)) max(i) = v
+        if (cmNum(i) != null) cmNum(i).update(v, cmNum(i).getOrElse(v, 0L) + 1L)
+        i += 1
+      }
+      i = 0
+      while (i < strs.length) {
+        val s = strs(i)
+        if (cmStr(i) != null && s != null)
+          cmStr(i).update(s, cmStr(i).getOrElse(s, 0L) + 1L)
+        i += 1
+      }
+      i = 0
+      while (i < needs.catePairs.length) {
+        val (vi, ci) = needs.catePairs(i)
+        val c = strs(ci)
+        if (c != null) {
+          val v = nums(vi)
+          val a = cate(i).getOrElseUpdate(c, Array(0.0, 0.0, Double.NaN, Double.NaN))
+          a(0) += 1; a(1) += v
+          if (a(0) == 1 || v < a(2)) a(2) = v
+          if (a(0) == 1 || v > a(3)) a(3) = v
+        }
+        i += 1
       }
     }
   }
 
   /** Per-key state: event buffer (sorted by ts,seq), tile index, positions. */
   final class KeyState extends Serializable {
-    /** (ts, seq, value, cate), ascending (ts, seq). */
-    val buffer: mutable.ArrayBuffer[(Long, Long, Double, String)] = mutable.ArrayBuffer.empty
+    /** (ts, seq, numeric slots, string slots), ascending (ts, seq). */
+    val buffer: mutable.ArrayBuffer[(Long, Long, Array[Double], Array[String])] =
+      mutable.ArrayBuffer.empty
     /** granularity -> (bucketStart -> tile). Multi-granularity tiling per
       * the reference (state/tiles.rs:104-112 — default 1m/5m/1h/1d): long
       * frame interiors are covered greedily by the coarsest aligned tiles,
@@ -150,10 +206,11 @@ object SlidingWindows {
     var emittedSeq: Long = Long.MinValue
   }
 
-  private[streaming] def insertSorted(st: KeyState, ts: Long, v: Double, c: String,
-                           grans: Seq[Long], needCm: Boolean, needCate: Boolean): Unit = {
+  private[streaming] def insertSorted(st: KeyState, ts: Long, nums: Array[Double],
+                                      strs: Array[String], grans: Seq[Long],
+                                      needs: Needs): Unit = {
     val seq = st.nextSeq; st.nextSeq += 1
-    val row = (ts, seq, v, c)
+    val row = (ts, seq, nums, strs)
     val buf = st.buffer
     if (buf.isEmpty || ordLeq(buf.last._1, buf.last._2, ts, seq)) buf += row
     else {
@@ -167,8 +224,8 @@ object SlidingWindows {
     }
     grans.foreach { g =>
       st.tiles.getOrElseUpdate(g, mutable.HashMap.empty)
-        .getOrElseUpdate(Math.floorDiv(ts, g) * g, new Tile(needCm, needCate))
-        .add(v, c)
+        .getOrElseUpdate(Math.floorDiv(ts, g) * g, new Tile(needs))
+        .add(nums, strs)
     }
   }
 
@@ -179,35 +236,61 @@ object SlidingWindows {
   // Frame accumulator + finishers
   // ------------------------------------------------------------------
 
-  /** Mergeable frame accumulator: folds raw rows and whole tiles. */
-  private final class Acc(needCm: Boolean, needCate: Boolean) {
+  /** Mergeable frame accumulator for ONE spec: folds raw rows and whole
+    * tiles, reading only the spec's slots. */
+  private final class Acc(spec: AggSpec, cateIdx: Int) {
     var sum = 0.0; var sum2 = 0.0; var count = 0L
     var min = Double.NaN; var max = Double.NaN
-    val cm: mutable.HashMap[Double, Long] =
-      if (needCm) mutable.HashMap.empty else null
+    /** count(*) reads no value slot — a query may have none. */
+    private val numStats = !spec.vStr && spec.kind != "count" 
+    val cmN: mutable.HashMap[Double, Long] =
+      if (cmKinds.contains(spec.kind) && !spec.vStr) mutable.HashMap.empty else null
+    val cmS: mutable.HashMap[String, Long] =
+      if (cmKinds.contains(spec.kind) && spec.vStr) mutable.HashMap.empty else null
     val cate: mutable.HashMap[String, Array[Double]] =
-      if (needCate) mutable.HashMap.empty else null
+      if (isCate(spec.kind)) mutable.HashMap.empty else null
 
-    def addRow(v: Double, c: String): Unit = {
-      sum += v; sum2 += v * v; count += 1
-      if (count == 1 || v < min) min = v
-      if (count == 1 || v > max) max = v
-      if (cm != null) cm.update(v, cm.getOrElse(v, 0L) + 1L)
-      if (cate != null && c != null) {
-        val a = cate.getOrElseUpdate(c, Array(0.0, 0.0, Double.NaN, Double.NaN))
-        a(0) += 1; a(1) += v
-        if (a(0) == 1 || v < a(2)) a(2) = v
-        if (a(0) == 1 || v > a(3)) a(3) = v
+    def addRow(nums: Array[Double], strs: Array[String]): Unit = {
+      count += 1
+      if (numStats) {
+        val v = nums(spec.vIdx)
+        sum += v; sum2 += v * v
+        if (count == 1 || v < min) min = v
+        if (count == 1 || v > max) max = v
+        if (cmN != null) cmN.update(v, cmN.getOrElse(v, 0L) + 1L)
+      } else if (cmS != null) {
+        val s = strs(spec.vIdx)
+        if (s != null) cmS.update(s, cmS.getOrElse(s, 0L) + 1L)
+      }
+      if (cate != null) {
+        val c = strs(spec.cIdx)
+        if (c != null) {
+          val v = nums(spec.vIdx)
+          val a = cate.getOrElseUpdate(c, Array(0.0, 0.0, Double.NaN, Double.NaN))
+          a(0) += 1; a(1) += v
+          if (a(0) == 1 || v < a(2)) a(2) = v
+          if (a(0) == 1 || v > a(3)) a(3) = v
+        }
       }
     }
+
     def addTile(t: Tile): Unit = {
       if (t.count > 0) {
-        sum += t.sum; sum2 += t.sum2
-        if (count == 0 || t.min < min) min = t.min
-        if (count == 0 || t.max > max) max = t.max
+        if (numStats) {
+          val i = spec.vIdx
+          sum += t.sum(i); sum2 += t.sum2(i)
+          if (count == 0 || t.min(i) < min) min = t.min(i)
+          if (count == 0 || t.max(i) > max) max = t.max(i)
+          if (cmN != null) t.cmNum(i).foreach { case (v, n) =>
+            cmN.update(v, cmN.getOrElse(v, 0L) + n)
+          }
+        } else if (cmS != null) {
+          t.cmStr(spec.vIdx).foreach { case (s, n) =>
+            cmS.update(s, cmS.getOrElse(s, 0L) + n)
+          }
+        }
         count += t.count
-        if (cm != null) t.cm.foreach { case (v, n) => cm.update(v, cm.getOrElse(v, 0L) + n) }
-        if (cate != null) t.cate.foreach { case (k, o) =>
+        if (cate != null) t.cate(cateIdx).foreach { case (k, o) =>
           val a = cate.getOrElseUpdate(k, Array(0.0, 0.0, Double.NaN, Double.NaN))
           val was = a(0)
           a(0) += o(0); a(1) += o(1)
@@ -237,24 +320,24 @@ object SlidingWindows {
     case "stddev" | "stddev_samp" =>
       if (a.count > 1) math.sqrt(math.max(0.0, (a.count * a.sum2 - a.sum * a.sum)) / (a.count.toDouble * (a.count - 1))) else null
     case "top" =>
-      val sorted = a.cm.toSeq.sortBy(-_._1)
-      val out = new mutable.ArrayBuffer[String](spec.n)
-      var remaining = spec.n
-      val it = sorted.iterator
-      while (remaining > 0 && it.hasNext) {
-        val (v, cnt) = it.next()
-        var i = math.min(cnt, remaining.toLong)
-        val s = SV.formatFloat(v)
-        while (i > 0) { out += s; i -= 1; remaining -= 1 }
-      }
-      out.mkString(",")
+      if (spec.vStr)
+        takeWithDups(a.cmS.toSeq.sortBy(_._1)(Ordering[String].reverse)
+          .iterator.map { case (s, c) => (s, c) }, spec.n)
+      else
+        takeWithDups(a.cmN.toSeq.sortBy(-_._1)
+          .iterator.map { case (v, c) => (SV.formatFloat(v), c) }, spec.n)
     case "topn_frequency" =>
-      a.cm.toSeq.sortWith { case ((v1, c1), (v2, c2)) =>
-        if (c1 != c2) c1 > c2 else v1 > v2
-      }.take(spec.n).map(e => SV.formatFloat(e._1)).mkString(",")
+      if (spec.vStr)
+        a.cmS.toSeq.sortWith { case ((v1, c1), (v2, c2)) =>
+          if (c1 != c2) c1 > c2 else v1 > v2
+        }.take(spec.n).map(_._1).mkString(",")
+      else
+        a.cmN.toSeq.sortWith { case ((v1, c1), (v2, c2)) =>
+          if (c1 != c2) c1 > c2 else v1 > v2
+        }.take(spec.n).map(e => SV.formatFloat(e._1)).mkString(",")
     case "top1_ratio" =>
-      if (a.cm.isEmpty) null
-      else a.cm.valuesIterator.max.toDouble / a.cm.valuesIterator.sum.toDouble
+      val m: Iterable[Long] = if (spec.vStr) a.cmS.values else a.cmN.values
+      if (m.isEmpty) null else m.max.toDouble / m.sum.toDouble
     case k if isCate(k) =>
       val kind = k.stripSuffix("_cate")
       val parts = a.cate.toSeq.collect { case (c, arr) if arr(0) > 0 =>
@@ -268,6 +351,17 @@ object SlidingWindows {
         s"$c:$r"
       }.sorted
       parts.mkString(",")
+  }
+
+  private def takeWithDups(sorted: Iterator[(String, Long)], n: Int): String = {
+    val out = new mutable.ArrayBuffer[String](n)
+    var remaining = n
+    while (remaining > 0 && sorted.hasNext) {
+      val (s, cnt) = sorted.next()
+      var i = math.min(cnt, remaining.toLong)
+      while (i > 0) { out += s; i -= 1; remaining -= 1 }
+    }
+    out.mkString(",")
   }
 
   /** RANGE frame: tiles over fully-covered interior buckets, raw rows at
@@ -322,10 +416,12 @@ object SlidingWindows {
     }
   }
 
-  private[streaming] def evalSpec(st: KeyState, spec: AggSpec, upIdx: Int, grans: Seq[Long]): Any = {
-    val needCm = cmKinds.contains(spec.kind)
-    val needCate = isCate(spec.kind)
-    val a = new Acc(needCm, needCate)
+  private[streaming] def evalSpec(st: KeyState, spec: AggSpec, upIdx: Int,
+                                  grans: Seq[Long], needs: Needs): Any = {
+    val cateIdx =
+      if (isCate(spec.kind)) needs.catePairs.indexWhere(p => p._1 == spec.vIdx && p._2 == spec.cIdx)
+      else -1
+    val a = new Acc(spec, cateIdx)
     spec.frame match {
       case RangeMs(len) => rangeAcc(st, st.buffer(upIdx)._1 - len, upIdx, grans, a)
       case RowsN(n) =>
@@ -340,43 +436,54 @@ object SlidingWindows {
   // Streaming mode
   // ------------------------------------------------------------------
 
-  /** Streaming per-row sliding windows.
-    *
-    * @param df        streaming frame with (tsMsCol: LONG event-time ms,
-    *                  keyCol: STRING, valueCol: DOUBLE[, cateCol: STRING]);
-    *                  bounded runs may union `flushRows` to force terminal
-    *                  emission.
-    * @param latenessMs allowed lateness: the withWatermark delay.
-    * @param cateCol   optional category column for the `*_cate` kinds.
-    * @return streaming frame (ts_ms, key, value[, cate], <one col per spec>)
-    */
-  def streaming(df: DataFrame, keyCol: String, tsMsCol: String, valueCol: String,
-                specs: Seq[AggSpec], latenessMs: Long = 0,
-                tileGranularityMs: Long = 60000L,
-                cateCol: String = null,
-                coarseTilesMs: Seq[Long] = Nil): DataFrame = {
-    val grans = tileGrans(tileGranularityMs, coarseTilesMs)
-    val hasCate = cateCol != null
-    val outEnc = Encoders.row(outputSchema(specs, hasCate))
-    val stateEnc = Encoders.kryo[KeyState]
-    val maxRangeMs = specs.collect { case AggSpec(_, _, RangeMs(l), _) => l }.foldLeft(0L)(math.max)
-    val maxRows = specs.collect { case AggSpec(_, _, RowsN(n), _) => n }.foldLeft(0)(math.max)
-    val needCm = specs.exists(s => cmKinds.contains(s.kind) && s.frame.isInstanceOf[RangeMs])
-    val needCate = specs.exists(s => isCate(s.kind) && s.frame.isInstanceOf[RangeMs])
+  private[streaming] def prepareMulti(df: DataFrame, keyCol: String, tsMsCol: String,
+                                      valueCols: Seq[String], strCols: Seq[String],
+                                      latenessMs: Long, watermark: Boolean): DataFrame = {
+    val numArr =
+      if (valueCols.isEmpty) array().cast("array<double>")
+      else array(valueCols.map(c => col(c).cast("double")): _*)
+    val strArr =
+      if (strCols.isEmpty) array().cast("array<string>")
+      else array(strCols.map(c => col(c).cast("string")): _*)
+    val base = df.select(
+      col(tsMsCol).cast("long").as("__ts"),
+      col(keyCol).cast("string").as("__key"),
+      numArr.as("__nums"), strArr.as("__strs"))
+    if (watermark)
+      base.withColumn("__et", timestamp_millis(col("__ts")))
+        .withWatermark("__et", s"$latenessMs milliseconds")
+    else base
+  }
 
-    val prepared = df.select(
-        col(tsMsCol).cast("long").as("__ts"),
-        col(keyCol).cast("string").as("__key"),
-        col(valueCol).cast("double").as("__value"),
-        (if (hasCate) col(cateCol).cast("string") else lit(null).cast("string")).as("__cate"))
-      .withColumn("__et", timestamp_millis(col("__ts")))
-      .withWatermark("__et", s"$latenessMs milliseconds")
+  /** Streaming per-row sliding windows with per-spec value/category slots.
+    *
+    * @param df streaming frame; `valueCols` are the numeric slots (cast
+    *           double), `strCols` the string slots (top-family values and
+    *           categories). Values are assumed non-null.
+    * @return streaming frame (ts_ms, key, <valueCols>, <strCols>,
+    *         one column per spec)
+    */
+  def streamingMulti(df: DataFrame, keyCol: String, tsMsCol: String,
+                     valueCols: Seq[String], strCols: Seq[String],
+                     specs: Seq[AggSpec], latenessMs: Long = 0,
+                     tileGranularityMs: Long = 60000L,
+                     coarseTilesMs: Seq[Long] = Nil): DataFrame = {
+    val grans = tileGrans(tileGranularityMs, coarseTilesMs)
+    val outEnc = Encoders.row(outputSchema(specs, valueCols, strCols))
+    val stateEnc = Encoders.kryo[KeyState]
+    val maxRangeMs = specs.collect { case AggSpec(_, _, RangeMs(l), _, _, _, _) => l }.foldLeft(0L)(math.max)
+    val maxRows = specs.collect { case AggSpec(_, _, RowsN(n), _, _, _, _) => n }.foldLeft(0)(math.max)
+    val needs = needsOf(specs, valueCols.length, strCols.length)
+
+    val prepared = prepareMulti(df, keyCol, tsMsCol, valueCols, strCols,
+      latenessMs, watermark = true)
 
     import prepared.sparkSession.implicits._
-    val grouped = prepared.as[(Long, String, Double, String, java.sql.Timestamp)]
+    val grouped = prepared
+      .as[(Long, String, Seq[Double], Seq[String], java.sql.Timestamp)]
       .groupByKey(_._2)
 
-    val fn = (key: String, rows: Iterator[(Long, String, Double, String, java.sql.Timestamp)],
+    val fn = (key: String, rows: Iterator[(Long, String, Seq[Double], Seq[String], java.sql.Timestamp)],
               state: GroupState[KeyState]) => {
       val st = state.getOption.getOrElse(new KeyState)
       val wm = state.getCurrentWatermarkMs()
@@ -384,7 +491,7 @@ object SlidingWindows {
       rows.foreach { r =>
         val ts = r._1
         if (ts != FLUSH_TS && ts > st.emittedTs)
-          insertSorted(st, ts, r._3, r._4, grans, needCm, needCate)
+          insertSorted(st, ts, r._3.toArray, r._4.toArray, grans, needs)
       }
       // advance: emit every buffered row with ts <= wm not yet emitted
       val out = mutable.ArrayBuffer.empty[Row]
@@ -393,10 +500,9 @@ object SlidingWindows {
       // skip already-emitted prefix
       while (i < buf.length && ordLeq(buf(i)._1, buf(i)._2, st.emittedTs, st.emittedSeq)) i += 1
       while (i < buf.length && buf(i)._1 <= wm) {
-        val (ts, seq, v, c) = buf(i)
-        val aggs = specs.map(evalSpec(st, _, i, grans))
-        val head = if (hasCate) Seq(ts, key, v, c) else Seq(ts, key, v)
-        out += Row.fromSeq(head ++ aggs)
+        val (ts, seq, nums, strs) = buf(i)
+        val aggs = specs.map(evalSpec(st, _, i, grans, needs))
+        out += Row.fromSeq(Seq(ts, key) ++ nums ++ strs ++ aggs)
         st.emittedTs = ts; st.emittedSeq = seq
         i += 1
       }
@@ -427,6 +533,22 @@ object SlidingWindows {
     grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)(stateEnc, outEnc)
   }
 
+  /** Single-value compatibility wrapper: output (ts_ms, key, value[, cate],
+    * specs...) as before. */
+  def streaming(df: DataFrame, keyCol: String, tsMsCol: String, valueCol: String,
+                specs: Seq[AggSpec], latenessMs: Long = 0,
+                tileGranularityMs: Long = 60000L,
+                cateCol: String = null,
+                coarseTilesMs: Seq[Long] = Nil): DataFrame = {
+    val hasCate = cateCol != null
+    val src = df.select(Seq(col(tsMsCol), col(keyCol),
+      col(valueCol).cast("double").as("value")) ++
+      (if (hasCate) Seq(col(cateCol).cast("string").as("cate")) else Nil): _*)
+    streamingMulti(src, keyCol, tsMsCol, Seq("value"),
+      if (hasCate) Seq("cate") else Nil, specs, latenessMs,
+      tileGranularityMs, coarseTilesMs)
+  }
+
   // ------------------------------------------------------------------
   // Batch mode through the same engine
   // ------------------------------------------------------------------
@@ -439,37 +561,45 @@ object SlidingWindows {
     * the reference's retractable/tiled evaluation shape
     * (retractable_range.rs:54-140, tiles.rs:386-533).
     */
+  def batchComputeMulti(df: DataFrame, keyCol: String, tsMsCol: String,
+                        valueCols: Seq[String], strCols: Seq[String],
+                        specs: Seq[AggSpec],
+                        tileGranularityMs: Long = 60000L,
+                        coarseTilesMs: Seq[Long] = Nil): DataFrame = {
+    val grans = tileGrans(tileGranularityMs, coarseTilesMs)
+    val outEnc = Encoders.row(outputSchema(specs, valueCols, strCols))
+    val needs = needsOf(specs, valueCols.length, strCols.length)
+
+    val prepared = prepareMulti(df, keyCol, tsMsCol, valueCols, strCols,
+      latenessMs = 0, watermark = false)
+
+    import prepared.sparkSession.implicits._
+    prepared.as[(Long, String, Seq[Double], Seq[String])]
+      .groupByKey(_._2)
+      .flatMapGroups { (key: String, rows: Iterator[(Long, String, Seq[Double], Seq[String])]) =>
+        val st = new KeyState
+        rows.foreach(r => insertSorted(st, r._1, r._3.toArray, r._4.toArray, grans, needs))
+        val buf = st.buffer
+        (0 until buf.length).iterator.map { i =>
+          val (ts, _, nums, strs) = buf(i)
+          val aggs = specs.map(evalSpec(st, _, i, grans, needs))
+          Row.fromSeq(Seq(ts, key) ++ nums ++ strs ++ aggs)
+        }
+      }(outEnc)
+  }
+
+  /** Single-value compatibility wrapper. */
   def batchCompute(df: DataFrame, keyCol: String, tsMsCol: String,
                    valueCol: String, specs: Seq[AggSpec],
                    tileGranularityMs: Long = 60000L,
                    cateCol: String = null,
                    coarseTilesMs: Seq[Long] = Nil): DataFrame = {
-    val grans = tileGrans(tileGranularityMs, coarseTilesMs)
     val hasCate = cateCol != null
-    val outEnc = Encoders.row(outputSchema(specs, hasCate))
-    val needCm = specs.exists(s => cmKinds.contains(s.kind) && s.frame.isInstanceOf[RangeMs])
-    val needCate = specs.exists(s => isCate(s.kind) && s.frame.isInstanceOf[RangeMs])
-
-    val prepared = df.select(
-      col(tsMsCol).cast("long").as("__ts"),
-      col(keyCol).cast("string").as("__key"),
-      col(valueCol).cast("double").as("__value"),
-      (if (hasCate) col(cateCol).cast("string") else lit(null).cast("string")).as("__cate"))
-
-    import prepared.sparkSession.implicits._
-    prepared.as[(Long, String, Double, String)]
-      .groupByKey(_._2)
-      .flatMapGroups { (key: String, rows: Iterator[(Long, String, Double, String)]) =>
-        val st = new KeyState
-        rows.foreach(r => insertSorted(st, r._1, r._3, r._4, grans, needCm, needCate))
-        val buf = st.buffer
-        (0 until buf.length).iterator.map { i =>
-          val (ts, _, v, c) = buf(i)
-          val aggs = specs.map(evalSpec(st, _, i, grans))
-          val head = if (hasCate) Seq(ts, key, v, c) else Seq(ts, key, v)
-          Row.fromSeq(head ++ aggs)
-        }
-      }(outEnc)
+    val src = df.select(Seq(col(tsMsCol), col(keyCol),
+      col(valueCol).cast("double").as("value")) ++
+      (if (hasCate) Seq(col(cateCol).cast("string").as("cate")) else Nil): _*)
+    batchComputeMulti(src, keyCol, tsMsCol, Seq("value"),
+      if (hasCate) Seq("cate") else Nil, specs, tileGranularityMs, coarseTilesMs)
   }
 
   /** The reference's default tile hierarchy: 1m / 5m / 1h / 1d

@@ -31,7 +31,8 @@ object SlidingWindowsTws {
 
   /** One time bucket of state: sorted rows + their tile pre-aggregate. */
   final class Bucket extends Serializable {
-    val rows: mutable.ArrayBuffer[(Long, Long, Double, String)] = mutable.ArrayBuffer.empty
+    val rows: mutable.ArrayBuffer[(Long, Long, Array[Double], Array[String])] =
+      mutable.ArrayBuffer.empty
     var tile: Tile = _
   }
 
@@ -39,9 +40,8 @@ object SlidingWindowsTws {
   final case class Meta(nextSeq: Long, emittedTs: Long, emittedSeq: Long, timerTs: Long)
 
   final class Processor(specs: Seq[AggSpec], gran: Long, hasCate: Boolean,
-                        needCm: Boolean, needCate: Boolean,
-                        maxRangeMs: Long, maxRows: Int)
-    extends StatefulProcessor[String, (Long, String, Double, String, java.sql.Timestamp), Row] {
+                        needs: Needs, maxRangeMs: Long, maxRows: Int)
+    extends StatefulProcessor[String, (Long, String, Seq[Double], Seq[String], java.sql.Timestamp), Row] {
 
     @transient private var buckets: MapState[Long, Bucket] = _
     @transient private var meta: ValueState[Meta] = _
@@ -54,7 +54,7 @@ object SlidingWindowsTws {
 
     override def handleInputRows(
         key: String,
-        rows: Iterator[(Long, String, Double, String, java.sql.Timestamp)],
+        rows: Iterator[(Long, String, Seq[Double], Seq[String], java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[Row] =
       process(key, rows, timerValues)
 
@@ -64,7 +64,7 @@ object SlidingWindowsTws {
 
     private def process(
         key: String,
-        rows: Iterator[(Long, String, Double, String, java.sql.Timestamp)],
+        rows: Iterator[(Long, String, Seq[Double], Seq[String], java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[Row] = {
       val m0 = Option(meta.get()).getOrElse(Meta(0L, Long.MinValue, Long.MinValue, 0L))
       var nextSeq = m0.nextSeq
@@ -83,10 +83,10 @@ object SlidingWindowsTws {
           val seq = nextSeq; nextSeq += 1
           val bStart = Math.floorDiv(ts, gran) * gran
           val bk = local.getOrElseUpdate(bStart, {
-            val b = new Bucket; b.tile = new Tile(needCm, needCate); b
+            val b = new Bucket; b.tile = new Tile(needs); b
           })
           val rb = bk.rows
-          val row = (ts, seq, r._3, r._4)
+          val row = (ts, seq, r._3.toArray, r._4.toArray)
           if (rb.isEmpty || ordLeq(rb.last._1, rb.last._2, ts, seq)) rb += row
           else {
             var lo = 0; var hi = rb.length
@@ -96,7 +96,7 @@ object SlidingWindowsTws {
             }
             rb.insert(lo, row)
           }
-          bk.tile.add(r._3, r._4)
+          bk.tile.add(row._3, row._4)
           touched += bStart
         }
       }
@@ -114,10 +114,9 @@ object SlidingWindowsTws {
       var i = 0
       while (i < buf.length && ordLeq(buf(i)._1, buf(i)._2, emTs, emSeq)) i += 1
       while (i < buf.length && buf(i)._1 <= wm) {
-        val (ts, seq, v, c) = buf(i)
-        val aggs = specs.map(evalSpec(st, _, i, Seq(gran)))
-        val head = if (hasCate) Seq(ts, key, v, c) else Seq(ts, key, v)
-        out += Row.fromSeq(head ++ aggs)
+        val (ts, seq, nums, strs) = buf(i)
+        val aggs = specs.map(evalSpec(st, _, i, Seq(gran), needs))
+        out += Row.fromSeq(Seq(ts, key) ++ nums ++ strs ++ aggs)
         emTs = ts; emSeq = seq
         i += 1
       }
@@ -180,25 +179,23 @@ object SlidingWindowsTws {
     df.sparkSession.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     val hasCate = cateCol != null
-    val outEnc = Encoders.row(outputSchema(specs, hasCate))
-    val maxRangeMs = specs.collect { case AggSpec(_, _, RangeMs(l), _) => l }.foldLeft(0L)(math.max)
-    val maxRows = specs.collect { case AggSpec(_, _, RowsN(n), _) => n }.foldLeft(0)(math.max)
-    val needCm = specs.exists(s => cmKinds.contains(s.kind) && s.frame.isInstanceOf[RangeMs])
-    val needCate = specs.exists(s => isCate(s.kind) && s.frame.isInstanceOf[RangeMs])
+    val valueCols = Seq("value"); val strCols = if (hasCate) Seq("cate") else Nil
+    val outEnc = Encoders.row(outputSchema(specs, valueCols, strCols))
+    val maxRangeMs = specs.collect { case AggSpec(_, _, RangeMs(l), _, _, _, _) => l }.foldLeft(0L)(math.max)
+    val maxRows = specs.collect { case AggSpec(_, _, RowsN(n), _, _, _, _) => n }.foldLeft(0)(math.max)
+    val needs = needsOf(specs, 1, if (hasCate) 1 else 0)
 
-    val prepared = df.select(
-        col(tsMsCol).cast("long").as("__ts"),
-        col(keyCol).cast("string").as("__key"),
-        col(valueCol).cast("double").as("__value"),
-        (if (hasCate) col(cateCol).cast("string") else lit(null).cast("string")).as("__cate"))
-      .withColumn("__et", timestamp_millis(col("__ts")))
-      .withWatermark("__et", s"$latenessMs milliseconds")
+    val src = df.select(Seq(col(tsMsCol), col(keyCol),
+      col(valueCol).cast("double").as("value")) ++
+      (if (hasCate) Seq(col(cateCol).cast("string").as("cate")) else Nil): _*)
+    val prepared = prepareMulti(src, keyCol, tsMsCol, valueCols, strCols,
+      latenessMs, watermark = true)
 
     import prepared.sparkSession.implicits._
-    prepared.as[(Long, String, Double, String, java.sql.Timestamp)]
+    prepared.as[(Long, String, Seq[Double], Seq[String], java.sql.Timestamp)]
       .groupByKey(_._2)
       .transformWithState(
-        new Processor(specs, tileGranularityMs, hasCate, needCm, needCate,
+        new Processor(specs, tileGranularityMs, hasCate, needs,
           maxRangeMs, maxRows),
         TimeMode.EventTime(), OutputMode.Append())(outEnc)
   }
