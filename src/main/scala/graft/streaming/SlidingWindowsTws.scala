@@ -39,7 +39,7 @@ object SlidingWindowsTws {
   /** Tiny per-key scalar state (positions + the registered timer). */
   final case class Meta(nextSeq: Long, emittedTs: Long, emittedSeq: Long, timerTs: Long)
 
-  final class Processor(specs: Seq[AggSpec], gran: Long, hasCate: Boolean,
+  final class Processor(specs: Seq[AggSpec], gran: Long,
                         needs: Needs, maxRangeMs: Long, maxRows: Int)
     extends StatefulProcessor[String, (Long, String, Seq[Double], Seq[String], java.sql.Timestamp), Row] {
 
@@ -161,42 +161,50 @@ object SlidingWindowsTws {
     }
   }
 
-  /** Same contract as [[SlidingWindows.streaming]].
+  /** Same contract as [[SlidingWindows.streamingMulti]].
     *
     * Note: transformWithState needs a state store with column families, so
     * this sets the session's provider to RocksDB (the production-grade
     * store; the HDFS-backed default supports only one family). The setting
     * is per-session and also fine for the FMGWS engine.
     */
-  def streaming(df: DataFrame, keyCol: String, tsMsCol: String, valueCol: String,
-                specs: Seq[AggSpec], latenessMs: Long = 0,
-                tileGranularityMs: Long = 60000L,
-                cateCol: String = null): DataFrame = {
+  def streamingMulti(df: DataFrame, keyCol: String, tsMsCol: String,
+                     valueCols: Seq[String], strCols: Seq[String],
+                     specs: Seq[AggSpec], latenessMs: Long = 0,
+                     tileGranularityMs: Long = 60000L): DataFrame = {
     df.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // changelog checkpointing: commit the per-batch delta, snapshot in the
     // background — the fast-commit mode granular bucket writes are for
     df.sparkSession.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    val hasCate = cateCol != null
-    val valueCols = Seq("value"); val strCols = if (hasCate) Seq("cate") else Nil
     val outEnc = Encoders.row(outputSchema(specs, valueCols, strCols))
     val maxRangeMs = specs.collect { case AggSpec(_, _, RangeMs(l), _, _, _, _) => l }.foldLeft(0L)(math.max)
     val maxRows = specs.collect { case AggSpec(_, _, RowsN(n), _, _, _, _) => n }.foldLeft(0)(math.max)
-    val needs = needsOf(specs, 1, if (hasCate) 1 else 0)
+    val needs = needsOf(specs, valueCols.length, strCols.length)
 
-    val src = df.select(Seq(col(tsMsCol), col(keyCol),
-      col(valueCol).cast("double").as("value")) ++
-      (if (hasCate) Seq(col(cateCol).cast("string").as("cate")) else Nil): _*)
-    val prepared = prepareMulti(src, keyCol, tsMsCol, valueCols, strCols,
+    val prepared = prepareMulti(df, keyCol, tsMsCol, valueCols, strCols,
       latenessMs, watermark = true)
 
     import prepared.sparkSession.implicits._
     prepared.as[(Long, String, Seq[Double], Seq[String], java.sql.Timestamp)]
       .groupByKey(_._2)
       .transformWithState(
-        new Processor(specs, tileGranularityMs, hasCate, needs,
-          maxRangeMs, maxRows),
+        new Processor(specs, tileGranularityMs, needs, maxRangeMs, maxRows),
         TimeMode.EventTime(), OutputMode.Append())(outEnc)
+  }
+
+  /** Single-value compatibility wrapper (same contract as
+    * [[SlidingWindows.streaming]]). */
+  def streaming(df: DataFrame, keyCol: String, tsMsCol: String, valueCol: String,
+                specs: Seq[AggSpec], latenessMs: Long = 0,
+                tileGranularityMs: Long = 60000L,
+                cateCol: String = null): DataFrame = {
+    val hasCate = cateCol != null
+    val src = df.select(Seq(col(tsMsCol), col(keyCol),
+      col(valueCol).cast("double").as("value")) ++
+      (if (hasCate) Seq(col(cateCol).cast("string").as("cate")) else Nil): _*)
+    streamingMulti(src, keyCol, tsMsCol, Seq("value"),
+      if (hasCate) Seq("cate") else Nil, specs, latenessMs, tileGranularityMs)
   }
 }

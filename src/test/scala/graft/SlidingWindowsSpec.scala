@@ -288,6 +288,48 @@ class SlidingWindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TWS engine multi-column: heterogeneous agg args == batch OVER") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.prepare(spark, null)
+    // value (numeric), cate (string category AND string top-family value)
+    val specs = Seq(
+      AggSpec("s10", "sum", RangeMs(10000)),
+      AggSpec("tfc", "topn_frequency", RangeMs(10000), 2, vIdx = 0, vStr = true),
+      AggSpec("sc", "sum_cate", RangeMs(10000), 0, vIdx = 0, cIdx = 0))
+    cateEvents.toDF("ts_ms", "key", "value", "cate").createOrReplaceTempView("tws_ml_evt")
+    val want = spark.sql("""
+      SELECT ts_ms, key, value, cate,
+             sum(value) OVER w AS s10,
+             topn_frequency(cate, 2) OVER w AS tfc,
+             sum_cate(value, cate) OVER w AS sc
+      FROM tws_ml_evt WINDOW w AS (PARTITION BY key ORDER BY ts_ms
+        RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+    """).collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+      r.getString(3), R.r6(r.getDouble(4)), r.getString(5), r.getString(6))).toSet
+
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = graft.streaming.SlidingWindowsTws.streamingMulti(
+      mem.toDF().toDF("ts_ms", "key", "value", "cate"),
+      "key", "ts_ms", Seq("value"), Seq("cate"), specs, latenessMs = 0,
+      tileGranularityMs = 3000)
+    val qname = s"tws_ml_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      cateEvents.grouped(150).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val keys = cateEvents.map(_._2).distinct
+      mem.addData(keys.map(k => (SlidingWindows.FLUSH_TS, k, 0.0, null: String)): _*)
+      q.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, keys.head, 0.0, null: String))
+      q.processAllAvailable()
+      val got = spark.table(qname).collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getString(3), R.r6(r.getDouble(4)), r.getString(5),
+        r.getString(6))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("late rows beyond watermark are dropped, not wrong") {
     // batch 1 advances the watermark far; batch 2's old row must be dropped
     val b1 = (0 until 100).map(i => (1704067200000L + 1000L * i, "k", i.toDouble))
