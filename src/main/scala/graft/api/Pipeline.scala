@@ -141,6 +141,9 @@ object Pipeline {
           case Some(sqlText) =>
             val c = WindowSql.compile(spark, sqlText)
               .fold(e => sys.error(s"Request pipeline sql: $e"), identity)
+            require(c.outCols.contains(c.keyCol) && c.outCols.contains(c.tsCol),
+              s"Request pipeline sql must SELECT its key (${c.keyCol}) and " +
+                s"order (${c.tsCol}) columns — the upsert store keys on them")
             val src = sourceFrames.getOrElse(c.table,
               sys.error(s"Request pipeline source '${c.table}' not declared"))
             val gran = opt(spec, "window")
