@@ -35,29 +35,32 @@ object GraftSession {
     spark
   }
 
-  /** (session identity, dir) pairs already prepared — registration runs
-    * once per pair, so repeated catalog-query invocations don't re-register
-    * 30 functions and re-read 10 parquet footers per call.
+  /** Session -> last-prepared data dir ("" = functions only). Keyed by the
+    * session object itself, so alternating dirs re-register the views and a
+    * reused identity hash can never skip setup; registration still runs
+    * once per (session, dir), so repeated catalog-query invocations don't
+    * re-register 30 functions and re-read 10 parquet footers per call.
     */
   private val prepared =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   /** Idempotent per-(session, dir) setup: register functions and, when a
     * data dir is given, each parquet table as a temp view.
     */
   def prepare(spark: SparkSession, dir: String): SparkSession = {
-    val key = (System.identityHashCode(spark), if (dir == null) "" else dir)
-    if (prepared.add(key)) {
+    val last = prepared.get(spark)
+    if (last == null) {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native type
       // for; read it as BIGINT nanos (queries derive ts_ms from it).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       GraftFunctions.register(spark)
-      if (dir != null) {
-        tables.foreach { t =>
-          spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
-        }
-      }
     }
+    if (dir != null && dir != last) {
+      tables.foreach { t =>
+        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      }
+      prepared.put(spark, dir)
+    } else if (last == null) prepared.put(spark, "")
     spark
   }
 

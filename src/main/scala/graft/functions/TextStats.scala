@@ -34,24 +34,30 @@ object TextStats {
     StructField("n_punct", IntegerType, nullable = false),
     StructField("n_space", IntegerType, nullable = false)))
 
-  @inline private def isSpace(c: Char): Boolean =
+  @inline private def isSpace(c: Int): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-  @inline private def isAlpha(c: Char): Boolean =
+  @inline private def isAlpha(c: Int): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
-  @inline private def isPunct(c: Char): Boolean =
+  @inline private def isDigit(c: Int): Boolean = c >= '0' && c <= '9'
+  @inline private def isPunct(c: Int): Boolean =
     c == '.' || c == '!' || c == '?' || c == ',' || c == ';' || c == ':'
 
-  /** One pass over the string; invoked from generated code. */
+  /** One pass over the string; invoked from generated code. Iterates per
+    * CODE POINT (the regex formulas the DuckDB oracle runs match per code
+    * point): a supplementary char (a surrogate pair in UTF-16) counts as
+    * ONE char and one 'other' subword, and never truncates the scan.
+    */
   def compute(s: UTF8String): InternalRow = {
     val str = s.toString
-    val n = s.numChars()
+    val len = str.length
+    var n = 0
     var tokens = 0; var subwords = 0; var alpha = 0; var punct = 0; var space = 0
     // char classes: 0 = whitespace, 1 = letter, 2 = digit, 3 = other
     var prev = 0
     var i = 0
-    while (i < n) {
-      val c = str.charAt(i)
+    while (i < len) {
+      val c = str.codePointAt(i)
+      n += 1
       val cls =
         if (isSpace(c)) 0
         else if (isAlpha(c)) 1
@@ -67,7 +73,7 @@ object TextStats {
       if (isPunct(c)) punct += 1
       if (c == ' ') space += 1
       prev = cls
-      i += 1
+      i += Character.charCount(c)
     }
     InternalRow(n, tokens, subwords, alpha, punct, space)
   }

@@ -41,19 +41,27 @@ object FeatureStore {
     * per key IN SPARK (max event time wins) before the driver sees it, so
     * driver transfer is O(distinct keys), not O(rows); the reference's
     * sink upserts row-by-row in batch order, which for (ts, seq)-ordered
-    * window emissions is the same last-write-wins outcome.
+    * window emissions is the same last-write-wins outcome. When the batch
+    * carries the engine's `__seq` emission ordinal it breaks same-ts ties
+    * (deterministic last-write-wins in emission order, matching the
+    * reference's row-by-row batch-order upsert); `__seq` is consumed here
+    * and not stored.
     */
   def upsertBatch(store: FeatureStore, keyCol: String, tsCol: String)
                  (batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
-      val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc)
+      val hasSeq = batch.schema.fieldNames.contains("__seq")
+      val ord =
+        if (hasSeq) Seq(col(tsCol).desc, col("__seq").desc)
+        else Seq(col(tsCol).desc)
+      val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
       val latest = batch.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
       val names = latest.schema.fieldNames
       latest.collect().foreach { r =>
         val key = String.valueOf(r.getAs[Any](keyCol))
         val ts = r.getAs[Number](tsCol).longValue()
-        val values = names.iterator.filter(n => n != keyCol)
+        val values = names.iterator.filter(n => n != keyCol && n != "__seq")
           .map(n => n -> r.getAs[Any](n)).toMap
         store.upsert(key, ts, values)
       }

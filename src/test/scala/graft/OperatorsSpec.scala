@@ -169,6 +169,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1)) // whitespace/case-insensitive canonical form
   }
 
+  test("text stats count per code point (supplementary chars)") {
+    import spark.implicits._
+    // U+1F600 is one code point = two UTF-16 chars; per-code-point scan
+    // must count it once as one 'other' subword and not truncate the tail.
+    val emoji = new String(Character.toChars(0x1F600))
+    val df = Seq((0L, s"hi ${emoji}${emoji} end.")).toDF("doc_id", "text")
+    val r = TextAnalysis.stats(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_chars") == 10)   // h i _ e e _ e n d .
+    assert(r.getAs[Int]("n_tokens") == 3)   // "hi", emoji-pair, "end."
+    assert(r.getAs[Int]("n_subwords") == 5) // hi | e | e | end | .
+    assert(r.getAs[Int]("n_alpha") == 5)
+    assert(r.getAs[Int]("n_punct") == 1)
+  }
+
   test("multimodal decode stub: deterministic metadata from bytes") {
     import spark.implicits._
     val df = Seq((7L, "some fake image payload bytes"))
