@@ -495,6 +495,105 @@ object SparkEntry {
                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         ORDER BY ts_ms, key, value"""))
 
+    // The FULL ML aggregate family over STREAMING windows (reference
+    // registry aggregates/mod.rs:184-199): *_where, *_cate[_where],
+    // top_n_{key,value}_*_cate_where and top_n_{key,value}_ratio_cate
+    // evaluated by the engine in a real streaming run, vs a DuckDB oracle
+    // that replays each kind (window CASE-masks for the base family,
+    // per-row correlated category aggregates for the cate/top-n/ratio
+    // families). Cents end-to-end so every sum in the formatted strings is
+    // exact in both engines.
+    m += "q_window_streaming_ml" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.col
+        import graft.streaming.StreamVerify
+        import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
+        val ev = s.sql(
+          """SELECT ts DIV 1000000 AS ts_ms, CAST(user_id AS STRING) AS key,
+                    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS value_c,
+                    CAST(CASE WHEN value > 10.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS big,
+                    event_type AS cate
+             FROM events""")
+        StreamVerify.runBoundedMulti(s, ev, "key", "ts_ms",
+            Seq("value_c", "big"), Seq("cate"),
+            Seq(AggSpec("sum_w_c", "sum_where", RangeMs(3600000), wIdx = 1),
+                AggSpec("cnt_w", "count_where", RangeMs(3600000), wIdx = 1),
+                AggSpec("min_w_c", "min_where", RangeMs(3600000), wIdx = 1),
+                AggSpec("max_w_c", "max_where", RangeMs(3600000), wIdx = 1),
+                AggSpec("sc", "sum_cate", RangeMs(3600000)),
+                AggSpec("scw", "sum_cate_where", RangeMs(3600000), wIdx = 1),
+                AggSpec("tnk", "top_n_key_sum_cate_where", RangeMs(3600000), 2, wIdx = 1),
+                AggSpec("tnv", "top_n_value_count_cate_where", RangeMs(3600000), 2, wIdx = 1),
+                AggSpec("rk", "top_n_key_ratio_cate", RangeMs(3600000), 2, wIdx = 1),
+                AggSpec("rv", "top_n_value_ratio_cate", RangeMs(3600000), 2, wIdx = 1)),
+            latenessMs = 0, tileGranularityMs = 600000)
+          .select(col("ts_ms"), col("key"), (col("value_c") / 100).as("value"),
+            col("big"), col("cate"),
+            (col("sum_w_c") / 100).as("sum_w"), col("cnt_w").cast("long").as("cnt_w"),
+            (col("min_w_c") / 100).as("min_w"), (col("max_w_c") / 100).as("max_w"),
+            col("sc"), col("scw"), col("tnk"), col("tnv"), col("rk"), col("rv"))
+          .orderBy("ts_ms", "key", "value")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT epoch_ms(ts) AS ts_ms, CAST(user_id AS VARCHAR) AS key,
+                 CAST(round(value * 100) AS BIGINT) AS value_c,
+                 (value > 10.0) AS big_b, event_type AS cate
+          FROM events)
+        SELECT ts_ms, key, CAST(value_c AS DOUBLE) / 100 AS value,
+               CASE WHEN big_b THEN 1.0 ELSE 0.0 END AS big, cate,
+               CAST(sum(CASE WHEN big_b THEN value_c END) OVER w AS DOUBLE) / 100 AS sum_w,
+               count(CASE WHEN big_b THEN value_c END) OVER w AS cnt_w,
+               CAST(min(CASE WHEN big_b THEN value_c END) OVER w AS DOUBLE) / 100 AS min_w,
+               CAST(max(CASE WHEN big_b THEN value_c END) OVER w AS DOUBLE) / 100 AS max_w,
+               (SELECT coalesce(string_agg(k2 || ':' || ${fm("s")}, ',' ORDER BY k2 || ':' || ${fm("s")}), '')
+                FROM (SELECT f.cate AS k2, CAST(sum(f.value_c) AS DOUBLE) AS s
+                      FROM ev f WHERE f.key = e.key
+                        AND f.ts_ms BETWEEN e.ts_ms - 3600000 AND e.ts_ms
+                        AND f.cate IS NOT NULL GROUP BY f.cate)) AS sc,
+               (SELECT coalesce(string_agg(k2 || ':' || ${fm("s")}, ',' ORDER BY k2 || ':' || ${fm("s")}), '')
+                FROM (SELECT f.cate AS k2, CAST(sum(f.value_c) AS DOUBLE) AS s
+                      FROM ev f WHERE f.key = e.key
+                        AND f.ts_ms BETWEEN e.ts_ms - 3600000 AND e.ts_ms
+                        AND f.cate IS NOT NULL AND f.big_b GROUP BY f.cate)) AS scw,
+               (SELECT coalesce(string_agg(k2 || ':' || ${fm("s")}, ',' ORDER BY k2 DESC), '')
+                FROM (SELECT k2, s, row_number() OVER (ORDER BY k2 DESC) AS rn
+                      FROM (SELECT f.cate AS k2, CAST(sum(f.value_c) AS DOUBLE) AS s
+                            FROM ev f WHERE f.key = e.key
+                              AND f.ts_ms BETWEEN e.ts_ms - 3600000 AND e.ts_ms
+                              AND f.cate IS NOT NULL AND f.big_b GROUP BY f.cate))
+                WHERE rn <= 2) AS tnk,
+               (SELECT coalesce(string_agg(k2 || ':' || CAST(c AS VARCHAR), ',' ORDER BY c DESC, k2 DESC), '')
+                FROM (SELECT k2, c, row_number() OVER (ORDER BY c DESC, k2 DESC) AS rn
+                      FROM (SELECT f.cate AS k2, count(*) AS c
+                            FROM ev f WHERE f.key = e.key
+                              AND f.ts_ms BETWEEN e.ts_ms - 3600000 AND e.ts_ms
+                              AND f.cate IS NOT NULL AND f.big_b GROUP BY f.cate))
+                WHERE rn <= 2) AS tnv,
+               (SELECT coalesce(string_agg(k2 || ':' || ${fm("r")}, ',' ORDER BY k2 DESC), '')
+                FROM (SELECT k2, r, row_number() OVER (ORDER BY k2 DESC) AS rn
+                      FROM (SELECT f.cate AS k2,
+                                   CAST(count(CASE WHEN f.big_b THEN 1 END) AS DOUBLE)
+                                     / CAST(count(*) AS DOUBLE) AS r
+                            FROM ev f WHERE f.key = e.key
+                              AND f.ts_ms BETWEEN e.ts_ms - 3600000 AND e.ts_ms
+                              AND f.cate IS NOT NULL GROUP BY f.cate))
+                WHERE rn <= 2) AS rk,
+               (SELECT coalesce(string_agg(k2 || ':' || ${fm("r")}, ',' ORDER BY r DESC, k2 DESC), '')
+                FROM (SELECT k2, r, row_number() OVER (ORDER BY r DESC, k2 DESC) AS rn
+                      FROM (SELECT f.cate AS k2,
+                                   CAST(count(CASE WHEN f.big_b THEN 1 END) AS DOUBLE)
+                                     / CAST(count(*) AS DOUBLE) AS r
+                            FROM ev f WHERE f.key = e.key
+                              AND f.ts_ms BETWEEN e.ts_ms - 3600000 AND e.ts_ms
+                              AND f.cate IS NOT NULL GROUP BY f.cate))
+                WHERE rn <= 2) AS rv
+        FROM ev e
+        WINDOW w AS (PARTITION BY key ORDER BY ts_ms
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        ORDER BY ts_ms, key, value"""))
+
     // Same semantics as q_top_window, evaluated through the tiled per-key
     // engine sweep (SlidingWindows.batchCompute) instead of WindowExec —
     // the scale path for ML aggregates over long frames: O(buckets + edge)

@@ -34,7 +34,7 @@ object RequestServing {
     val ts = col(tsMsCol)
     val v = col(valueCol)
     val hasRows = specs.exists(_.frame.isInstanceOf[RowsN])
-    val maxRange = specs.collect { case AggSpec(_, _, RangeMs(l), _, _, _, _) => l }
+    val maxRange = specs.map(_.frame).collect { case RangeMs(l) => l }
       .foldLeft(0L)(math.max)
 
     // Rows at/before the virtual point; when every frame is a RANGE the

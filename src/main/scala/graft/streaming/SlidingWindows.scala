@@ -67,36 +67,71 @@ object SlidingWindows {
   /** One output aggregate.
     * kinds: sum count avg min max | stddev stddev_pop stddev_samp var_pop
     * var_samp variance | top topn_frequency top1_ratio |
-    * {sum,avg,count,min,max}_cate. `n` is the top-N parameter where the
-    * kind takes one. `vIdx` picks the value slot (numeric slots, or string
-    * slots when `vStr`); `cIdx` picks the cate family's category slot.
+    * {sum,avg,count,min,max}_where | {sum,avg,count,min,max}_cate[_where] |
+    * top_n_{key,value}_{sum,avg,count,min,max}_cate_where |
+    * top_n_{key,value}_ratio_cate — the reference's full retractable
+    * window-UDAF registry (aggregates/mod.rs:184-199).
+    * `n` is the top-N parameter where the kind takes one. `vIdx` picks the
+    * value slot (numeric slots, or string slots when `vStr`); `cIdx` picks
+    * the cate family's category slot; `wIdx` picks the numeric slot holding
+    * the `_where` condition as 0/1 (the caller projects the boolean
+    * condition expression into a numeric slot; 0 or null-coalesced-to-0 =
+    * false, anything else = true).
     */
   final case class AggSpec(name: String, kind: String, frame: Frame, n: Int = 0,
-                           vIdx: Int = 0, cIdx: Int = 0, vStr: Boolean = false)
+                           vIdx: Int = 0, cIdx: Int = 0, vStr: Boolean = false,
+                           wIdx: Int = -1)
 
   /** The top family accepts any scalar value type. */
   val cmKinds: Set[String] = Set("top", "topn_frequency", "top1_ratio")
-  def isCate(kind: String): Boolean = kind.endsWith("_cate")
+  /** Condition-masked base aggregates (no category). */
+  val whereBaseKinds: Set[String] =
+    Set("sum_where", "avg_where", "count_where", "min_where", "max_where")
+  /** Per-category condition ratio (top/accumulators/ratio.rs). */
+  def isRatioKind(kind: String): Boolean =
+    kind == "top_n_key_ratio_cate" || kind == "top_n_value_ratio_cate"
+  /** Kinds that aggregate per category (need the per-cate payload):
+    * `*_cate`, `*_cate_where`, and `top_n_{key,value}_*_cate_where`. */
+  def isCate(kind: String): Boolean =
+    !isRatioKind(kind) && (kind.endsWith("_cate") || kind.endsWith("_cate_where"))
+  /** Base kind (sum/avg/count/min/max) of any cate-family kind. */
+  def cateBaseKind(kind: String): String =
+    kind.stripPrefix("top_n_key_").stripPrefix("top_n_value_")
+      .stripSuffix("_cate_where").stripSuffix("_cate")
   private def isString(kind: String): Boolean =
-    kind == "top" || kind == "topn_frequency" || isCate(kind)
+    kind == "top" || kind == "topn_frequency" || isCate(kind) || isRatioKind(kind)
 
   /** Which payloads tiles must carry for a spec set. */
   private[streaming] final case class Needs(
       nNum: Int, nStr: Int,
       cmNum: Array[Boolean], cmStr: Array[Boolean],
-      catePairs: Array[(Int, Int)]) extends Serializable
+      /** (vIdx, cIdx, wIdx): per-category [count,sum,min,max]; wIdx = -1 unmasked. */
+      catePairs: Array[(Int, Int, Int)],
+      /** (vIdx, wIdx): masked base stats [count,sum,sum2,min,max]. */
+      maskedPairs: Array[(Int, Int)],
+      /** (cIdx, wIdx): per-category [total, matched] for ratio kinds. */
+      ratioPairs: Array[(Int, Int)]) extends Serializable
 
   private[streaming] def needsOf(specs: Seq[AggSpec], nNum: Int, nStr: Int): Needs = {
     val cmNum = new Array[Boolean](nNum); val cmStr = new Array[Boolean](nStr)
-    val pairs = mutable.LinkedHashSet.empty[(Int, Int)]
+    val pairs = mutable.LinkedHashSet.empty[(Int, Int, Int)]
+    val masked = mutable.LinkedHashSet.empty[(Int, Int)]
+    val ratios = mutable.LinkedHashSet.empty[(Int, Int)]
     specs.foreach { s =>
+      require(!(whereBaseKinds(s.kind) || s.kind.endsWith("_cate_where") ||
+        isRatioKind(s.kind)) || s.wIdx >= 0,
+        s"${s.name}: kind ${s.kind} needs a condition slot (wIdx)")
       val tiled = s.frame.isInstanceOf[RangeMs]
       if (cmKinds.contains(s.kind) && tiled) {
         if (s.vStr) cmStr(s.vIdx) = true else cmNum(s.vIdx) = true
       }
-      if (isCate(s.kind) && tiled) pairs += ((s.vIdx, s.cIdx))
+      if (tiled) {
+        if (isCate(s.kind)) pairs += ((s.vIdx, s.cIdx, s.wIdx))
+        else if (isRatioKind(s.kind)) ratios += ((s.cIdx, s.wIdx))
+        else if (whereBaseKinds(s.kind)) masked += ((s.vIdx, s.wIdx))
+      }
     }
-    Needs(nNum, nStr, cmNum, cmStr, pairs.toArray)
+    Needs(nNum, nStr, cmNum, cmStr, pairs.toArray, masked.toArray, ratios.toArray)
   }
 
   def outputSchema(specs: Seq[AggSpec], valueCols: Seq[String],
@@ -153,6 +188,12 @@ object SlidingWindows {
     /** aligned with needs.catePairs: cate -> [count, sum, min, max]. */
     val cate: Array[mutable.HashMap[String, Array[Double]]] =
       Array.fill(needs.catePairs.length)(mutable.HashMap.empty)
+    /** aligned with needs.maskedPairs: [count, sum, sum2, min, max]. */
+    val masked: Array[Array[Double]] =
+      Array.fill(needs.maskedPairs.length)(Array(0.0, 0.0, 0.0, Double.NaN, Double.NaN))
+    /** aligned with needs.ratioPairs: cate -> [total, matched]. */
+    val ratio: Array[mutable.HashMap[String, Array[Long]]] =
+      Array.fill(needs.ratioPairs.length)(mutable.HashMap.empty)
 
     def add(nums: Array[Double], strs: Array[String]): Unit = {
       val first = count == 0
@@ -175,14 +216,35 @@ object SlidingWindows {
       }
       i = 0
       while (i < needs.catePairs.length) {
-        val (vi, ci) = needs.catePairs(i)
+        val (vi, ci, wi) = needs.catePairs(i)
         val c = strs(ci)
-        if (c != null) {
+        if (c != null && (wi < 0 || nums(wi) != 0.0)) {
           val v = nums(vi)
           val a = cate(i).getOrElseUpdate(c, Array(0.0, 0.0, Double.NaN, Double.NaN))
           a(0) += 1; a(1) += v
           if (a(0) == 1 || v < a(2)) a(2) = v
           if (a(0) == 1 || v > a(3)) a(3) = v
+        }
+        i += 1
+      }
+      i = 0
+      while (i < needs.maskedPairs.length) {
+        val (vi, wi) = needs.maskedPairs(i)
+        if (nums(wi) != 0.0) {
+          val a = masked(i); val v = nums(vi)
+          a(0) += 1; a(1) += v; a(2) += v * v
+          if (a(0) == 1 || v < a(3)) a(3) = v
+          if (a(0) == 1 || v > a(4)) a(4) = v
+        }
+        i += 1
+      }
+      i = 0
+      while (i < needs.ratioPairs.length) {
+        val (ci, wi) = needs.ratioPairs(i)
+        val c = strs(ci)
+        if (c != null) {
+          val a = ratio(i).getOrElseUpdate(c, Array(0L, 0L))
+          a(0) += 1; if (nums(wi) != 0.0) a(1) += 1
         }
         i += 1
       }
@@ -237,34 +299,43 @@ object SlidingWindows {
   // ------------------------------------------------------------------
 
   /** Mergeable frame accumulator for ONE spec: folds raw rows and whole
-    * tiles, reading only the spec's slots. */
-  private final class Acc(spec: AggSpec, cateIdx: Int) {
+    * tiles, reading only the spec's slots. For `*_where` kinds the base
+    * stats (count/sum/min/max) cover only the rows whose condition slot is
+    * non-zero (raw rows check the slot; tiles fold the masked payload). */
+  private final class Acc(spec: AggSpec, cateIdx: Int, maskedIdx: Int, ratioIdx: Int) {
     var sum = 0.0; var sum2 = 0.0; var count = 0L
     var min = Double.NaN; var max = Double.NaN
-    /** count(*) reads no value slot — a query may have none. */
-    private val numStats = !spec.vStr && spec.kind != "count" 
+    /** count(*) / count_where read no value slot — a query may have none. */
+    private val numStats =
+      !spec.vStr && spec.kind != "count" && spec.kind != "count_where"
+    /** mask for the base stats ( `*_where` kinds only). */
+    private val baseMask = if (whereBaseKinds(spec.kind)) spec.wIdx else -1
     val cmN: mutable.HashMap[Double, Long] =
       if (cmKinds.contains(spec.kind) && !spec.vStr) mutable.HashMap.empty else null
     val cmS: mutable.HashMap[String, Long] =
       if (cmKinds.contains(spec.kind) && spec.vStr) mutable.HashMap.empty else null
     val cate: mutable.HashMap[String, Array[Double]] =
       if (isCate(spec.kind)) mutable.HashMap.empty else null
+    val ratio: mutable.HashMap[String, Array[Long]] =
+      if (isRatioKind(spec.kind)) mutable.HashMap.empty else null
 
     def addRow(nums: Array[Double], strs: Array[String]): Unit = {
-      count += 1
-      if (numStats) {
-        val v = nums(spec.vIdx)
-        sum += v; sum2 += v * v
-        if (count == 1 || v < min) min = v
-        if (count == 1 || v > max) max = v
-        if (cmN != null) cmN.update(v, cmN.getOrElse(v, 0L) + 1L)
-      } else if (cmS != null) {
-        val s = strs(spec.vIdx)
-        if (s != null) cmS.update(s, cmS.getOrElse(s, 0L) + 1L)
+      if (baseMask < 0 || nums(baseMask) != 0.0) {
+        count += 1
+        if (numStats) {
+          val v = nums(spec.vIdx)
+          sum += v; sum2 += v * v
+          if (count == 1 || v < min) min = v
+          if (count == 1 || v > max) max = v
+          if (cmN != null) cmN.update(v, cmN.getOrElse(v, 0L) + 1L)
+        } else if (cmS != null) {
+          val s = strs(spec.vIdx)
+          if (s != null) cmS.update(s, cmS.getOrElse(s, 0L) + 1L)
+        }
       }
       if (cate != null) {
         val c = strs(spec.cIdx)
-        if (c != null) {
+        if (c != null && (spec.wIdx < 0 || nums(spec.wIdx) != 0.0)) {
           val v = nums(spec.vIdx)
           val a = cate.getOrElseUpdate(c, Array(0.0, 0.0, Double.NaN, Double.NaN))
           a(0) += 1; a(1) += v
@@ -272,30 +343,54 @@ object SlidingWindows {
           if (a(0) == 1 || v > a(3)) a(3) = v
         }
       }
+      if (ratio != null) {
+        val c = strs(spec.cIdx)
+        if (c != null) {
+          val a = ratio.getOrElseUpdate(c, Array(0L, 0L))
+          a(0) += 1; if (nums(spec.wIdx) != 0.0) a(1) += 1
+        }
+      }
     }
 
     def addTile(t: Tile): Unit = {
       if (t.count > 0) {
-        if (numStats) {
-          val i = spec.vIdx
-          sum += t.sum(i); sum2 += t.sum2(i)
-          if (count == 0 || t.min(i) < min) min = t.min(i)
-          if (count == 0 || t.max(i) > max) max = t.max(i)
-          if (cmN != null) t.cmNum(i).foreach { case (v, n) =>
-            cmN.update(v, cmN.getOrElse(v, 0L) + n)
+        if (maskedIdx >= 0) {
+          val m = t.masked(maskedIdx)
+          val n = m(0).toLong
+          if (n > 0) {
+            if (numStats) {
+              sum += m(1); sum2 += m(2)
+              if (count == 0 || m(3) < min) min = m(3)
+              if (count == 0 || m(4) > max) max = m(4)
+            }
+            count += n
           }
-        } else if (cmS != null) {
-          t.cmStr(spec.vIdx).foreach { case (s, n) =>
-            cmS.update(s, cmS.getOrElse(s, 0L) + n)
+        } else {
+          if (numStats) {
+            val i = spec.vIdx
+            sum += t.sum(i); sum2 += t.sum2(i)
+            if (count == 0 || t.min(i) < min) min = t.min(i)
+            if (count == 0 || t.max(i) > max) max = t.max(i)
+            if (cmN != null) t.cmNum(i).foreach { case (v, n) =>
+              cmN.update(v, cmN.getOrElse(v, 0L) + n)
+            }
+          } else if (cmS != null) {
+            t.cmStr(spec.vIdx).foreach { case (s, n) =>
+              cmS.update(s, cmS.getOrElse(s, 0L) + n)
+            }
           }
+          count += t.count
         }
-        count += t.count
         if (cate != null) t.cate(cateIdx).foreach { case (k, o) =>
           val a = cate.getOrElseUpdate(k, Array(0.0, 0.0, Double.NaN, Double.NaN))
           val was = a(0)
           a(0) += o(0); a(1) += o(1)
           if (was == 0 || o(2) < a(2)) a(2) = o(2)
           if (was == 0 || o(3) > a(3)) a(3) = o(3)
+        }
+        if (ratio != null) t.ratio(ratioIdx).foreach { case (k, o) =>
+          val a = ratio.getOrElseUpdate(k, Array(0L, 0L))
+          a(0) += o(0); a(1) += o(1)
         }
       }
     }
@@ -338,18 +433,50 @@ object SlidingWindows {
     case "top1_ratio" =>
       val m: Iterable[Long] = if (spec.vStr) a.cmS.values else a.cmN.values
       if (m.isEmpty) null else m.max.toDouble / m.sum.toDouble
+    case k if whereBaseKinds(k) => k match {
+      // null when no row passes the condition — matches the batch rewrite
+      // to built-ins over IF(cond, v, NULL) (GraftFunctions.whereAgg)
+      case "count_where" => a.count.toDouble
+      case "sum_where"   => if (a.count > 0) a.sum else null
+      case "avg_where"   => if (a.count > 0) a.sum / a.count else null
+      case "min_where"   => if (a.count > 0) a.min else null
+      case "max_where"   => if (a.count > 0) a.max else null
+    }
+    case k if isRatioKind(k) =>
+      // per category: matched/total; top n by key desc or ratio desc then
+      // key desc (reference: top/accumulators/ratio.rs; batch: RatioCate)
+      val entries = a.ratio.toSeq.collect { case (c, t) if t(0) > 0 =>
+        (c, t(1).toDouble / t(0).toDouble)
+      }
+      val picked =
+        if (k == "top_n_value_ratio_cate")
+          entries.sortWith { case ((c1, r1), (c2, r2)) =>
+            if (r1 != r2) r1 > r2 else c1 > c2
+          }.take(spec.n)
+        else entries.sortBy(_._1)(Ordering[String].reverse).take(spec.n)
+      picked.map { case (c, r) => s"$c:${SV.formatFloat(r)}" }.mkString(",")
     case k if isCate(k) =>
-      val kind = k.stripSuffix("_cate")
-      val parts = a.cate.toSeq.collect { case (c, arr) if arr(0) > 0 =>
-        val r = kind match {
-          case "sum"   => SV.formatFloat(arr(1))
-          case "avg"   => SV.formatFloat(arr(1) / arr(0))
-          case "count" => arr(0).toLong.toString
-          case "min"   => SV.formatFloat(arr(2))
-          case "max"   => SV.formatFloat(arr(3))
+      val base = cateBaseKind(k)
+      val entries = a.cate.toSeq.collect { case (c, arr) if arr(0) > 0 =>
+        val metric = base match {
+          case "sum"   => arr(1)
+          case "avg"   => arr(1) / arr(0)
+          case "count" => arr(0)
+          case "min"   => arr(2)
+          case "max"   => arr(3)
         }
-        s"$c:$r"
-      }.sorted
+        val fmt = if (base == "count") arr(0).toLong.toString else SV.formatFloat(metric)
+        (c, metric, fmt)
+      }
+      val parts =
+        if (k.startsWith("top_n_key_"))
+          entries.sortBy(_._1)(Ordering[String].reverse).take(spec.n)
+            .map(e => s"${e._1}:${e._3}")
+        else if (k.startsWith("top_n_value_"))
+          entries.sortWith { case ((c1, m1, _), (c2, m2, _)) =>
+            if (m1 != m2) m1 > m2 else c1 > c2
+          }.take(spec.n).map(e => s"${e._1}:${e._3}")
+        else entries.map(e => s"${e._1}:${e._3}").sorted
       parts.mkString(",")
   }
 
@@ -419,9 +546,19 @@ object SlidingWindows {
   private[streaming] def evalSpec(st: KeyState, spec: AggSpec, upIdx: Int,
                                   grans: Seq[Long], needs: Needs): Any = {
     val cateIdx =
-      if (isCate(spec.kind)) needs.catePairs.indexWhere(p => p._1 == spec.vIdx && p._2 == spec.cIdx)
+      if (isCate(spec.kind))
+        needs.catePairs.indexWhere(p =>
+          p._1 == spec.vIdx && p._2 == spec.cIdx && p._3 == spec.wIdx)
       else -1
-    val a = new Acc(spec, cateIdx)
+    val maskedIdx =
+      if (whereBaseKinds(spec.kind))
+        needs.maskedPairs.indexWhere(p => p._1 == spec.vIdx && p._2 == spec.wIdx)
+      else -1
+    val ratioIdx =
+      if (isRatioKind(spec.kind))
+        needs.ratioPairs.indexWhere(p => p._1 == spec.cIdx && p._2 == spec.wIdx)
+      else -1
+    val a = new Acc(spec, cateIdx, maskedIdx, ratioIdx)
     spec.frame match {
       case RangeMs(len) => rangeAcc(st, st.buffer(upIdx)._1 - len, upIdx, grans, a)
       case RowsN(n) =>
@@ -471,8 +608,8 @@ object SlidingWindows {
     val grans = tileGrans(tileGranularityMs, coarseTilesMs)
     val outEnc = Encoders.row(outputSchema(specs, valueCols, strCols))
     val stateEnc = Encoders.kryo[KeyState]
-    val maxRangeMs = specs.collect { case AggSpec(_, _, RangeMs(l), _, _, _, _) => l }.foldLeft(0L)(math.max)
-    val maxRows = specs.collect { case AggSpec(_, _, RowsN(n), _, _, _, _) => n }.foldLeft(0)(math.max)
+    val maxRangeMs = specs.map(_.frame).collect { case RangeMs(l) => l }.foldLeft(0L)(math.max)
+    val maxRows = specs.map(_.frame).collect { case RowsN(n) => n }.foldLeft(0)(math.max)
     val needs = needsOf(specs, valueCols.length, strCols.length)
 
     val prepared = prepareMulti(df, keyCol, tsMsCol, valueCols, strCols,
@@ -619,4 +756,12 @@ object SlidingWindows {
   def flushRows(df: DataFrame, keyCol: String, tsMsCol: String, valueCol: String): DataFrame =
     df.select(col(keyCol).cast("string").as(keyCol)).distinct()
       .select(lit(FLUSH_TS).as(tsMsCol), col(keyCol), lit(0.0).as(valueCol))
+
+  /** Multi-slot variant of [[flushRows]]. */
+  def flushRowsMulti(df: DataFrame, keyCol: String, tsMsCol: String,
+                     valueCols: Seq[String], strCols: Seq[String]): DataFrame =
+    df.select(col(keyCol).cast("string").as(keyCol)).distinct()
+      .select(Seq(lit(FLUSH_TS).as(tsMsCol), col(keyCol)) ++
+        valueCols.map(c => lit(0.0).as(c)) ++
+        strCols.map(c => lit(null).cast("string").as(c)): _*)
 }

@@ -179,8 +179,8 @@ object SlidingWindowsTws {
     df.sparkSession.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     val outEnc = Encoders.row(outputSchema(specs, valueCols, strCols))
-    val maxRangeMs = specs.collect { case AggSpec(_, _, RangeMs(l), _, _, _, _) => l }.foldLeft(0L)(math.max)
-    val maxRows = specs.collect { case AggSpec(_, _, RowsN(n), _, _, _, _) => n }.foldLeft(0)(math.max)
+    val maxRangeMs = specs.map(_.frame).collect { case RangeMs(l) => l }.foldLeft(0L)(math.max)
+    val maxRows = specs.map(_.frame).collect { case RowsN(n) => n }.foldLeft(0)(math.max)
     val needs = needsOf(specs, valueCols.length, strCols.length)
 
     val prepared = prepareMulti(df, keyCol, tsMsCol, valueCols, strCols,

@@ -32,18 +32,34 @@ object StreamVerify {
                  latenessMs: Long = 0, tileGranularityMs: Long = 60000L,
                  checkpointDir: String = null,
                  statePartitions: Int = 8,
-                 useTws: Boolean = false): DataFrame = {
+                 useTws: Boolean = false): DataFrame =
+    runBoundedMulti(spark, input.select(
+        col(tsMsCol), col(keyCol), col(valueCol).cast("double").as("value")),
+      keyCol, tsMsCol, Seq("value"), Nil, specs, latenessMs, tileGranularityMs,
+      checkpointDir, statePartitions, useTws)
+
+  /** Multi-slot variant: `valueCols` are numeric slots (cast double),
+    * `strCols` string slots. Output columns follow the engine contract
+    * (ts_ms, key, valueCols..., strCols..., one per spec). */
+  def runBoundedMulti(spark: SparkSession, input: DataFrame, keyCol: String,
+                      tsMsCol: String, valueCols: Seq[String], strCols: Seq[String],
+                      specs: Seq[AggSpec],
+                      latenessMs: Long = 0, tileGranularityMs: Long = 60000L,
+                      checkpointDir: String = null,
+                      statePartitions: Int = 8,
+                      useTws: Boolean = false): DataFrame = {
     val root = Files.createTempDirectory("graft_stream_").toString
     val inDir = s"$root/in"; val outDir = s"$root/out"
     val ckpt = if (checkpointDir == null) s"$root/ckpt" else checkpointDir
 
     val staged = input.select(
-      col(tsMsCol).cast("long").as("ts_ms"),
-      col(keyCol).cast("string").as("key"),
-      col(valueCol).cast("double").as("value"))
+      Seq(col(tsMsCol).cast("long").as("ts_ms"),
+        col(keyCol).cast("string").as("key")) ++
+        valueCols.map(c => col(c).cast("double").as(c)) ++
+        strCols.map(c => col(c).cast("string").as(c)): _*)
     staged.write.parquet(inDir)
     val expected = spark.read.parquet(inDir).count()
-    val flush = SlidingWindows.flushRows(staged, "key", "ts_ms", "value")
+    val flush = SlidingWindows.flushRowsMulti(staged, "key", "ts_ms", valueCols, strCols)
     flush.write.mode("append").parquet(inDir)
 
     // state-store partition count is pinned at first query start; size it
@@ -53,10 +69,10 @@ object StreamVerify {
     try {
       val streamIn = spark.readStream.schema(staged.schema).parquet(inDir)
       val out =
-        if (useTws) SlidingWindowsTws.streaming(streamIn, "key", "ts_ms", "value",
-          specs, latenessMs, tileGranularityMs)
-        else SlidingWindows.streaming(streamIn, "key", "ts_ms", "value",
-          specs, latenessMs, tileGranularityMs)
+        if (useTws) SlidingWindowsTws.streamingMulti(streamIn, "key", "ts_ms",
+          valueCols, strCols, specs, latenessMs, tileGranularityMs)
+        else SlidingWindows.streamingMulti(streamIn, "key", "ts_ms",
+          valueCols, strCols, specs, latenessMs, tileGranularityMs)
       val q = out.writeStream.outputMode("append").format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime(0)).start()

@@ -330,6 +330,125 @@ class SlidingWindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ------------------------------------------------------------------
+  // Full ML-family parity: *_where / *_cate_where / top_n_*_cate_where /
+  // top_n_*_ratio_cate as engine kinds (reference registry
+  // aggregates/mod.rs:184-199) vs the batch OVER path through the
+  // driver-oracle-validated CateAgg/RatioCate UDAFs.
+  // ------------------------------------------------------------------
+
+  /** cateEvents plus a 0/1 condition slot (value >= 5). */
+  private def whereEvents: Seq[(Long, String, Double, Double, String)] =
+    cateEvents.map { case (ts, k, v, c) => (ts, k, v, if (v >= 5.0) 1.0 else 0.0, c) }
+
+  private val whereSql = """
+      SELECT ts_ms, key, value, big, cate,
+             sum_where(value, big = 1.0)   OVER w AS sw,
+             avg_where(value, big = 1.0)   OVER w AS aw,
+             count_where(value, big = 1.0) OVER w AS cw,
+             min_where(value, big = 1.0)   OVER w AS mw,
+             max_where(value, big = 1.0)   OVER w AS xw,
+             sum_cate_where(value, big = 1.0, cate)   OVER w AS scw,
+             avg_cate_where(value, big = 1.0, cate)   OVER w AS acw,
+             count_cate_where(value, big = 1.0, cate) OVER w AS ccw,
+             top_n_key_sum_cate_where(value, big = 1.0, cate, 2)     OVER w AS tnk,
+             top_n_value_count_cate_where(value, big = 1.0, cate, 2) OVER w AS tnv,
+             top_n_value_min_cate_where(value, big = 1.0, cate, 2)   OVER w AS tnv2,
+             top_n_key_ratio_cate(value, big = 1.0, cate, 2)   OVER w AS rk,
+             top_n_value_ratio_cate(value, big = 1.0, cate, 2) OVER w AS rv,
+             sum_where(value, big = 1.0) OVER wr AS swr,
+             sum_cate_where(value, big = 1.0, cate) OVER wr AS scwr,
+             top_n_value_ratio_cate(value, big = 1.0, cate, 2) OVER wr AS rvr
+      FROM evt_mlw
+      WINDOW w AS (PARTITION BY key ORDER BY ts_ms
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW),
+             wr AS (PARTITION BY key ORDER BY ts_ms
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"""
+
+  private val whereSpecs = Seq(
+    AggSpec("sw", "sum_where", RangeMs(10000), wIdx = 1),
+    AggSpec("aw", "avg_where", RangeMs(10000), wIdx = 1),
+    AggSpec("cw", "count_where", RangeMs(10000), wIdx = 1),
+    AggSpec("mw", "min_where", RangeMs(10000), wIdx = 1),
+    AggSpec("xw", "max_where", RangeMs(10000), wIdx = 1),
+    AggSpec("scw", "sum_cate_where", RangeMs(10000), wIdx = 1),
+    AggSpec("acw", "avg_cate_where", RangeMs(10000), wIdx = 1),
+    AggSpec("ccw", "count_cate_where", RangeMs(10000), wIdx = 1),
+    AggSpec("tnk", "top_n_key_sum_cate_where", RangeMs(10000), 2, wIdx = 1),
+    AggSpec("tnv", "top_n_value_count_cate_where", RangeMs(10000), 2, wIdx = 1),
+    AggSpec("tnv2", "top_n_value_min_cate_where", RangeMs(10000), 2, wIdx = 1),
+    AggSpec("rk", "top_n_key_ratio_cate", RangeMs(10000), 2, wIdx = 1),
+    AggSpec("rv", "top_n_value_ratio_cate", RangeMs(10000), 2, wIdx = 1),
+    AggSpec("swr", "sum_where", RowsN(7), wIdx = 1),
+    AggSpec("scwr", "sum_cate_where", RowsN(7), wIdx = 1),
+    AggSpec("rvr", "top_n_value_ratio_cate", RowsN(7), 2, wIdx = 1))
+
+  /** Type-insensitive row view (batch counts are LONG, engine doubles). */
+  private def normRow(r: org.apache.spark.sql.Row): Seq[Any] =
+    (0 until r.length).map { i =>
+      r.get(i) match {
+        case null                 => null
+        case d: java.lang.Double  => R.r6(d)
+        case l: java.lang.Long    => R.r6(l.toDouble)
+        case n: java.lang.Integer => R.r6(n.toDouble)
+        case other                => other
+      }
+    }
+
+  private def whereReference(): Set[Seq[Any]] = {
+    import spark.implicits._
+    GraftSession.prepare(spark, null)
+    whereEvents.toDF("ts_ms", "key", "value", "big", "cate")
+      .createOrReplaceTempView("evt_mlw")
+    spark.sql(whereSql).collect().map(normRow).toSet
+  }
+
+  test("batchCompute == batch OVER for *_where / *_cate_where / top_n_* / ratio kinds") {
+    import spark.implicits._
+    val got = SlidingWindows.batchComputeMulti(
+        whereEvents.toDF("ts_ms", "key", "value", "big", "cate"),
+        "key", "ts_ms", Seq("value", "big"), Seq("cate"), whereSpecs,
+        tileGranularityMs = 3000)
+      .collect().map(normRow).toSet
+    assert(got == whereReference())
+  }
+
+  private def runWhereStreaming(tws: Boolean): Set[Seq[Any]] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    val batches = whereEvents.sortBy(_._1).grouped(80).toSeq.map(b => rnd.shuffle(b))
+    val mem = MemoryStream[(Long, String, Double, Double, String)]
+    val df = mem.toDF().toDF("ts_ms", "key", "value", "big", "cate")
+    val out =
+      if (tws) graft.streaming.SlidingWindowsTws.streamingMulti(df, "key", "ts_ms",
+        Seq("value", "big"), Seq("cate"), whereSpecs, latenessMs = 60000,
+        tileGranularityMs = 3000)
+      else SlidingWindows.streamingMulti(df, "key", "ts_ms",
+        Seq("value", "big"), Seq("cate"), whereSpecs, latenessMs = 60000,
+        tileGranularityMs = 3000)
+    val qname = s"slwin_where_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val keys = whereEvents.map(_._2).distinct
+      mem.addData(keys.map(k => (SlidingWindows.FLUSH_TS, k, 0.0, 0.0, null: String)): _*)
+      q.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, keys.head, 0.0, 0.0, null: String))
+      q.processAllAvailable()
+      spark.table(qname).collect().map(normRow).toSet
+    } finally q.stop()
+  }
+
+  test("streaming engine == batch OVER for the full ML family, out-of-order") {
+    assert(runWhereStreaming(tws = false) == whereReference())
+  }
+
+  test("TWS engine == batch OVER for the full ML family, out-of-order") {
+    assert(runWhereStreaming(tws = true) == whereReference())
+  }
+
   test("late rows beyond watermark are dropped, not wrong") {
     // batch 1 advances the watermark far; batch 2's old row must be dropped
     val b1 = (0 until 100).map(i => (1704067200000L + 1000L * i, "k", i.toDouble))
