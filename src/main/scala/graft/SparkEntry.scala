@@ -637,49 +637,93 @@ object SparkEntry {
         import graft.serving.RequestServing
         import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
         val ev = s.sql(
-          """SELECT ts DIV 1000000 AS ts_ms, user_id,
-                    CAST(round(value * 100) AS BIGINT) AS value_c
-             FROM events""")
+          """SELECT ts DIV 1000000 AS ts_ms, user_id FROM events""")
         val atTs = ev.agg(fmax("ts_ms")).head().getLong(0) - 86400000L
         // pre-filter on the RAW ts column so the bound reaches the parquet
         // scan (PushedFilters / rowgroup pruning) — a filter on the derived
         // ts_ms wouldn't push. ts is BIGINT nanos; ts_ms > B <=> ts >= (B+1)e6.
         val bounded = s.sql(
           s"""SELECT ts DIV 1000000 AS ts_ms, user_id,
-                     CAST(round(value * 100) AS BIGINT) AS value_c
+                     CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS value_c,
+                     CAST(CASE WHEN value > 10.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS big,
+                     event_type AS cate
               FROM events
               WHERE ts >= ${(atTs - 259200000L + 1) * 1000000L}
                 AND ts < ${(atTs + 1) * 1000000L}""")
-        RequestServing.pointInTime(bounded, "user_id", "ts_ms", "value_c",
+        // engine-based evaluation at the virtual point: EVERY aggregate
+        // kind (the reference's plain_points/retractable_points), not just
+        // the 5 conditional-aggregation-friendly ones
+        RequestServing.pointInTimeMulti(bounded, "user_id", "ts_ms",
+            Seq("value_c", "big"), Seq("cate"),
             Seq(AggSpec("sum_3d_c", "sum", RangeMs(259200000L)),
                 AggSpec("cnt_3d", "count", RangeMs(259200000L)),
                 AggSpec("avg_3d_c", "avg", RangeMs(259200000L)),
                 AggSpec("min_3d_c", "min", RangeMs(259200000L)),
                 AggSpec("max_3d_c", "max", RangeMs(259200000L)),
-                AggSpec("cnt_12h", "count", RangeMs(43200000L))), atTs)
-          .select(col("user_id"),
-            (col("sum_3d_c").cast("double") / 100).as("sum_3d"),
-            col("cnt_3d"),
+                AggSpec("cnt_12h", "count", RangeMs(43200000L)),
+                AggSpec("sd_3d_c", "stddev", RangeMs(259200000L)),
+                AggSpec("top3_3d", "top", RangeMs(259200000L), 3),
+                AggSpec("sc_3d", "sum_cate", RangeMs(259200000L)),
+                AggSpec("ccw_3d", "count_cate_where", RangeMs(259200000L), wIdx = 1),
+                AggSpec("rk_3d", "top_n_key_ratio_cate", RangeMs(259200000L), 2, wIdx = 1)),
+            atTs)
+          .select(col("key").cast("long").as("user_id"),
+            (col("sum_3d_c") / 100).as("sum_3d"),
+            col("cnt_3d").cast("long").as("cnt_3d"),
             (col("avg_3d_c") / 100).as("avg_3d"),
-            (col("min_3d_c").cast("double") / 100).as("min_3d"),
-            (col("max_3d_c").cast("double") / 100).as("max_3d"),
-            col("cnt_12h"))
+            (col("min_3d_c") / 100).as("min_3d"),
+            (col("max_3d_c") / 100).as("max_3d"),
+            col("cnt_12h").cast("long").as("cnt_12h"),
+            (col("sd_3d_c") / 100).as("sd_3d"),
+            col("top3_3d"), col("sc_3d"), col("ccw_3d"), col("rk_3d"))
           .orderBy("user_id")
       },
-      Some("""
+      Some(s"""
         WITH ev AS (SELECT epoch_ms(ts) AS ts_ms, user_id,
-                           CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
-        t AS (SELECT max(ts_ms) - 86400000 AS at_ts FROM ev)
-        SELECT user_id,
-               CAST(sum(value_c) AS DOUBLE) / 100 AS sum_3d,
-               count(value_c) AS cnt_3d,
-               (CAST(sum(value_c) AS DOUBLE) / count(value_c)) / 100 AS avg_3d,
-               CAST(min(value_c) AS DOUBLE) / 100 AS min_3d,
-               CAST(max(value_c) AS DOUBLE) / 100 AS max_3d,
-               count(CASE WHEN ts_ms > at_ts - 43200000 THEN value_c END) AS cnt_12h
-        FROM ev, t
-        WHERE ts_ms <= at_ts AND ts_ms > at_ts - 259200000
-        GROUP BY user_id ORDER BY user_id"""))
+                           CAST(round(value * 100) AS BIGINT) AS value_c,
+                           (value > 10.0) AS big_b, event_type AS cate FROM events),
+        t AS (SELECT max(ts_ms) - 86400000 AS at_ts FROM ev),
+        w3 AS (SELECT e.*, t.at_ts FROM ev e, t
+               WHERE e.ts_ms <= t.at_ts AND e.ts_ms > t.at_ts - 259200000),
+        base AS (
+          SELECT user_id,
+                 CAST(sum(value_c) AS DOUBLE) / 100 AS sum_3d,
+                 count(value_c) AS cnt_3d,
+                 (CAST(sum(value_c) AS DOUBLE) / count(value_c)) / 100 AS avg_3d,
+                 CAST(min(value_c) AS DOUBLE) / 100 AS min_3d,
+                 CAST(max(value_c) AS DOUBLE) / 100 AS max_3d,
+                 count(CASE WHEN ts_ms > at_ts - 43200000 THEN value_c END) AS cnt_12h,
+                 CASE WHEN count(*) > 1 THEN
+                   sqrt(CAST(count(*) * sum(value_c * value_c) - sum(value_c) * sum(value_c) AS DOUBLE)
+                        / (count(*) * (count(*) - 1))) / 100 END AS sd_3d
+          FROM w3 GROUP BY user_id),
+        top3 AS (
+          SELECT user_id, string_agg(${fm("CAST(value_c AS DOUBLE)")}, ',' ORDER BY value_c DESC) AS top3_3d
+          FROM (SELECT user_id, value_c,
+                       row_number() OVER (PARTITION BY user_id ORDER BY value_c DESC) AS rn
+                FROM w3) WHERE rn <= 3 GROUP BY user_id),
+        cates AS (
+          SELECT user_id, cate, CAST(sum(value_c) AS DOUBLE) AS s,
+                 count(CASE WHEN big_b THEN 1 END) AS mc, count(*) AS tc
+          FROM w3 WHERE cate IS NOT NULL GROUP BY user_id, cate),
+        sc AS (SELECT user_id, string_agg(cate || ':' || ${fm("s")}, ',' ORDER BY cate || ':' || ${fm("s")}) AS sc_3d
+               FROM cates GROUP BY user_id),
+        ccw AS (SELECT user_id, string_agg(cate || ':' || CAST(mc AS VARCHAR), ',' ORDER BY cate || ':' || CAST(mc AS VARCHAR)) AS ccw_3d
+                FROM cates WHERE mc > 0 GROUP BY user_id),
+        rk AS (SELECT user_id, string_agg(cate || ':' || ${fm("r")}, ',' ORDER BY cate DESC) AS rk_3d
+               FROM (SELECT user_id, cate, CAST(mc AS DOUBLE) / CAST(tc AS DOUBLE) AS r,
+                            row_number() OVER (PARTITION BY user_id ORDER BY cate DESC) AS rn
+                     FROM cates) WHERE rn <= 2 GROUP BY user_id)
+        SELECT b.user_id, b.sum_3d, b.cnt_3d, b.avg_3d, b.min_3d, b.max_3d,
+               b.cnt_12h, b.sd_3d,
+               coalesce(top3.top3_3d, '') AS top3_3d,
+               coalesce(sc.sc_3d, '') AS sc_3d,
+               coalesce(ccw.ccw_3d, '') AS ccw_3d,
+               coalesce(rk.rk_3d, '') AS rk_3d
+        FROM base b
+        LEFT JOIN top3 USING (user_id) LEFT JOIN sc USING (user_id)
+        LEFT JOIN ccw USING (user_id) LEFT JOIN rk USING (user_id)
+        ORDER BY b.user_id"""))
 
     // Word count (SURVEY §2.1 word-count source / word_count_benchmark
     // shape: tokenize -> keyby word -> reduce count) over the documents

@@ -569,11 +569,44 @@ object SlidingWindows {
     finish(spec, a)
   }
 
+  /** Evaluate `specs` at a virtual point `atTs` over ONE key's rows — the
+    * reference's point-request evaluation (aggregates/plain_points.rs,
+    * retractable_points.rs: the request ts is a virtual current row; a
+    * RANGE frame covers (atTs-len, atTs], a ROWS n frame the n+1 most
+    * recent rows). Reuses the same accumulator/finisher as the engines,
+    * so every aggregate kind evaluates at the point. Rows are
+    * (ts, numSlots, strSlots) in any order; ts ties keep input order. */
+  private[graft] def evalAtPoint(rows: Seq[(Long, Array[Double], Array[String])],
+                                 specs: Seq[AggSpec], atTs: Long): Seq[Any] = {
+    val sorted = rows.filter(_._1 <= atTs).sortBy(_._1).toIndexedSeq
+    specs.map { spec =>
+      val a = new Acc(spec, -1, -1, -1)
+      spec.frame match {
+        case RangeMs(len) =>
+          val lo = atTs - len
+          var i = sorted.length
+          while (i > 0 && sorted(i - 1)._1 > lo) i -= 1
+          while (i < sorted.length) { val r = sorted(i); a.addRow(r._2, r._3); i += 1 }
+        case RowsN(n) =>
+          var i = math.max(0, sorted.length - (n + 1))
+          while (i < sorted.length) { val r = sorted(i); a.addRow(r._2, r._3); i += 1 }
+      }
+      finish(spec, a)
+    }
+  }
+
+  /** Output schema of a point-in-time evaluation: string key + one column
+    * per spec (string kinds as their CSV formats, numeric kinds DOUBLE). */
+  def pointOutputSchema(specs: Seq[AggSpec]): StructType =
+    StructType(StructField("key", StringType) +:
+      specs.map(s => StructField(s.name,
+        if (isString(s.kind)) StringType else DoubleType)))
+
   // ------------------------------------------------------------------
   // Streaming mode
   // ------------------------------------------------------------------
 
-  private[streaming] def prepareMulti(df: DataFrame, keyCol: String, tsMsCol: String,
+  private[graft] def prepareMulti(df: DataFrame, keyCol: String, tsMsCol: String,
                                       valueCols: Seq[String], strCols: Seq[String],
                                       latenessMs: Long, watermark: Boolean): DataFrame = {
     val numArr =

@@ -98,6 +98,96 @@ class RequestServingSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("pointInTimeMulti evaluates every aggregate kind at the virtual point") {
+    import spark.implicits._
+    GraftSession.prepare(spark, null)
+    val cats = Seq("alpha", "beta", "gamma")
+    val evs = (0 until 300).map { i =>
+      (1704067200000L + 500L * i, s"u${i % 4}", (i % 17) / 4.0,
+        if (i % 3 == 0) 1.0 else 0.0, cats(i % 5 % 3))
+    }
+    val atTs = 1704067200000L + 500L * 260 + 250
+    evs.toDF("ts_ms", "key", "value", "big", "cate").createOrReplaceTempView("pit_evt")
+    val got = RequestServing.pointInTimeMulti(
+        evs.toDF("ts_ms", "key", "value", "big", "cate"),
+        "key", "ts_ms", Seq("value", "big"), Seq("cate"),
+        Seq(AggSpec("s10", "sum", RangeMs(10000)),
+            AggSpec("sw10", "sum_where", RangeMs(10000), wIdx = 1),
+            AggSpec("sd10", "stddev", RangeMs(10000)),
+            AggSpec("top3", "top", RangeMs(10000), 3),
+            AggSpec("sc", "sum_cate", RangeMs(10000)),
+            AggSpec("tnv", "top_n_value_sum_cate_where", RangeMs(10000), 2, wIdx = 1),
+            AggSpec("rv", "top_n_value_ratio_cate", RangeMs(10000), 2, wIdx = 1),
+            AggSpec("a5r", "avg", RowsN(4))), atTs)
+      .collect().map(r => r.getString(0) -> (0 until r.length).drop(1).map(r.get).toSeq).toMap
+
+    // the same evaluation expressed with the batch UDAFs over the
+    // explicitly-filtered frame rows (RANGE = 10s window before atTs,
+    // ROWS 4 = the 5 most recent rows at/before atTs)
+    val want = spark.sql(s"""
+      WITH win AS (SELECT * FROM pit_evt
+                   WHERE ts_ms <= $atTs AND ts_ms > $atTs - 10000),
+      last5 AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts_ms DESC) AS rn
+          FROM pit_evt WHERE ts_ms <= $atTs) WHERE rn <= 5),
+      a AS (SELECT key, sum(value) AS s10,
+                   sum_where(value, big = 1.0) AS sw10,
+                   stddev_samp(value) AS sd10,
+                   top(value, 3) AS top3,
+                   sum_cate(value, cate) AS sc,
+                   top_n_value_sum_cate_where(value, big = 1.0, cate, 2) AS tnv,
+                   top_n_value_ratio_cate(value, big = 1.0, cate, 2) AS rv
+            FROM win GROUP BY key),
+      b AS (SELECT key, avg(value) AS a5r FROM last5 GROUP BY key)
+      SELECT a.*, b.a5r FROM a JOIN b USING (key)
+    """).collect().map(r => r.getString(0) -> (0 until r.length).drop(1).map(r.get).toSeq).toMap
+
+    assert(got.keySet == want.keySet)
+    for (k <- want.keySet) {
+      val (g, w) = (got(k), want(k))
+      assert(g.length == w.length)
+      g.zip(w).zipWithIndex.foreach {
+        case ((null, wv), i) => assert(wv == null, s"$k[$i]: got null, want $wv")
+        case ((gv: java.lang.Double, wv), i) =>
+          val wd = wv.asInstanceOf[Number].doubleValue()
+          assert(math.abs(gv - wd) < 1e-9, s"$k[$i]: $gv vs $wd")
+        case ((gv, wv), i) => assert(gv == wv, s"$k[$i]: $gv vs $wv")
+      }
+    }
+  }
+
+  test("ROWS-frame point-in-time scan is bounded to the per-key horizon, results unchanged") {
+    import spark.implicits._
+    // one hot key with 20k rows spread over 200 buckets, one sparse key
+    val base = 1704067200000L
+    val hot = (0 until 20000).map(i => (base + i * 10L, "hot", (i % 23).toDouble))
+    val sparse = (0 until 5).map(i => (base + 141000L + i * 2000L, "sparse", i.toDouble))
+    val df = (hot ++ sparse).toDF("ts_ms", "key", "value")
+    val atTs = base + 150000L
+    val specs = Seq(AggSpec("mn", "min", RowsN(10)),
+                    AggSpec("s2", "sum", RangeMs(2000)))
+
+    // the bounded scan keeps ~one 1s bucket beyond the 11-row lookback for
+    // the hot key (not its full 20k-row history) and everything for the
+    // sparse key (< 11 rows total)
+    val bounded = RequestServing.boundedAsOf(df, "key", "ts_ms", specs, atTs,
+      bucketMs = 1000L)
+    val hotKept = bounded.where($"key" === "hot").count()
+    assert(hotKept <= 2 * 100 + 11, s"hot key kept $hotKept rows — scan not bounded")
+    assert(bounded.where($"key" === "sparse").count() == 5)
+
+    // results match a direct evaluation of the frames
+    val got = RequestServing.pointInTime(df, "key", "ts_ms", "value", specs, atTs)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val hotUpTo = hot.filter(_._1 <= atTs)
+    val expMin = hotUpTo.sortBy(_._1).takeRight(11).map(_._3).min
+    val expSum = hotUpTo.filter(_._1 > atTs - 2000).map(_._3).sum
+    assert(got("hot") == ((expMin, expSum)))
+    val sparseUpTo = sparse.filter(_._1 <= atTs)
+    assert(got("sparse") ==
+      ((sparseUpTo.map(_._3).min, sparseUpTo.filter(_._1 > atTs - 2000).map(_._3).sum)))
+  }
+
   test("pointInTime == batch OVER frames evaluated at the virtual point") {
     import spark.implicits._
     val df = events.toDF("ts_ms", "key", "value")
