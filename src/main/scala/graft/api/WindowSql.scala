@@ -3,11 +3,13 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, CurrentRow, Expression, Literal, RangeFrame, RowFrame, SortOrder, SpecifiedWindowFrame, UnaryMinus, UnresolvedWindowExpression, WindowExpression, WindowSpecDefinition, WindowSpecReference}
-import org.apache.spark.sql.catalyst.plans.logical.{Project, WithWindowDefinition}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, Sort, SubqueryAlias, WithWindowDefinition}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{CalendarIntervalType, DataType, DayTimeIntervalType, StringType}
+import org.apache.spark.unsafe.types.CalendarInterval
 
-import graft.streaming.SlidingWindows
+import graft.streaming.{SlidingWindows, SlidingWindowsTws}
 import graft.streaming.SlidingWindows.{AggSpec, Frame, RangeMs, RowsN}
 
 /** SQL OVER-window compiler for the streaming engine — the reference's
@@ -19,112 +21,281 @@ import graft.streaming.SlidingWindows.{AggSpec, Frame, RangeMs, RowsN}
   * SAME SQL then runs in batch mode via Catalyst and in streaming mode
   * via the engine, with identical results.
   *
-  * Supported shape (the reference's window contract, SURVEY §2.6: one
-  * PARTITION BY key, ORDER BY one ms timestamp column, frames
-  * `RANGE/ROWS ... PRECEDING AND CURRENT ROW`):
+  * Supported shape (the reference's window contract, SURVEY §2.6 and the
+  * README flagship, README.md:105-146): one PARTITION BY key, ORDER BY one
+  * ms-timestamp column, frames `RANGE/ROWS ... PRECEDING AND CURRENT ROW`
+  * (RANGE bounds as ms literals or day-time INTERVAL literals), optionally
+  * a join ahead of the window (`FROM users u JOIN orders o ON ...` — run
+  * as a stream-static join in streaming mode), and a trailing ORDER BY in
+  * batch mode:
   *
   * {{{
-  * SELECT <key>, <ts>, [arg columns...,]
+  * SELECT <key>, <ts>, [arg/pass-through columns...,]
   *        sum(<num>) OVER w AS a,  count(*) OVER w AS b,
-  *        stddev_samp(<num2>) OVER w AS c,
-  *        top(<num or str>, 3) OVER w AS d,
-  *        topn_frequency(<num or str>, 2) OVER w AS e,
-  *        sum_cate(<num>, <str>) OVER w AS f
-  * FROM <table>
+  *        top(<any>, 3) OVER w AS c,
+  *        sum_cate(<num>, <str>) OVER w AS d,
+  *        count_where(<num>, <cond expr>) OVER w AS e,
+  *        count_cate_where(<num>, <cond expr>, <str>) OVER w AS f,
+  *        top_n_key_sum_cate_where(<num>, <cond>, <str>, 2) OVER w AS g,
+  *        top_n_value_ratio_cate(<any>, <cond>, <str>, 2) OVER w AS h
+  * FROM <table> [JOIN <table2> ON <cond>]
   * WINDOW w AS (PARTITION BY <key> ORDER BY <ts>
-  *              RANGE BETWEEN <ms> PRECEDING AND CURRENT ROW)
+  *              RANGE BETWEEN <ms | INTERVAL> PRECEDING AND CURRENT ROW)
   * }}}
   *
-  * Each aggregate evaluates its own argument columns (numeric value
-  * columns, string values for the top family, string categories) — the
-  * engine's state rows carry one slot per referenced column.
+  * Each aggregate evaluates its own argument columns; arguments may be
+  * arbitrary expressions (projected into derived slots ahead of the
+  * engine). Non-argument SELECT columns ride through the engine as extra
+  * slots and are cast back to their source types on output.
   */
 object WindowSql {
 
-  /** One compiled window aggregate: slots are resolved against the source
-    * schema at run time (the parser can't know column types). */
+  /** One source relation (table name + optional alias). */
+  final case class Rel(table: String, alias: Option[String])
+
+  /** One compiled window aggregate: args name columns of the (joined +
+    * derived) source frame; slot indices resolve against the schema at
+    * run time. `whereArg` is the 0/1-coalesced condition column of the
+    * `_where`/ratio families. */
   final case class AggDef(name: String, kind: String, frame: Frame, n: Int,
-                          valueArg: Option[String], cateArg: Option[String])
+                          valueArg: Option[String], cateArg: Option[String],
+                          whereArg: Option[String] = None)
 
   final case class Compiled(
-      table: String,
+      relations: Seq[Rel],
+      joinCondSql: Option[String],
       keyCol: String,
       tsCol: String,
       aggs: Seq[AggDef],
       /** Output columns in SELECT order (pass-through cols + aliases). */
-      outCols: Seq[String]) {
+      outCols: Seq[String],
+      /** Derived columns to project ahead of the engine: name -> SQL. */
+      derived: Seq[(String, String)] = Nil,
+      /** Trailing ORDER BY columns (batch mode only). */
+      orderBy: Seq[String] = Nil,
+      /** The relation owning the ORDER BY ts column — the streaming side
+        * of a join (None = the first relation). */
+      streamRel: Option[String] = None) {
 
-    /** Run the compiled windows over a (streaming or batch) frame of the
-      * source table through the engine. */
+    /** The streaming-side (primary) table. */
+    def table: String = streamRel.getOrElse(relations.head.table)
+
+    /** Single-source compatibility entry. */
     def run(src: DataFrame, latenessMs: Long = 0,
             tileGranularityMs: Long = 60000L,
-            useBatchSweep: Boolean = false): DataFrame = {
+            useBatchSweep: Boolean = false,
+            engine: String = "tws"): DataFrame =
+      runWith(Map(relations.head.table -> src), latenessMs, tileGranularityMs,
+        useBatchSweep, engine)
+
+    /** Run the compiled windows through the engine. `srcs` maps each FROM
+      * relation to its frame; in streaming mode the FIRST relation is the
+      * stream and the others must be static frames (stream-static join —
+      * the reference joins its stream against table-backed sides the same
+      * way, logical_graph.rs:362-494).
+      *
+      * @param engine streaming engine: "tws" (transformWithState, granular
+      *               per-bucket RocksDB state — the default; writes only
+      *               touched buckets per trigger) or "fmgws"
+      *               (flatMapGroupsWithState fallback).
+      */
+    def runWith(srcs: Map[String, DataFrame], latenessMs: Long = 0,
+                tileGranularityMs: Long = 60000L,
+                useBatchSweep: Boolean = false,
+                engine: String = "tws"): DataFrame = {
+      val frames = relations.map { r =>
+        val df = srcs.getOrElse(r.table, sys.error(s"no source for table '${r.table}'"))
+        r.alias.map(df.as).getOrElse(df)
+      }
+      val joined = frames match {
+        case Seq(one) => one
+        case Seq(l, r) =>
+          l.join(r, expr(joinCondSql.getOrElse(sys.error("join needs an ON condition"))), "inner")
+        case _ => sys.error("at most two FROM relations supported")
+      }
+      val src = derived.foldLeft(joined) { case (df, (name, sql)) =>
+        df.withColumn(name, expr(sql))
+      }
       val schema = src.schema
       def isStr(c: String): Boolean =
         schema(schema.fieldIndex(c)).dataType == StringType
-      // slot assignment: numeric value columns + string columns (top-family
-      // string values and categories), in first-use order
-      val numCols = aggs.flatMap(_.valueArg).filter(!isStr(_)).distinct
-      val strCols = (aggs.flatMap(_.valueArg).filter(isStr) ++
-        aggs.flatMap(_.cateArg)).distinct
+      // ratio kinds never read their value slot (the engine assumes
+      // non-null values; the batch accumulator's value-null check is the
+      // only use), and count-family kinds over non-numeric values only
+      // count — don't burn slots on those
+      def slotValue(a: AggDef): Option[String] =
+        if (SlidingWindows.isRatioKind(a.kind)) None
+        else if (SlidingWindows.isCate(a.kind) && a.valueArg.exists(isStr) &&
+          SlidingWindows.cateBaseKind(a.kind) == "count") None
+        else a.valueArg
+      // pass-through SELECT columns ride as extra slots, cast back later
+      val aggNames = aggs.map(_.name).toSet
+      val argCols = (aggs.flatMap(a => slotValue(a)) ++ aggs.flatMap(_.cateArg) ++
+        aggs.flatMap(_.whereArg)).toSet
+      val passCols = outCols.filterNot(c =>
+        c == keyCol || c == tsCol || aggNames(c) || argCols(c))
+      // slot assignment: numeric value columns + condition columns + numeric
+      // pass-throughs; string slots for top-family string values,
+      // categories, and string pass-throughs — in first-use order
+      val numCols = (aggs.flatMap(slotValue).filter(!isStr(_)) ++
+        aggs.flatMap(_.whereArg) ++ passCols.filter(!isStr(_))).distinct
+      val strCols = (aggs.flatMap(slotValue).filter(isStr) ++
+        aggs.flatMap(_.cateArg) ++ passCols.filter(isStr)).distinct
       val specs = aggs.map { a =>
-        val vStr = a.valueArg.exists(isStr)
+        val vStr = slotValue(a).exists(isStr)
         if (SlidingWindows.isCate(a.kind) && vStr)
-          sys.error(s"${a.name}: the cate family needs a numeric value column")
-        if (vStr && !(a.kind == "count" || SlidingWindows.cmKinds.contains(a.kind)))
+          sys.error(s"${a.name}: the ${SlidingWindows.cateBaseKind(a.kind)} cate " +
+            "family needs a numeric value column")
+        if (vStr && !(a.kind == "count" || a.kind == "count_where" ||
+          SlidingWindows.cmKinds.contains(a.kind)))
           sys.error(s"${a.name}: ${a.kind} needs a numeric value column")
-        val useStr = vStr && a.kind != "count"
-        val vIdx = a.valueArg match {
+        val useStr = vStr && a.kind != "count" && a.kind != "count_where"
+        val vIdx = slotValue(a) match {
           case Some(v) if useStr => strCols.indexOf(v)
           case Some(v) if !vStr  => numCols.indexOf(v)
-          case _                 => 0 // count(*) / count(<str>): no value slot read
+          case _                 => -1 // count(*)/count(<str>)/ratio/count-cate-str
         }
         val cIdx = a.cateArg.map(strCols.indexOf).getOrElse(0)
-        AggSpec(a.name, a.kind, a.frame, a.n, math.max(vIdx, 0), cIdx, useStr)
+        val wIdx = a.whereArg.map(numCols.indexOf).getOrElse(-1)
+        AggSpec(a.name, a.kind, a.frame, a.n, vIdx, cIdx, useStr, wIdx)
       }
       val out =
         if (useBatchSweep)
           SlidingWindows.batchComputeMulti(src, keyCol, tsCol, numCols, strCols,
             specs, tileGranularityMs)
-        else
+        else if (engine == "fmgws")
           SlidingWindows.streamingMulti(src, keyCol, tsCol, numCols, strCols,
             specs, latenessMs, tileGranularityMs)
+        else
+          SlidingWindowsTws.streamingMulti(src, keyCol, tsCol, numCols, strCols,
+            specs, latenessMs, tileGranularityMs)
       // engine emits (ts_ms, key, <numCols>, <strCols>, <specs>) with the
-      // original column names — only ts/key need renaming back
-      out.withColumnRenamed("ts_ms", tsCol).withColumnRenamed("key", keyCol)
-        .select(outCols.map(col): _*)
+      // original column names — ts/key need renaming back; pass-through
+      // slots AND the key/ts (the engine strings the key, longs the ts)
+      // cast back to their source types
+      val origType: Map[String, DataType] =
+        (passCols ++ Seq(keyCol, tsCol).filter(outCols.contains))
+          .map(c => c -> schema(schema.fieldIndex(c)).dataType).toMap
+      val renamed = out.withColumnRenamed("ts_ms", tsCol).withColumnRenamed("key", keyCol)
+        .select(outCols.map { c =>
+          origType.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+        }: _*)
+      if (orderBy.nonEmpty && useBatchSweep) renamed.orderBy(orderBy.map(col): _*)
+      else if (orderBy.nonEmpty) sys.error("ORDER BY is batch-only in engine mode")
+      else renamed
     }
   }
 
-  private val kinds = Set("sum", "count", "avg", "min", "max",
-    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp", "variance",
-    "top", "topn_frequency", "top1_ratio") ++
-    Seq("sum", "avg", "count", "min", "max").map(_ + "_cate")
+  private val plainKinds = Set("sum", "count", "avg", "min", "max",
+    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp", "variance")
+  private val cateBases = Seq("sum", "avg", "count", "min", "max")
+  /** Every kind the engine evaluates (the reference's full registry,
+    * aggregates/mod.rs:104-120 + 184-199). */
+  private val kinds: Set[String] = plainKinds ++
+    Set("top", "topn_frequency", "top1_ratio",
+      "top_n_key_ratio_cate", "top_n_value_ratio_cate") ++
+    cateBases.flatMap(k => Seq(s"${k}_where", s"${k}_cate", s"${k}_cate_where",
+      s"top_n_key_${k}_cate_where", s"top_n_value_${k}_cate_where"))
+
+  /** Kinds whose Catalyst evaluation is codegen'd (cheap per row in
+    * WindowExec); everything else is a TypedImperativeAggregate that
+    * WindowExec rebuilds per output row. */
+  def isPlainKind(kind: String): Boolean = plainKinds(kind)
+
+  /** Argument layout: (arity, cond position, cate position, n position);
+    * -1 = absent. Reference orders: `(value, cond, cate, n)`
+    * (cate/udf.rs:80-120, top/README.md). */
+  private def argLayout(kind: String): Option[(Int, Int, Int, Int)] = kind match {
+    case "count"                                  => Some((0, -1, -1, -1)) // or 1
+    case k if plainKinds(k)                       => Some((1, -1, -1, -1))
+    case "top1_ratio"                             => Some((1, -1, -1, -1))
+    case "top" | "topn_frequency"                 => Some((2, -1, -1, 1))
+    case k if SlidingWindows.whereBaseKinds(k)    => Some((2, 1, -1, -1))
+    case k if SlidingWindows.isRatioKind(k)       => Some((4, 1, 2, 3))
+    case k if k.startsWith("top_n_") && k.endsWith("_cate_where") => Some((4, 1, 2, 3))
+    case k if k.endsWith("_cate_where")           => Some((3, 1, 2, -1))
+    case k if k.endsWith("_cate")                 => Some((2, -1, 1, -1))
+    case _                                        => None
+  }
 
   /** Compile, or explain why the query doesn't fit the engine shape. */
   def compile(spark: SparkSession, sql: String): Either[String, Compiled] = {
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-    val (projectList, windowDefs, table) = parsed match {
-      case WithWindowDefinition(defs, Project(pl, UnresolvedRelation(parts, _, _)), _) =>
-        (pl, defs, parts.mkString("."))
-      case Project(pl, WithWindowDefinition(defs, UnresolvedRelation(parts, _, _), _)) =>
-        (pl, defs, parts.mkString("."))
-      case Project(pl, UnresolvedRelation(parts, _, _)) =>
-        (pl, Map.empty[String, WindowSpecDefinition], parts.mkString("."))
+
+    // peel a trailing global ORDER BY (batch-only)
+    val (noSort, orderCols) = parsed match {
+      case Sort(order, true, child, _) =>
+        val cols = order.map {
+          case SortOrder(a: UnresolvedAttribute, Ascending, _, _) => a.nameParts.last
+          case _ => return Left("only simple ascending trailing ORDER BY supported")
+        }
+        (child, cols)
+      case p => (p, Nil)
+    }
+
+    val (projectList, windowDefs, from) = noSort match {
+      case WithWindowDefinition(defs, Project(pl, f), _) => (pl, defs, f)
+      case Project(pl, WithWindowDefinition(defs, f, _)) => (pl, defs, f)
+      case Project(pl, f) => (pl, Map.empty[String, WindowSpecDefinition], f)
       case other => return Left(s"unsupported plan shape: ${other.getClass.getSimpleName}")
     }
 
+    // FROM: a relation, or one inner join of two relations
+    def rel(p: LogicalPlan): Either[String, Rel] = p match {
+      case UnresolvedRelation(parts, _, _) => Right(Rel(parts.mkString("."), None))
+      case SubqueryAlias(id, UnresolvedRelation(parts, _, _)) =>
+        Right(Rel(parts.mkString("."), Some(id.name)))
+      case other => Left(s"unsupported FROM item: ${other.getClass.getSimpleName}")
+    }
+    val (relations, joinCondSql) = from match {
+      case Join(l, r, Inner, cond, _) =>
+        val lr = rel(l) match { case Right(x) => x; case Left(e) => return Left(e) }
+        val rr = rel(r) match { case Right(x) => x; case Left(e) => return Left(e) }
+        cond match {
+          case Some(c) => (Seq(lr, rr), Some(c.sql))
+          case None => return Left("JOIN needs an ON condition")
+        }
+      case p => rel(p) match {
+        case Right(x) => (Seq(x), None)
+        case Left(e) => return Left(e)
+      }
+    }
+
     var keyCol: String = null; var tsCol: String = null
+    var tsQualifier: String = null
     val aggs = Seq.newBuilder[AggDef]
     val outCols = Seq.newBuilder[String]
+    val derived = Seq.newBuilder[(String, String)]
+    var derivedIx = 0
+
+    /** An aggregate argument: a bare column passes through by name; any
+      * other expression becomes a derived column projected ahead of the
+      * engine. Conditions always derive to a 0/1 double slot. */
+    def argCol(e: Expression, cond: Boolean): String = e match {
+      case a: UnresolvedAttribute if !cond => a.nameParts.last
+      case _ =>
+        val nm = if (cond) s"__w$derivedIx" else s"__e$derivedIx"
+        derivedIx += 1
+        val sqlTxt =
+          if (cond) s"coalesce(cast((${e.sql}) as double), cast(0.0 as double))"
+          else e.sql
+        derived += nm -> sqlTxt
+        nm
+    }
 
     def attr(e: Expression, what: String): Either[String, String] = e match {
       case a: UnresolvedAttribute => Right(a.nameParts.last)
       case other => Left(s"$what must be a column, got $other")
     }
-    def foldLong(e: Expression, what: String): Either[String, Long] = e match {
+    /** Frame bound in ms: numeric literal, or day-time INTERVAL literal
+      * (the README flagship writes `INTERVAL '30 day' PRECEDING`). */
+    def boundMs(e: Expression, what: String): Either[String, Long] = e match {
+      case UnaryMinus(inner, _) => boundMs(inner, what).map(-_)
+      case Literal(v: java.lang.Long, _: DayTimeIntervalType) => Right(v / 1000L)
+      case Literal(ci: CalendarInterval, CalendarIntervalType) =>
+        if (ci.months != 0) Left(s"$what: month intervals are not fixed-length")
+        else Right(ci.days * 86400000L + ci.microseconds / 1000L)
       case Literal(v: Number, _) => Right(v.longValue())
-      case UnaryMinus(Literal(v: Number, _), _) => Right(-v.longValue())
       case other => Left(s"$what must be a literal, got $other")
     }
     def setShared(cur: String, nw: String, what: String): Either[String, String] =
@@ -133,9 +304,9 @@ object WindowSql {
 
     def frameOf(spec: WindowSpecDefinition): Either[String, Frame] = spec.frameSpecification match {
       case SpecifiedWindowFrame(RangeFrame, lower, CurrentRow) =>
-        foldLong(lower, "RANGE lower bound").map(l => RangeMs(-l))
+        boundMs(lower, "RANGE lower bound").map(l => RangeMs(-l))
       case SpecifiedWindowFrame(RowFrame, lower, CurrentRow) =>
-        foldLong(lower, "ROWS lower bound").map(l => RowsN((-l).toInt))
+        boundMs(lower, "ROWS lower bound").map(l => RowsN((-l).toInt))
       case other => Left(s"unsupported frame $other (need ... PRECEDING AND CURRENT ROW)")
     }
 
@@ -148,7 +319,13 @@ object WindowSql {
         }
         _ <- setShared(keyCol, k, "partition").map(keyCol = _)
         t <- spec.orderSpec match {
-          case Seq(SortOrder(o, Ascending, _, _)) => attr(o, "ORDER BY")
+          case Seq(SortOrder(o, Ascending, _, _)) =>
+            o match { // the ts column's qualifier names the streaming side
+              case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+                tsQualifier = a.nameParts.init.mkString(".")
+              case _ =>
+            }
+            attr(o, "ORDER BY")
           case _ => Left("exactly one ascending ORDER BY column required")
         }
         _ <- setShared(tsCol, t, "order").map(tsCol = _)
@@ -161,19 +338,31 @@ object WindowSql {
             // count(*) parses as a star (or, defensively, literal) argument
             val isStar = args.headOption.exists(_.isInstanceOf[UnresolvedStar]) ||
               (name == "count" && args.forall(_.isInstanceOf[Literal]))
-            val valueArg: Either[String, Option[String]] =
-              if (isStar || args.isEmpty) Right(None)
-              else attr(args.head, s"$name value").map(Some(_))
-            val cateArg: Either[String, Option[String]] =
-              if (name.endsWith("_cate")) attr(args(1), s"$name category").map(Some(_))
-              else Right(None)
-            val n = args.collectFirst { case Literal(v: Number, _) => v.intValue() }.getOrElse(0)
-            (valueArg, cateArg) match {
-              case (Right(v), Right(c)) =>
-                aggs += AggDef(alias, name, frame, n, v, c)
-                Right(())
-              case (Left(e), _) => Left(e)
-              case (_, Left(e)) => Left(e)
+            val layout = argLayout(name).get
+            val (arity, condPos, catePos, nPos) = layout
+            if (!isStar && args.length != arity &&
+              !(name == "count" && args.length == 1))
+              Left(s"$name takes $arity argument(s), got ${args.length}")
+            else if (isStar && name != "count")
+              Left(s"$name does not take *")
+            else {
+              val n: Either[String, Int] =
+                if (nPos < 0) Right(0)
+                else args(nPos) match {
+                  case Literal(v: Number, _) => Right(v.intValue())
+                  case other => Left(s"$name: n must be an integer literal, got $other")
+                }
+              n.map { nVal =>
+                val valueArg =
+                  if (isStar || args.isEmpty) None
+                  else Some(argCol(args.head, cond = false))
+                val whereArg = if (condPos < 0) None
+                  else Some(argCol(args(condPos), cond = true))
+                val cateArg = if (catePos < 0) None
+                  else Some(argCol(args(catePos), cond = false))
+                aggs += AggDef(alias, name, frame, nVal, valueArg, cateArg, whereArg)
+                ()
+              }
             }
           }
         }
@@ -201,12 +390,39 @@ object WindowSql {
     val built = aggs.result()
     if (built.isEmpty) Left("no window aggregates found")
     else {
-      // pass-through columns must be engine-carried columns
-      val carried = Set(keyCol, tsCol) ++
-        built.flatMap(_.valueArg) ++ built.flatMap(_.cateArg)
-      val bad = outCols.result().filterNot(c => carried(c) || built.exists(_.name == c))
-      if (bad.nonEmpty) Left(s"select items not carried by the engine: ${bad.mkString(", ")}")
-      else Right(Compiled(table, keyCol, tsCol, built, outCols.result()))
+      val streamRel = Option(tsQualifier).flatMap(q =>
+        relations.find(r => r.alias.contains(q) || r.table == q).map(_.table))
+      Right(Compiled(relations, joinCondSql, keyCol, tsCol, built,
+        outCols.result(), derived.result(), orderCols, streamRel))
     }
   }
+
+  /** Batch-mode router: compile the SQL and pick the evaluation path per
+    * frame cost. Catalyst's WindowExec rebuilds a TypedImperativeAggregate
+    * buffer per OUTPUT row — O(rows × frame rows) per partition — which is
+    * fine for short frames but the named scale killer for ML aggregates
+    * over long ones; the engine's tiled sweep is O(rows × (tiles + edge)).
+    * Routing rule: any non-codegen (ML-family) aggregate over a RANGE
+    * frame ≥ `sweepRangeMs` or a ROWS frame ≥ `sweepRows` routes the whole
+    * query through the tiled sweep; everything else (and any shape the
+    * compiler can't express) runs as plain Catalyst SQL.
+    */
+  def runBatchAuto(spark: SparkSession, sql: String,
+                   tables: Map[String, DataFrame] = Map.empty,
+                   tileGranularityMs: Long = 60000L,
+                   sweepRangeMs: Long = 600000L,
+                   sweepRows: Int = 1000): DataFrame =
+    compile(spark, sql) match {
+      case Left(_) => spark.sql(sql)
+      case Right(c) =>
+        val mlLongFrame = c.aggs.exists(a => !isPlainKind(a.kind) && (a.frame match {
+          case RangeMs(l) => l >= sweepRangeMs
+          case RowsN(n)   => n >= sweepRows
+        }))
+        if (mlLongFrame) {
+          val srcs = c.relations.map(r =>
+            r.table -> tables.getOrElse(r.table, spark.table(r.table))).toMap
+          c.runWith(srcs, tileGranularityMs = tileGranularityMs, useBatchSweep = true)
+        } else spark.sql(sql)
+    }
 }

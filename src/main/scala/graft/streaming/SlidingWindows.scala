@@ -219,7 +219,9 @@ object SlidingWindows {
         val (vi, ci, wi) = needs.catePairs(i)
         val c = strs(ci)
         if (c != null && (wi < 0 || nums(wi) != 0.0)) {
-          val v = nums(vi)
+          // vi = -1: count-only cate over a non-numeric value (count_cate
+          // of a string column) — no value stats to track
+          val v = if (vi >= 0) nums(vi) else 0.0
           val a = cate(i).getOrElseUpdate(c, Array(0.0, 0.0, Double.NaN, Double.NaN))
           a(0) += 1; a(1) += v
           if (a(0) == 1 || v < a(2)) a(2) = v
@@ -231,10 +233,14 @@ object SlidingWindows {
       while (i < needs.maskedPairs.length) {
         val (vi, wi) = needs.maskedPairs(i)
         if (nums(wi) != 0.0) {
-          val a = masked(i); val v = nums(vi)
-          a(0) += 1; a(1) += v; a(2) += v * v
-          if (a(0) == 1 || v < a(3)) a(3) = v
-          if (a(0) == 1 || v > a(4)) a(4) = v
+          val a = masked(i)
+          a(0) += 1
+          if (vi >= 0) { // vi = -1: count_where over a non-numeric value
+            val v = nums(vi)
+            a(1) += v; a(2) += v * v
+            if (a(0) == 1 || v < a(3)) a(3) = v
+            if (a(0) == 1 || v > a(4)) a(4) = v
+          }
         }
         i += 1
       }
@@ -305,9 +311,11 @@ object SlidingWindows {
   private final class Acc(spec: AggSpec, cateIdx: Int, maskedIdx: Int, ratioIdx: Int) {
     var sum = 0.0; var sum2 = 0.0; var count = 0L
     var min = Double.NaN; var max = Double.NaN
-    /** count(*) / count_where read no value slot — a query may have none. */
+    /** count(*) / count_where / vIdx = -1 (count-only cate over a
+      * non-numeric value) read no value slot — a query may have none. */
     private val numStats =
-      !spec.vStr && spec.kind != "count" && spec.kind != "count_where"
+      !spec.vStr && spec.vIdx >= 0 &&
+        spec.kind != "count" && spec.kind != "count_where"
     /** mask for the base stats ( `*_where` kinds only). */
     private val baseMask = if (whereBaseKinds(spec.kind)) spec.wIdx else -1
     val cmN: mutable.HashMap[Double, Long] =
@@ -336,7 +344,7 @@ object SlidingWindows {
       if (cate != null) {
         val c = strs(spec.cIdx)
         if (c != null && (spec.wIdx < 0 || nums(spec.wIdx) != 0.0)) {
-          val v = nums(spec.vIdx)
+          val v = if (spec.vIdx >= 0) nums(spec.vIdx) else 0.0
           val a = cate.getOrElseUpdate(c, Array(0.0, 0.0, Double.NaN, Double.NaN))
           a(0) += 1; a(1) += v
           if (a(0) == 1 || v < a(2)) a(2) = v

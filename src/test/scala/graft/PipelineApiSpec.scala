@@ -108,6 +108,55 @@ class PipelineApiSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("per-operator overrides: parallelism + Window tuning applied, Spark-owned knobs warn-ignored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.prepare(spark, null)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val mem = MemoryStream[(Long, String, Double)]
+    // reference-shaped override block (pipeline.rs:33-55, overrides.rs):
+    // parallelism -> shuffle/state partitions; Window.lateness + tiling
+    // granularities -> engine knobs; transport/dump knobs ignored by name
+    val spec = s"""{
+      "execution_mode": "Streaming",
+      "parallelism": 3,
+      "operator_overrides": {
+        "per_operator": { "window": {
+          "transport": { "queue_records": 512 },
+          "tuning": { "Window": {
+            "lateness": 60000,
+            "compaction_interval_ms": 1000,
+            "tiling": { "granularities_ms": [2000, 10000] } } } } } },
+      "sources": [ { "table_name": "ovr_evt", "source": { "Memory": {} } } ],
+      "sql": "SELECT ts_ms, key, sum(value) OVER (PARTITION BY key ORDER BY ts_ms RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS s10 FROM ovr_evt",
+      "sink": { "Memory": {"table_name": "ovr_out"} }
+    }"""
+    val evs = (0 until 120).map(i => (1704067200000L + 997L * i, s"k${i % 2}", (i % 9) / 4.0))
+    val handle = Pipeline.runJson(spark, spec,
+      tables = Map("ovr_evt" -> mem.toDF().toDF("ts_ms", "key", "value")))
+    try {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "3")
+      // out-of-order arrival within the override's 60 s lateness
+      val rnd = new scala.util.Random(7)
+      evs.grouped(60).foreach { b => mem.addData(rnd.shuffle(b): _*); handle.query.get.processAllAvailable() }
+      mem.addData(evs.map(_._2).distinct.map(k => (SlidingWindows.FLUSH_TS, k, 0.0)): _*)
+      handle.query.get.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, evs.head._2, 0.0))
+      handle.query.get.processAllAvailable()
+      evs.toDF("ts_ms", "key", "value").createOrReplaceTempView("ovr_batch")
+      val want = spark.sql(
+        """SELECT ts_ms, key, sum(value) OVER (PARTITION BY key ORDER BY ts_ms
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS s10 FROM ovr_batch""")
+        .collect().map(r => (r.getLong(0), r.getString(1), R.r6(r.getDouble(2)))).toSet
+      val got = spark.table("ovr_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), R.r6(r.getDouble(2)))).toSet
+      assert(got == want)
+    } finally {
+      handle.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
   test("Datagen source: field generators produce the declared columns deterministically") {
     val spec = """{
       "execution_mode": "Batch",

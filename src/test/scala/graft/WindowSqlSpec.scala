@@ -62,6 +62,16 @@ class WindowSqlSpec extends AnyFunSuite {
                 sum(a) OVER (PARTITION BY k2 ORDER BY t RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS y
          FROM t""").isLeft) // two partition keys
     assert(WindowSql.compile(spark, "SELECT a, b FROM t").isLeft)
+    // arity mismatches return Left, not exceptions (compile-or-explain)
+    assert(WindowSql.compile(spark,
+      "SELECT sum_cate(v) OVER (PARTITION BY k ORDER BY t RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS x FROM t").isLeft)
+    assert(WindowSql.compile(spark,
+      "SELECT top(v) OVER (PARTITION BY k ORDER BY t RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS x FROM t").isLeft)
+    assert(WindowSql.compile(spark,
+      "SELECT top_n_key_sum_cate_where(v, c, g) OVER (PARTITION BY k ORDER BY t RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS x FROM t").isLeft)
+    assert(WindowSql.compile(spark,
+      "SELECT top(v, n) OVER (PARTITION BY k ORDER BY t RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS x FROM t")
+      .isLeft, "non-literal n")
   }
 
   test("same SQL: streaming pipeline == batch Catalyst, via the spec loader") {
@@ -171,6 +181,124 @@ class WindowSqlSpec extends AnyFunSuite {
       val got = spark.table("flag_ml_out").collect().map(shape(_, cntLong = false)).toSet
       assert(got == want, "streaming engine via spec loader")
     } finally handle.stop()
+  }
+
+  test("literal README flagship: join ahead of the window, interval frames, streaming == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.prepare(spark, null)
+    // The reference README's flagship pipeline (README.md:105-146), same
+    // text modulo (a) standard clause order — Spark's parser wants FROM
+    // before WINDOW — and (b) the code-confirmed (value, cond, cate)
+    // argument order for count_cate_where (cate/udf.rs:80-120; the
+    // README example itself transposes cate and cond).
+    val flagship = """
+      SELECT
+        u.user_id,
+        count(*) OVER w_short AS purchases_1h,
+        sum(o.amount) OVER w_long AS spent_30d,
+        top(o.product_id, 3) OVER w_long AS top_products_30d,
+        topn_frequency(o.product_id, 3) OVER w_long AS top_product_freq_30d,
+        top1_ratio(o.product_id) OVER w_rows AS top_product_dominance_last_100,
+        sum_cate(o.amount, o.product_type) OVER w_long AS spent_per_category,
+        count_cate_where(o.product_id, o.product_type = 'ON_SALE', o.product_type) OVER w_short AS on_sale_count_1h
+      FROM users u
+      JOIN orders o
+        ON u.user_id = o.buyer_id
+      WINDOW
+        w_short AS (
+          PARTITION BY u.user_id
+          ORDER BY o.event_time
+          RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+        ),
+        w_long AS (
+          PARTITION BY u.user_id
+          ORDER BY o.event_time
+          RANGE BETWEEN INTERVAL '30 day' PRECEDING AND CURRENT ROW
+        ),
+        w_rows AS (
+          PARTITION BY u.user_id
+          ORDER BY o.event_time
+          ROWS BETWEEN 100 PRECEDING AND CURRENT ROW
+        )"""
+
+    val users = Seq(("u0", "ann"), ("u1", "bo"), ("u2", "cy"), ("u3", "dee"))
+      .toDF("user_id", "name")
+    // event_time in ms over ~40 h so the 1 h window actually slides
+    val orders = (0 until 300).map { i =>
+      (1704067200000L + 480000L * i, s"u${i % 3}", (i * 7 % 29) / 4.0,
+        s"p${i % 7}", Seq("GADGET", "BOOK", "ON_SALE")(i % 5 % 3))
+    }
+    users.createOrReplaceTempView("users")
+    orders.toDF("event_time", "buyer_id", "amount", "product_id", "product_type")
+      .createOrReplaceTempView("orders")
+
+    val c = WindowSql.compile(spark, flagship).fold(e => fail(e), identity)
+    assert(c.relations.map(_.table) == Seq("users", "orders"))
+    assert(c.table == "orders", "the ts qualifier names the streaming side")
+    assert(c.aggs.map(_.frame) == Seq(RangeMs(3600000), RangeMs(2592000000L),
+      RangeMs(2592000000L), RangeMs(2592000000L), RowsN(100),
+      RangeMs(2592000000L), RangeMs(3600000)))
+
+    // batch reference: Catalyst can't RANGE an interval over a LONG ts, so
+    // the reference query uses the equivalent ms literals
+    val batchSql = flagship
+      .replace("INTERVAL '1 hour'", "3600000")
+      .replace("INTERVAL '30 day'", "2592000000")
+    def shape(r: org.apache.spark.sql.Row, cntLong: Boolean): (String, Double, Double,
+        String, String, Option[Double], String, String) =
+      (r.getString(0),
+        if (cntLong) r.getLong(1).toDouble else r.getDouble(1),
+        R.r6(r.getDouble(2)), r.getString(3), r.getString(4),
+        Option(r.get(5)).map(d => R.r6(d.asInstanceOf[Double])),
+        r.getString(6), r.getString(7))
+    val want = spark.sql(batchSql).collect().map(shape(_, cntLong = true))
+      .toSeq.sorted
+    assert(want.nonEmpty)
+
+    // streaming: orders is the stream, users the static join side
+    val mem = MemoryStream[(Long, String, Double, String, String)]
+    val srcs = Map(
+      "orders" -> mem.toDF().toDF("event_time", "buyer_id", "amount", "product_id", "product_type"),
+      "users" -> users)
+    val out = c.runWith(srcs, latenessMs = 0, tileGranularityMs = 600000)
+    val qname = s"flagship_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      orders.grouped(100).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val buyers = orders.map(_._2).distinct
+      mem.addData(buyers.map(b => (SlidingWindows.FLUSH_TS, b, 0.0, null: String, null: String)): _*)
+      q.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, buyers.head, 0.0, null: String, null: String))
+      q.processAllAvailable()
+      val got = spark.table(qname).collect().map(shape(_, cntLong = false)).toSeq.sorted
+      assert(got == want, "README flagship: streaming == batch")
+    } finally q.stop()
+  }
+
+  test("batch router: frame length picks WindowExec vs the tiled sweep") {
+    import spark.implicits._
+    GraftSession.prepare(spark, null)
+    events.map(e => (e._1, e._2, e._3)).toDF("ts_ms", "key", "value")
+      .createOrReplaceTempView("rt_evt")
+    def q(frameMs: Long) =
+      s"""SELECT ts_ms, key, value,
+                 top(value, 3) OVER (PARTITION BY key ORDER BY ts_ms
+                   RANGE BETWEEN $frameMs PRECEDING AND CURRENT ROW) AS t
+          FROM rt_evt ORDER BY ts_ms, key"""
+    val short = WindowSql.runBatchAuto(spark, q(5000), tileGranularityMs = 2000)
+    val long = WindowSql.runBatchAuto(spark, q(3600000), tileGranularityMs = 60000)
+    val shortPlan = short.queryExecution.executedPlan.toString
+    val longPlan = long.queryExecution.executedPlan.toString
+    assert(shortPlan.contains("Window ["), "short ML frame stays on WindowExec")
+    assert(!longPlan.contains("Window [") && longPlan.contains("MapGroups"),
+      "long ML frame routes through the tiled sweep")
+    // both paths agree with plain Catalyst SQL
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSeq
+    assert(rows(long) == rows(spark.sql(q(3600000))))
+    assert(rows(short) == rows(spark.sql(q(5000))))
   }
 
   private def jstr(s: String): String =
