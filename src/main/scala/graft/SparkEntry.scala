@@ -489,10 +489,17 @@ object SparkEntry {
           """SELECT ts DIV 1000000 AS ts_ms, CAST(user_id AS STRING) AS key,
                     CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS value
              FROM events""")
+        // bucket granularity sized to the data density (events average
+        // ~2/key/day): day buckets keep the bucket count ~rows/2 instead
+        // of one bucket per row, which is what bounds the per-bucket
+        // state-store op count; frames (1 h) smaller than a bucket are
+        // evaluated from raw rows at the edges, which these sparse frames
+        // make trivially cheap
         StreamVerify.runBounded(s, ev, "key", "ts_ms", "value",
             Seq(AggSpec("sum_1h_c", "sum", RangeMs(3600000)),
                 AggSpec("cnt_1h", "count", RangeMs(3600000))),
-            latenessMs = 0, tileGranularityMs = 600000, useTws = true)
+            latenessMs = 0, tileGranularityMs = 86400000L,
+            statePartitions = 4, useTws = true)
           .select(col("ts_ms"), col("key"), (col("value") / 100).as("value"),
             (col("sum_1h_c") / 100).as("sum_1h"), col("cnt_1h").cast("long").as("cnt_1h"))
           .orderBy("ts_ms", "key", "value")
@@ -906,6 +913,33 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       },
       DedupOracles.annLsh(5))
+
+    // IVF-Flat ANN as a driver row: KMeans cluster assignments aren't
+    // DuckDB-replayable, so the query scores the IVF results against the
+    // in-query brute-force ground truth and emits thresholded facts the
+    // oracle CAN predict: query count and mean recall@5 >= 0.5 at a
+    // ~37% scan (nlist 64 / nprobe 24) — well above the ~0.3 radius-2 LSH
+    // recall at similar cost, and far below the 0.86 measured mean, so the
+    // row is stable across KMeans float-order variation. Exact per-query
+    // recall curves stay sbt-quantified (OperatorsSpec).
+    m += "q_ann_ivf" -> op(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{avg, coalesce, count, lit}
+        val emb = GraftSession.table(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+        val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+          nlist = 64, nprobe = 24)
+        val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        val hits = ivf.join(bf.select(col("query_id"), col("nn_id")),
+            Seq("query_id", "nn_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        bf.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(coalesce(col("hits"), lit(0)).as("hits"))
+          .agg(count(lit(1)).cast("long").as("n_queries"),
+            (avg(col("hits")) / 5 >= 0.5).as("recall_ok"))
+      },
+      "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(true AS BOOLEAN) AS recall_ok")
 
     m += "q_multimodal" -> op(
       (s, dir) => GraftSession.table(s, dir, "documents")

@@ -614,6 +614,20 @@ object SlidingWindows {
   // Streaming mode
   // ------------------------------------------------------------------
 
+  /** The column of an upstream event-time watermark node, when one
+    * exists — e.g. per-source `withWatermark` assigned by the pipeline
+    * loader, or per-branch watermarks ahead of a union. Spark disallows
+    * redefining a watermark downstream, and the stateful operators work
+    * off whichever nodes exist (combined per
+    * `spark.sql.streaming.multipleWatermarkPolicy`), so the engine
+    * carries that column through instead of adding its own. Upstream
+    * watermarks must track the same event time the ts column carries. */
+  private def upstreamWatermarkCol(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        e.eventTime.name
+    }
+
   private[graft] def prepareMulti(df: DataFrame, keyCol: String, tsMsCol: String,
                                       valueCols: Seq[String], strCols: Seq[String],
                                       latenessMs: Long, watermark: Boolean): DataFrame = {
@@ -623,14 +637,23 @@ object SlidingWindows {
     val strArr =
       if (strCols.isEmpty) array().cast("array<string>")
       else array(strCols.map(c => col(c).cast("string")): _*)
-    val base = df.select(
+    val core = Seq(
       col(tsMsCol).cast("long").as("__ts"),
       col(keyCol).cast("string").as("__key"),
       numArr.as("__nums"), strArr.as("__strs"))
-    if (watermark)
-      base.withColumn("__et", timestamp_millis(col("__ts")))
-        .withWatermark("__et", s"$latenessMs milliseconds")
-    else base
+    if (!watermark) return df.select(core: _*)
+    upstreamWatermarkCol(df) match {
+      case Some(c) =>
+        require(df.columns.contains(c),
+          s"upstream watermark column '$c' must stay in the frame handed to the engine")
+        // carried untouched: a cast or alias would strip the watermark
+        // metadata the stateful operator checks for (decode is positional)
+        df.select(core :+ col(c): _*)
+      case None =>
+        df.select(core: _*)
+          .withColumn("__et", timestamp_millis(col("__ts")))
+          .withWatermark("__et", s"$latenessMs milliseconds")
+    }
   }
 
   /** Streaming per-row sliding windows with per-spec value/category slots.
@@ -648,7 +671,10 @@ object SlidingWindows {
                      coarseTilesMs: Seq[Long] = Nil): DataFrame = {
     val grans = tileGrans(tileGranularityMs, coarseTilesMs)
     val outEnc = Encoders.row(outputSchema(specs, valueCols, strCols))
-    val stateEnc = Encoders.kryo[KeyState]
+    // per-key state stores as StateCodec bytes (scalars + buffer rows,
+    // tiles rebuilt on decode) — the whole blob rewrites every trigger,
+    // so the flat codec is the write-amplification floor here
+    val stateEnc = Encoders.BINARY
     val maxRangeMs = specs.map(_.frame).collect { case RangeMs(l) => l }.foldLeft(0L)(math.max)
     val maxRows = specs.map(_.frame).collect { case RowsN(n) => n }.foldLeft(0)(math.max)
     val needs = needsOf(specs, valueCols.length, strCols.length)
@@ -662,8 +688,9 @@ object SlidingWindows {
       .groupByKey(_._2)
 
     val fn = (key: String, rows: Iterator[(Long, String, Seq[Double], Seq[String], java.sql.Timestamp)],
-              state: GroupState[KeyState]) => {
-      val st = state.getOption.getOrElse(new KeyState)
+              state: GroupState[Array[Byte]]) => {
+      val st = state.getOption.map(StateCodec.decodeKeyState(_, grans, needs))
+        .getOrElse(new KeyState)
       val wm = state.getCurrentWatermarkMs()
       // ingest (drop terminal-flush sentinels and already-emitted positions)
       rows.foreach { r =>
@@ -700,7 +727,7 @@ object SlidingWindows {
           }
         }
       }
-      state.update(st)
+      state.update(StateCodec.encodeKeyState(st))
       // wake up when the watermark reaches the earliest unemitted row
       var j = 0
       while (j < buf.length && ordLeq(buf(j)._1, buf(j)._2, st.emittedTs, st.emittedSeq)) j += 1

@@ -43,12 +43,15 @@ object SlidingWindowsTws {
                         needs: Needs, maxRangeMs: Long, maxRows: Int)
     extends StatefulProcessor[String, (Long, String, Seq[Double], Seq[String], java.sql.Timestamp), Row] {
 
-    @transient private var buckets: MapState[Long, Bucket] = _
+    /** Buckets store as StateCodec bytes (rows only, tile rebuilt on
+      * decode) — the flat codec beats Kryo's class-graph walk on the
+      * per-touched-bucket write path. */
+    @transient private var buckets: MapState[Long, Array[Byte]] = _
     @transient private var meta: ValueState[Meta] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buckets = getHandle.getMapState[Long, Bucket]("buckets",
-        Encoders.scalaLong, Encoders.kryo[Bucket], TTLConfig.NONE)
+      buckets = getHandle.getMapState[Long, Array[Byte]]("buckets",
+        Encoders.scalaLong, Encoders.BINARY, TTLConfig.NONE)
       meta = getHandle.getValueState[Meta]("meta", Encoders.kryo[Meta], TTLConfig.NONE)
     }
 
@@ -62,6 +65,21 @@ object SlidingWindowsTws {
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] =
       process(key, Iterator.empty, timerValues)
 
+    /** Insert one row into a bucket, keeping (ts, seq) order. */
+    private def insertRow(bk: Bucket, row: (Long, Long, Array[Double], Array[String])): Unit = {
+      val rb = bk.rows
+      if (rb.isEmpty || ordLeq(rb.last._1, rb.last._2, row._1, row._2)) rb += row
+      else {
+        var lo = 0; var hi = rb.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ordLeq(rb(mid)._1, rb(mid)._2, row._1, row._2)) lo = mid + 1 else hi = mid
+        }
+        rb.insert(lo, row)
+      }
+      bk.tile.add(row._3, row._4)
+    }
+
     private def process(
         key: String,
         rows: Iterator[(Long, String, Seq[Double], Seq[String], java.sql.Timestamp)],
@@ -71,34 +89,64 @@ object SlidingWindowsTws {
       var emTs = m0.emittedTs; var emSeq = m0.emittedSeq
       val wm = timerValues.getCurrentWatermarkInMs()
 
-      // load retained buckets (TreeMap: ascending bucket order)
-      val local = mutable.TreeMap.empty[Long, Bucket]
-      buckets.iterator().foreach { case (b, bk) => local(b) = bk }
-      val touched = mutable.HashSet.empty[Long]
-
-      // ingest into buckets (drop flush sentinels and pre-emitted positions)
+      // materialize fresh rows (drop flush sentinels and pre-emitted)
+      val fresh = mutable.ArrayBuffer.empty[(Long, Long, Array[Double], Array[String])]
+      var minNew = Long.MaxValue
       rows.foreach { r =>
         val ts = r._1
         if (ts != FLUSH_TS && ts > emTs) {
           val seq = nextSeq; nextSeq += 1
-          val bStart = Math.floorDiv(ts, gran) * gran
-          val bk = local.getOrElseUpdate(bStart, {
-            val b = new Bucket; b.tile = new Tile(needs); b
-          })
-          val rb = bk.rows
-          val row = (ts, seq, r._3.toArray, r._4.toArray)
-          if (rb.isEmpty || ordLeq(rb.last._1, rb.last._2, ts, seq)) rb += row
-          else {
-            var lo = 0; var hi = rb.length
-            while (lo < hi) {
-              val mid = (lo + hi) >>> 1
-              if (ordLeq(rb(mid)._1, rb(mid)._2, ts, seq)) lo = mid + 1 else hi = mid
-            }
-            rb.insert(lo, row)
-          }
-          bk.tile.add(row._3, row._4)
-          touched += bStart
+          fresh += ((ts, seq, r._3.toArray, r._4.toArray))
+          if (ts < minNew) minNew = ts
         }
+      }
+
+      // Emission is due only when the watermark reached the registered
+      // timer (earliest unemitted row) or a fresh row is already at/below
+      // the watermark. Otherwise the batch touches ONLY the buckets the
+      // fresh rows land in — no per-key full state load. This is the read
+      // half of the granular-state design (the write half is the
+      // touched-buckets-only write-back below); a watermark-advance-only
+      // batch (e.g. the terminal-flush batch of a bounded run, whose
+      // sentinel rows are all dropped) costs zero state I/O per key.
+      val emissionDue = (m0.timerTs > 0 && wm >= m0.timerTs) || minNew <= wm
+      if (!emissionDue) {
+        if (fresh.nonEmpty) {
+          fresh.groupBy(r => Math.floorDiv(r._1, gran) * gran).foreach { case (bStart, rs) =>
+            val bk = Option(buckets.getValue(bStart))
+              .map(StateCodec.decodeBucket(_, needs)).getOrElse {
+                val b = new Bucket; b.tile = new Tile(needs); b
+              }
+            rs.foreach(insertRow(bk, _))
+            buckets.updateValue(bStart, StateCodec.encodeBucket(bk))
+          }
+          // single live timer at the earliest unemitted row
+          val earliest = math.min(minNew, if (m0.timerTs > 0) m0.timerTs else Long.MaxValue)
+          val want = math.max(earliest, wm + 1)
+          var timerTs = m0.timerTs
+          if (want != timerTs) {
+            if (timerTs > 0) getHandle.deleteTimer(timerTs)
+            getHandle.registerTimer(want)
+            timerTs = want
+          }
+          meta.update(Meta(nextSeq, emTs, emSeq, timerTs))
+        }
+        return Iterator.empty
+      }
+
+      // emission path: load retained buckets (TreeMap: ascending order)
+      val local = mutable.TreeMap.empty[Long, Bucket]
+      buckets.iterator().foreach { case (b, bytes) =>
+        local(b) = StateCodec.decodeBucket(bytes, needs)
+      }
+      val touched = mutable.HashSet.empty[Long]
+      fresh.foreach { row =>
+        val bStart = Math.floorDiv(row._1, gran) * gran
+        val bk = local.getOrElseUpdate(bStart, {
+          val b = new Bucket; b.tile = new Tile(needs); b
+        })
+        insertRow(bk, row)
+        touched += bStart
       }
 
       // materialize the evaluation view (same-ts rows share a bucket, so
@@ -144,9 +192,11 @@ object SlidingWindowsTws {
 
       // write back ONLY the touched buckets — the structural win over
       // rewriting the whole per-key state blob
-      touched.foreach(b => local.get(b).foreach(bk => buckets.updateValue(b, bk)))
+      touched.foreach(b => local.get(b).foreach(bk =>
+        buckets.updateValue(b, StateCodec.encodeBucket(bk))))
 
-      // single live timer at the earliest unemitted row
+      // single live timer at the earliest unemitted row; none left -> no
+      // timer, so later watermark-only batches skip this key entirely
       var timerTs = m0.timerTs
       if (i < buf.length) {
         val want = math.max(buf(i)._1, wm + 1)
@@ -155,6 +205,9 @@ object SlidingWindowsTws {
           getHandle.registerTimer(want)
           timerTs = want
         }
+      } else if (timerTs > 0) {
+        getHandle.deleteTimer(timerTs)
+        timerTs = 0L
       }
       meta.update(Meta(nextSeq, emTs, emSeq, timerTs))
       out.iterator
@@ -178,6 +231,10 @@ object SlidingWindowsTws {
     // background — the fast-commit mode granular bucket writes are for
     df.sparkSession.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // exact per-store row counts cost a get per put/delete; the engine
+    // never reads them (documented RocksDB state-store perf knob)
+    df.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
     val outEnc = Encoders.row(outputSchema(specs, valueCols, strCols))
     val maxRangeMs = specs.map(_.frame).collect { case RangeMs(l) => l }.foldLeft(0L)(math.max)
     val maxRows = specs.map(_.frame).collect { case RowsN(n) => n }.foldLeft(0)(math.max)

@@ -449,6 +449,55 @@ class SlidingWindowsSpec extends AnyFunSuite {
     assert(runWhereStreaming(tws = true) == whereReference())
   }
 
+  test("idle-source watermark: min-policy stalls on an idle source, max policy unblocks") {
+    // The reference excludes idle upstreams from the watermark min-merge
+    // after a timeout (watermark/manager.rs:29-75). Spark's global
+    // watermark takes the MIN across watermark nodes by default, so a
+    // union with one quiet source holds emission at that source's
+    // watermark; the supported mitigation is
+    // spark.sql.streaming.multipleWatermarkPolicy=max (documented
+    // deviation — README scale notes).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = (0 until 100).map(i => (1704067200000L + 1000L * i, "k", i.toDouble))
+
+    def run(policy: String): Long = {
+      val prev = spark.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
+      spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+      try {
+        import org.apache.spark.sql.functions.{col => fcol, timestamp_millis}
+        val active = MemoryStream[(Long, String, Double)]
+        val idle = MemoryStream[(Long, String, Double)]
+        def branch(m: MemoryStream[(Long, String, Double)]) =
+          m.toDF().toDF("ts_ms", "key", "value")
+            .withColumn("__wm", timestamp_millis(fcol("ts_ms")))
+            .withWatermark("__wm", "0 milliseconds")
+        val src = branch(active).union(branch(idle))
+        val out = SlidingWindows.streamingMulti(src, "key", "ts_ms",
+          Seq("value"), Nil, Seq(AggSpec("s10", "sum", RangeMs(10000))),
+          latenessMs = 0, tileGranularityMs = 5000)
+        val qname = s"idle_wm_${System.nanoTime()}"
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName(qname).trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          // only the active source ever produces data
+          active.addData(evs: _*); q.processAllAvailable()
+          active.addData((SlidingWindows.FLUSH_TS, "k", 0.0)); q.processAllAvailable()
+          active.addData((SlidingWindows.FLUSH_TS, "k", 0.0)); q.processAllAvailable()
+          spark.table(qname).count()
+        } finally q.stop()
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", p)
+          case None => spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+        }
+      }
+    }
+
+    assert(run("min") == 0L, "idle source holds the min watermark at 0 — nothing emits")
+    assert(run("max") == evs.length, "max policy lets the active source drive emission")
+  }
+
   test("late rows beyond watermark are dropped, not wrong") {
     // batch 1 advances the watermark far; batch 2's old row must be dropped
     val b1 = (0 until 100).map(i => (1704067200000L + 1000L * i, "k", i.toDouble))
