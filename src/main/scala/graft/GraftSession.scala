@@ -25,6 +25,22 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // wide signature aggregates (MinHash's 128 min() columns, SimHash's
+      // 60 vote columns) must stay inside whole-stage codegen; the default
+      // cutoff (100 fields) silently drops them to interpreted evaluation
+      .config("spark.sql.codegen.maxFields", "256")
+      // broadcast from MEASURED shuffle sizes (AQE), never from Catalyst's
+      // static size guesses: post-aggregate estimates are wildly off, which
+      // both mis-broadcasts big intermediates (a driver-side OOM source at
+      // scale) and plans BroadcastExchange over whole pipelines, re-running
+      // them per join branch instead of reusing one materialized shuffle.
+      // Streaming plans (no AQE) broadcast via explicit hints instead.
+      // 8 MB: dimension tables and candidate-pair frames qualify; row-heavy
+      // intermediates (e.g. a corpus's exploded shingle rows) never do —
+      // their single-threaded hash-relation build costs more than the
+      // shuffle they replace
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "8388608")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

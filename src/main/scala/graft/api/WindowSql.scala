@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFu
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, CurrentRow, Expression, Literal, RangeFrame, RowFrame, SortOrder, SpecifiedWindowFrame, UnaryMinus, UnresolvedWindowExpression, WindowExpression, WindowSpecDefinition, WindowSpecReference}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, Sort, SubqueryAlias, WithWindowDefinition}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{broadcast, col, expr}
 import org.apache.spark.sql.types.{CalendarIntervalType, DataType, DayTimeIntervalType, StringType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
@@ -110,7 +110,11 @@ object WindowSql {
       val joined = frames match {
         case Seq(one) => one
         case Seq(l, r) =>
-          l.join(r, expr(joinCondSql.getOrElse(sys.error("join needs an ON condition"))), "inner")
+          // streaming has no AQE and the session disables static
+          // auto-broadcast (GraftSession), so the static dimension side of
+          // a stream-static join is broadcast explicitly
+          val rside = if (l.isStreaming && !r.isStreaming) broadcast(r) else r
+          l.join(rside, expr(joinCondSql.getOrElse(sys.error("join needs an ON condition"))), "inner")
         case _ => sys.error("at most two FROM relations supported")
       }
       val src = derived.foldLeft(joined) { case (df, (name, sql)) =>

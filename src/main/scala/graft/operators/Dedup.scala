@@ -70,36 +70,60 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** One row per (doc, k-char shingle): distinct shingles exploded, hashed
-    * to 31 bits. The single linear pass every text-dedup variant builds on.
+  /** The signature passes below do heavy per-row work (shingle explode +
+    * one hash per shingle + a wide aggregate) and inherit the scan's split
+    * count. At 100 TB a table arrives in thousands of splits and this is a
+    * no-op; locally a single small parquet file would otherwise pin the
+    * whole linear pass to one core.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** One row per (doc, k-char shingle position), hashed to 31 bits — the
+    * single linear pass every text-dedup variant builds on. Shingles are
+    * NOT deduplicated here: per-row `array_distinct` over a ~|text|-sized
+    * string array is quadratic in the text length, while every consumer is
+    * already duplicate-insensitive (MinHash `min()` folds duplicates;
+    * Jaccard runs a distributed `.distinct()` over the hashed rows).
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("__id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
-          i => col(textCol).substr(i, lit(k))))).as("__s"))
+    spread(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"),
+        explode(transform(
+          sequence(lit(1), greatest(length(col("__t")) - (k - 1), lit(1))),
+          i => col("__t").substr(i, lit(k)))).as("__s"))
       .select(col("__id"), hash31(col("__s")).as("__x"))
 
   /** MinHash signatures as one codegen'd hash-aggregate pass: numHashes
-    * min() columns over the exploded shingle rows (plus any extra aggs).
-    * Returns one row per __id with columns m0..m{n-1}.
+    * min() columns over the exploded shingle rows (plus any extra aggs),
+    * packed into one `__sig` array column. Every downstream consumer
+    * (band keys, both signature re-attach joins) derives from this ONE
+    * frame, so their aggregate subplans canonicalize identically and
+    * Spark's exchange reuse runs the expensive pass once per query.
     */
   private def minhashSigs(sh: DataFrame, numHashes: Int,
-                          extra: Seq[Column] = Nil): DataFrame = {
+                          extra: Seq[(Column, String)] = Nil): DataFrame = {
     val aggs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__x") + lit(b)) % P31).as(s"m$i")
-    } ++ extra
+    } ++ extra.map { case (c, n) => c.as(n) }
     sh.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+      .select(col("__id") +:
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("__sig") +:
+        extra.map { case (_, n) => col(n) }: _*)
   }
 
-  /** (id, band, bandKey) rows: the signature sliced into `bands` keys, each
-    * the comma-join of its rowsPerBand values (engine-portable join key).
+  /** (id, band, bandKey) rows: the signature array sliced into `bands`
+    * keys, each the comma-join of its rowsPerBand values (engine-portable
+    * join key).
     */
   private def bandRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rpb = numHashes / bands
     sig.select(col("__id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          concat_ws(",", (0 until rpb).map(r => col(s"m${b * rpb + r}")): _*).as("bk"))
+          concat_ws(",", (0 until rpb).map(r =>
+            element_at(col("__sig"), b * rpb + r + 1).cast("string")): _*).as("bk"))
       }: _*)).as("__e"))
       .select(col("__id"), col("__e.band").as("__band"), col("__e.bk").as("__bk"))
   }
@@ -159,11 +183,9 @@ object Dedup {
                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val sig = minhashSigs(shingleRows(df, idCol, textCol, k), numHashes)
-    val sigArr = sig.select(col("__id"),
-      array((0 until numHashes).map(i => col(s"m$i")): _*).as("__sig"))
     val pairs = candidatePairs(bandRows(sig, numHashes, bands), maxBucket, "minhash")
-      .join(sigArr.select(col("__id").as("__lid"), col("__sig").as("__lsig")), "__lid")
-      .join(sigArr.select(col("__id").as("__rid"), col("__sig").as("__rsig")), "__rid")
+      .join(sig.select(col("__id").as("__lid"), col("__sig").as("__lsig")), "__lid")
+      .join(sig.select(col("__id").as("__rid"), col("__sig").as("__rsig")), "__rid")
     val eq = aggregate(
       zip_with(col("__lsig"), col("__rsig"), (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
@@ -182,8 +204,9 @@ object Dedup {
                    maxHamming: Int = 3,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bits = 60; val bandBits = 15; val nBands = 4
-    val tok = df.select(col(idCol).as("__id"),
-        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("__t"))
+    val tok = spread(df.select(col(idCol).as("__id"), col(textCol).as("__txt")))
+      .select(col("__id"),
+        explode(regexp_extract_all(col("__txt"), lit("\\S+"), lit(0))).as("__t"))
       .select(col("__id"), hash60(col("__t")).as("__h"))
     val voteAggs = (0 until bits).map(b =>
       sum(when(call_function("shiftright", col("__h"), lit(b))
@@ -211,23 +234,36 @@ object Dedup {
 
   /** Exact n-gram-Jaccard near-dup removal, LSH-pruned: MinHash bands
     * propose candidates; exact Jaccard over the hashed shingle sets
-    * verifies. Signature and shingle set come out of the same single
-    * aggregate pass over the exploded shingles.
+    * verifies. The intersection is counted by joining the candidate pairs
+    * back to the distinct (id, hash) shingle rows — not by carrying
+    * collected set payloads through the shuffle: set aggregates force the
+    * whole signature aggregate onto the non-codegen ObjectHashAggregate
+    * path and ship every document's full set through every band, while
+    * the pair join's cost is bounded by the LSH candidate count.
     */
   def ngramJaccardDedup(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, threshold: Double = 0.8,
                         numHashes: Int = 32, bands: Int = 8,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sig = minhashSigs(shingleRows(df, idCol, textCol, k), numHashes,
-      extra = Seq(collect_set(col("__x")).as("__set")))
-    val sets = sig.select(col("__id"), col("__set"))
-    val pairs = candidatePairs(bandRows(sig, numHashes, bands), maxBucket, "ngram")
-      .join(sets.select(col("__id").as("__lid"), col("__set").as("__lset")), "__lid")
-      .join(sets.select(col("__id").as("__rid"), col("__set").as("__rset")), "__rid")
-    val inter = size(array_intersect(col("__lset"), col("__rset")))
-    val uni = size(col("__lset")) + size(col("__rset")) - inter
-    val jac = when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
-    val losers = pairs.where(jac >= threshold)
+    // distinct post-hash, so |intersection| counts hash-set members exactly
+    // like the previous set semantics (and the DuckDB oracle's sh CTE);
+    // set sizes ride the signature aggregate (count(*) over distinct rows)
+    val shd = shingleRows(df, idCol, textCol, k).distinct()
+    val sig = minhashSigs(shd, numHashes, extra = Seq((count(lit(1)), "__sz")))
+    val sizes = sig.select(col("__id"), col("__sz"))
+    // join order keeps the corpus-side shingle table streaming: the pair
+    // list (LSH-capped) and its one-hop expansion are the small sides, so
+    // AQE broadcasts them from measured sizes and shd is never shuffled,
+    // sorted, or broadcast
+    val inter = candidatePairs(bandRows(sig, numHashes, bands), maxBucket, "ngram")
+      .join(shd.select(col("__id").as("__lid"), col("__x")), "__lid")
+      .join(shd.select(col("__id").as("__rid"), col("__x")), Seq("__rid", "__x"))
+      .groupBy("__lid", "__rid").agg(count(lit(1)).as("__int"))
+      .join(sizes.select(col("__id").as("__lid"), col("__sz").as("__lsz")), "__lid")
+      .join(sizes.select(col("__id").as("__rid"), col("__sz").as("__rsz")), "__rid")
+    val jac = col("__int").cast("double") /
+      (col("__lsz") + col("__rsz") - col("__int")).cast("double")
+    val losers = inter.where(jac >= threshold)
       .select(col("__rid").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -293,7 +329,7 @@ object Dedup {
                         dim: Int = 64,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val hp = planeCoeffs(planes, dim, seed = 7)
-    val q = df.select(col(idCol).as("__id"), quantize(col(embCol)).as("__q"))
+    val q = spread(df.select(col(idCol).as("__id"), quantize(col(embCol)).as("__q")))
     val bucket = hp.zipWithIndex.map { case (w, i) =>
       when(dotL(col("__q"), array(w.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)

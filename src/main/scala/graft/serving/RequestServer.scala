@@ -28,6 +28,11 @@ final class RequestServer(store: FeatureStore, port: Int = 0) {
 
   /** Starts the server; returns the actual bound port. */
   def start(): Int = {
+    // JDK HttpServer leaves Nagle's algorithm on, and a response is two
+    // small writes (headers, then body): with client-side delayed ACKs
+    // every lookup stalls ~40 ms. Must be set before the first HttpServer
+    // class-load reads its static config.
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/request", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
