@@ -183,6 +183,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_punct") == 1)
   }
 
+  test("minhash plan: spread input, one shared signature pipeline (exchange reuse)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // production session settings this plan shape depends on (GraftSession)
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold", "spark.sql.codegen.maxFields")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "-1")
+    spark.conf.set(keys(1), "8388608")
+    spark.conf.set(keys(2), "256")
+    try {
+      // the heavy per-row pass must not inherit a single-file scan's split count
+      assert(Dedup.shingleRows(docs01, "doc_id", "text", 5).rdd.getNumPartitions ==
+        spark.sparkContext.defaultParallelism)
+      val fin = Dedup.minhashLsh(docs01, "doc_id", "text")
+      fin.collect()
+      val plan = fin.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        .getOrElse(fin.queryExecution.executedPlan).toString
+      // the expensive signature aggregate materializes ONCE; band keys and
+      // both signature re-attach branches read the reused exchange instead
+      // of re-running the explode+hash+aggregate pipeline per join branch
+      assert("ReusedExchange".r.findAllIn(plan).length >= 1, s"no exchange reuse:\n${plan.take(3000)}")
+      assert("FileScan parquet".r.findAllIn(plan).length <= 3,
+        s"documents scanned more than 3x:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("multimodal decode stub: deterministic metadata from bytes") {
     import spark.implicits._
     val df = Seq((7L, "some fake image payload bytes"))
