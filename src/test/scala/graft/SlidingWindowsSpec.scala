@@ -145,6 +145,25 @@ class SlidingWindowsSpec extends AnyFunSuite {
     assert(got == batchReference(events))
   }
 
+  /** Soak for the default (TWS) engine at the state shape the flip to
+    * default assumes: thousands of distinct keys (granular per-bucket
+    * MapState rows, per-key timers) plus one hot key holding ~20% of all
+    * rows (skewed state partition). Integer values keep sums exact under
+    * any accumulation order.
+    */
+  test("TWS soak: 3k keys + hot key (20% of rows) == batch OVER, exactly-once") {
+    val n = 30000
+    val soak: Seq[(Long, String, Double)] = (0 until n).map { i =>
+      val key = if (i % 5 == 0) "hot" else s"k${i % 3001}"
+      (1704067200000L + 40L * i + (i % 7), key, (i % 97).toDouble)
+    }
+    val rnd = new scala.util.Random(7)
+    val batches = soak.grouped(10000).toSeq.map(b => rnd.shuffle(b))
+    val got = runStreaming(batches, lateness = 600000, tileGran = 60000, tws = true)
+    assert(got.size == n, s"exactly-once violated: ${got.size} of $n rows")
+    assert(got == batchReference(soak))
+  }
+
   // ------------------------------------------------------------------
   // Aggregate parity: stddev/variance family + ML aggregates, matching
   // the reference's 11 window agg kinds + retractable UDAFs
