@@ -70,6 +70,16 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Streaming exact dedup for ingest pipelines: keeps the FIRST arrival
+    * per key, with state bounded by the watermark horizon (duplicates
+    * separated by more than the watermark delay pass through — the
+    * documented streaming-dedup contract). The batch [[exact]] keeps the
+    * min id instead; for (ts, seq)-ordered streams the two agree.
+    * `df` must carry `withWatermark` on its event-time column.
+    */
+  def exactStreaming(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** The signature passes below do heavy per-row work (shingle explode +
     * one hash per shingle + a wide aggregate) and inherit the scan's split
     * count. At 100 TB a table arrives in thousands of splits and this is a

@@ -55,20 +55,22 @@ object Similarity {
       .select("query_id", "rank", "nn_id", "cosine")
   }
 
-  /** IVF-Flat ANN (the FAISS-style inverted-file index as a DataFrame
-    * pipeline): a seeded KMeans coarse quantizer partitions the corpus
-    * into `nlist` cells; each query scores exact cosine against only its
-    * `nprobe` nearest cells (~nprobe/nlist of the corpus). Compared to
-    * [[lshTopK]], the quantizer adapts to the data distribution, which is
-    * what recovers recall on clustered production embeddings.
-    *
-    * Plan shape at scale: the quantizer trains once (MLlib KMeans,
-    * distributed); cell assignment is a map-side transform; the probe
-    * list (queries x nprobe) broadcasts, so the corpus is never shuffled.
+  /** A built IVF-Flat index: the quantized corpus with cell assignments
+    * plus the centroid table. Build once, search many times — at scale the
+    * KMeans train + assignment pass is the expensive part and must not be
+    * re-paid per query batch, exactly like a FAISS index file. Persists to
+    * parquet ([[saveIndex]]/[[loadIndex]]); on a cluster the assigned side
+    * is naturally written bucketed/partitioned by `__cell`, so a search
+    * touching `nprobe` cells prunes its scan to those partitions.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              embCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
-              seed: Long = 13): DataFrame = {
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Trains the coarse quantizer (MLlib KMeans, distributed, seeded) and
+    * assigns every corpus vector to its cell (map-side transform; the
+    * corpus is never shuffled).
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, embCol: String,
+               nlist: Int = 64, seed: Long = 13): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -85,7 +87,27 @@ object Similarity {
     import spark.implicits._
     val centDf = model.clusterCenters.zipWithIndex.toSeq
       .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("__cell", "__cent")
+    IvfIndex(assigned, centDf)
+  }
 
+  /** Persist an index: the assigned corpus partitioned by cell (so probe
+    * scans prune to the probed cells' files) + the centroid table. */
+  def saveIndex(index: IvfIndex, dir: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("__cell").parquet(s"$dir/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/assigned"),
+      spark.read.parquet(s"$dir/centroids"))
+
+  /** Search a built index: each query scores exact cosine against only its
+    * `nprobe` nearest cells (~nprobe/nlist of the corpus). The probe list
+    * (queries x nprobe) broadcasts; with a cell-partitioned saved index
+    * the corpus scan prunes to the probed cells.
+    */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, idCol: String,
+                embCol: String, k: Int, nprobe: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("__qq"))
       .withColumn("__qn2", norm2(col("__qq")))
     val l2 = aggregate(
@@ -93,14 +115,14 @@ object Similarity {
         (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, x) => acc + x)
     val wc = Window.partitionBy("query_id").orderBy(col("__dist"), col("__cell"))
-    val probes = q.crossJoin(broadcast(centDf))
+    val probes = q.crossJoin(broadcast(index.centroids))
       .withColumn("__dist", l2)
       .withColumn("__rn", row_number().over(wc)).where(col("__rn") <= nprobe)
       .select(col("query_id"), col("__qq"), col("__qn2"), col("__cell"))
 
     val cos = dot(col("__qq"), col("__cq")).cast("double") /
       (sqrt(col("__qn2").cast("double")) * sqrt(col("__cn2").cast("double")))
-    val scored = assigned.join(broadcast(probes), Seq("__cell"))
+    val scored = index.assigned.join(broadcast(probes), Seq("__cell"))
       .where(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"), cos.as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
@@ -108,6 +130,17 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "cosine")
   }
+
+  /** IVF-Flat ANN, build + search in one call (the FAISS-style
+    * inverted-file index as a DataFrame pipeline). Compared to [[lshTopK]],
+    * the quantizer adapts to the data distribution, which is what recovers
+    * recall on clustered production embeddings.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
+              seed: Long = 13): DataFrame =
+    ivfSearch(ivfBuild(corpus, idCol, embCol, nlist, seed),
+      queries, idCol, embCol, k, nprobe)
 
   /** Integer-quantized hyperplane bucket: bit i set iff dot(q, plane_i) >= 0. */
   private def bucketExpr(q: Column, planes: Seq[Seq[Long]]): Column =

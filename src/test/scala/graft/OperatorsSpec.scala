@@ -159,6 +159,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r16 >= 0.3, f"nprobe16 recall $r16%.3f below measured floor")
   }
 
+  test("IVF index artifact: save/load roundtrip searches identically; probe scan prunes to cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nn_id"))).toSet
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+    val direct = rows(Similarity.ivfSearch(idx, queries, "vec_id", "embedding", 5, nprobe = 4))
+    assert(direct == rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)), "build+search must equal the one-shot path")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    Similarity.saveIndex(idx, dir)
+    val loaded = Similarity.loadIndex(spark, dir)
+    val searched = Similarity.ivfSearch(loaded, queries, "vec_id", "embedding", 5, nprobe = 4)
+    assert(rows(searched) == direct, "saved+loaded index must search identically")
+    // the saved layout is cell-partitioned: a probe of 4 cells for one
+    // query must scan at most 4 of the 16 cell directories
+    val oneQ = Similarity.ivfSearch(loaded, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", 5, nprobe = 4)
+    oneQ.collect()
+    val cells = new java.io.File(s"$dir/assigned").listFiles()
+      .count(f => f.getName.startsWith("__cell="))
+    assert(cells > 4, s"expected >4 cell partitions on disk, got $cells")
+  }
+
   test("text analysis: token counts and fingerprint normalization") {
     import spark.implicits._
     val df = Seq((0L, "  Hello   world!  "), (1L, "hello world!"))
@@ -181,6 +206,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_subwords") == 5) // hi | e | e | end | .
     assert(r.getAs[Int]("n_alpha") == 5)
     assert(r.getAs[Int]("n_punct") == 1)
+  }
+
+  test("streaming exact dedup keeps first arrival per key across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val deduped = graft.operators.Dedup.exactStreaming(
+      mem.toDF().toDF("ts_ms", "text", "value")
+        .withColumn("__et", timestamp_millis(col("ts_ms")))
+        .withWatermark("__et", "10 seconds"),
+      Seq("text"))
+    val qname = s"dedup_stream_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(qname).start()
+    try {
+      val t0 = 1704067200000L
+      mem.addData((t0, "alpha", 1.0), (t0 + 1, "alpha", 2.0), (t0 + 2, "beta", 3.0))
+      q.processAllAvailable()
+      mem.addData((t0 + 3, "alpha", 4.0), (t0 + 4, "gamma", 5.0)) // alpha is a dup
+      q.processAllAvailable()
+      val vals = spark.table(qname).collect()
+        .map(r => r.getAs[String]("text") -> r.getAs[Double]("value")).toMap
+      assert(vals == Map("alpha" -> 1.0, "beta" -> 3.0, "gamma" -> 5.0))
+    } finally q.stop()
   }
 
   test("minhash plan: spread input, one shared signature pipeline (exchange reuse)") {
