@@ -242,38 +242,49 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Exact n-gram-Jaccard near-dup removal, LSH-pruned: MinHash bands
-    * propose candidates; exact Jaccard over the hashed shingle sets
-    * verifies. The intersection is counted by joining the candidate pairs
-    * back to the distinct (id, hash) shingle rows — not by carrying
-    * collected set payloads through the shuffle: set aggregates force the
-    * whole signature aggregate onto the non-codegen ObjectHashAggregate
-    * path and ship every document's full set through every band, while
-    * the pair join's cost is bounded by the LSH candidate count.
+  /** Exact n-gram-Jaccard near-dup removal, LSH-pruned in THREE stages:
+    * MinHash bands propose candidates; the signature (already computed,
+    * 32 longs/doc) screens them by estimated Jaccard at `threshold -
+    * sigMargin`; exact Jaccard over the hashed shingle sets verifies the
+    * survivors. The middle screen matters on real corpora: shared
+    * vocabulary + boilerplate makes band buckets collide far below the
+    * threshold (a 10x dup-dense probe produced 10M band pairs of which
+    * <5% survived the screen), and the per-pair set attachment — each
+    * document's set aggregated ONCE in its own ObjectHashAggregate,
+    * joined SHUFFLE_HASH so the wide pair+set rows stream unsorted — is
+    * the expensive stage, so it must see only near-threshold pairs.
+    *
+    * `sigMargin` (estimate slack) trades a deterministic, oracle-replayed
+    * screen bound for verify cost: with 32 hashes the estimator's sigma
+    * at j=0.8 is ~0.07, so the default 0.25 keeps every pair within
+    * 3.5 sigma of the threshold.
     */
   def ngramJaccardDedup(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, threshold: Double = 0.8,
                         numHashes: Int = 32, bands: Int = 8,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                        maxBucket: Int = DefaultMaxBucket,
+                        sigMargin: Double = 0.25): DataFrame = {
     // distinct post-hash, so |intersection| counts hash-set members exactly
-    // like the previous set semantics (and the DuckDB oracle's sh CTE);
-    // set sizes ride the signature aggregate (count(*) over distinct rows)
+    // (the DuckDB oracle's sh CTE)
     val shd = shingleRows(df, idCol, textCol, k).distinct()
-    val sig = minhashSigs(shd, numHashes, extra = Seq((count(lit(1)), "__sz")))
-    val sizes = sig.select(col("__id"), col("__sz"))
-    // join order keeps the corpus-side shingle table streaming: the pair
-    // list (LSH-capped) and its one-hop expansion are the small sides, so
-    // AQE broadcasts them from measured sizes and shd is never shuffled,
-    // sorted, or broadcast
-    val inter = candidatePairs(bandRows(sig, numHashes, bands), maxBucket, "ngram")
-      .join(shd.select(col("__id").as("__lid"), col("__x")), "__lid")
-      .join(shd.select(col("__id").as("__rid"), col("__x")), Seq("__rid", "__x"))
-      .groupBy("__lid", "__rid").agg(count(lit(1)).as("__int"))
-      .join(sizes.select(col("__id").as("__lid"), col("__sz").as("__lsz")), "__lid")
-      .join(sizes.select(col("__id").as("__rid"), col("__sz").as("__rsz")), "__rid")
-    val jac = col("__int").cast("double") /
-      (col("__lsz") + col("__rsz") - col("__int")).cast("double")
-    val losers = inter.where(jac >= threshold)
+    val sig = minhashSigs(shd, numHashes)
+    val eq = aggregate(
+      zip_with(col("__lsig"), col("__rsig"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    val screened = candidatePairs(bandRows(sig, numHashes, bands), maxBucket, "ngram")
+      .join(sig.select(col("__id").as("__lid"), col("__sig").as("__lsig")), "__lid")
+      .join(sig.select(col("__id").as("__rid"), col("__sig").as("__rsig")), "__rid")
+      .where(eq.cast("double") / numHashes >= threshold - sigMargin)
+      .select("__lid", "__rid")
+    val sets = shd.groupBy("__id").agg(collect_set(col("__x")).as("__set"))
+    val pairs = screened
+      .join(sets.select(col("__id").as("__lid"), col("__set").as("__lset")), "__lid")
+      .join(sets.select(col("__id").as("__rid"), col("__set").as("__rset"))
+        .hint("SHUFFLE_HASH"), "__rid")
+    val inter = size(array_intersect(col("__lset"), col("__rset")))
+    val uni = size(col("__lset")) + size(col("__rset")) - inter
+    val jac = when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+    val losers = pairs.where(jac >= threshold)
       .select(col("__rid").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -76,18 +76,28 @@ object DedupOracles {
        |WHERE doc_id NOT IN (SELECT rid FROM losers) ORDER BY doc_id""".stripMargin
   }
 
-  /** q_dedup_ngram: LSH-proposed candidates verified by exact Jaccard
-    * over the hashed shingle sets. */
+  /** q_dedup_ngram: LSH-proposed candidates screened by estimated Jaccard
+    * from the MinHash signature (same deterministic bound as the Spark
+    * operator's `sigMargin` stage), then verified by exact Jaccard over
+    * the hashed shingle sets. */
   def ngram(k: Int = 5, threshold: Double = 0.8,
-            numHashes: Int = 32, bands: Int = 8): String =
+            numHashes: Int = 32, bands: Int = 8,
+            sigMargin: Double = 0.25): String = {
+    val eqTerms = (0 until numHashes)
+      .map(i => s"CASE WHEN l.m$i = r.m$i THEN 1 ELSE 0 END")
+      .grouped(16).map(g => "(" + g.mkString(" + ") + ")").mkString(" + ")
     s"""WITH ${shCte(k)},
        |${sigCte(numHashes)},
        |${bandedCte(numHashes, bands)},
        |$pairsCte,
+       |screened AS (
+       |  SELECT p.lid, p.rid
+       |  FROM pairs p JOIN sig l ON l.doc_id = p.lid JOIN sig r ON r.doc_id = p.rid
+       |  WHERE ($eqTerms) / ${numHashes.toDouble} >= ${threshold - sigMargin}),
        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT p.lid, p.rid, count(*) AS m
-       |  FROM pairs p
+       |  FROM screened p
        |  JOIN sh a ON a.doc_id = p.lid
        |  JOIN sh b ON b.doc_id = p.rid AND b.x = a.x
        |  GROUP BY p.lid, p.rid),
@@ -97,6 +107,7 @@ object DedupOracles {
        |  WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= $threshold)
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT rid FROM losers) ORDER BY doc_id""".stripMargin
+  }
 
   /** q_dedup_simhash: 60-bit fingerprint, 4x15-bit bands, hamming <= 3. */
   def simhash(maxHamming: Int = 3): String = {

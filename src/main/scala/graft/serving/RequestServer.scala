@@ -38,12 +38,21 @@ final class RequestServer(store: FeatureStore, port: Int = 0) {
       override def handle(ex: HttpExchange): Unit =
         try respond(ex) finally ex.close()
     })
-    server.setExecutor(null) // serve on the dispatcher thread
+    // a small worker pool, not the dispatcher thread: lookups are
+    // sub-millisecond map reads, but concurrent clients must not serialize
+    // behind one socket loop (the reference's axum server is concurrent)
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   private def respond(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") { send(ex, 405, errJson("POST only")); return }
