@@ -313,11 +313,13 @@ object Dedup {
   private def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 10000).cast("long"))
 
-  private def norm2(q: Column): Column =
-    aggregate(q, lit(0L), (acc, x) => acc + x * x)
+  // codegen'd kernels (graft.functions.DotLong) — bit-identical to the
+  // aggregate(zip_with(...)) higher-order form, without the per-element
+  // interpreted lambda dispatch
+  private def norm2(q: Column): Column = graft.functions.ArrayMath.norm2Long(q)
 
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.ArrayMath.dotLong(a, b)
 
   /** Embedding cosine near-dup removal, exact (all pairs): quantizes
     * components to integers (round(x * 10000)) so dot products and norms

@@ -29,11 +29,12 @@ object Similarity {
   private def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 10000).cast("long"))
 
-  private def norm2(q: Column): Column =
-    aggregate(q, lit(0L), (acc, x) => acc + x * x)
+  // codegen'd kernels (graft.functions.DotLong) — the per-candidate hot
+  // path; bit-identical to the aggregate(zip_with(...)) higher-order form
+  private def norm2(q: Column): Column = graft.functions.ArrayMath.norm2Long(q)
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.ArrayMath.dotLong(a, b)
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself), ranked by (cosine desc, id asc).

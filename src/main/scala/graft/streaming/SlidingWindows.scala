@@ -276,24 +276,45 @@ object SlidingWindows {
 
   private[streaming] def insertSorted(st: KeyState, ts: Long, nums: Array[Double],
                                       strs: Array[String], grans: Seq[Long],
-                                      needs: Needs): Unit = {
-    val seq = st.nextSeq; st.nextSeq += 1
-    val row = (ts, seq, nums, strs)
-    val buf = st.buffer
-    if (buf.isEmpty || ordLeq(buf.last._1, buf.last._2, ts, seq)) buf += row
-    else {
-      // binary search by (ts, seq)
-      var lo = 0; var hi = buf.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (ordLeq(buf(mid)._1, buf(mid)._2, ts, seq)) lo = mid + 1 else hi = mid
+                                      needs: Needs): Unit =
+    ingestChunk(st, Iterator((ts, nums, strs)), grans, needs)
+
+  /** Ingest a chunk of rows: seqs follow arrival order (so ts ties keep
+    * arrival order), tiles fold per row, and the buffer stays (ts, seq)-
+    * sorted by sorting the chunk once and MERGING it with the existing
+    * buffer — O(k log k + n + m). Per-row sorted insertion is quadratic on
+    * dense keys (each out-of-order row memmoves O(buffer)), which is the
+    * difference between a batch sweep over a 10M-row key finishing and
+    * not. In-order arrivals keep the append fast path.
+    */
+  private[streaming] def ingestChunk(st: KeyState,
+                                     rows: Iterator[(Long, Array[Double], Array[String])],
+                                     grans: Seq[Long], needs: Needs): Unit = {
+    val nw = mutable.ArrayBuffer.empty[(Long, Long, Array[Double], Array[String])]
+    rows.foreach { r =>
+      val seq = st.nextSeq; st.nextSeq += 1
+      nw += ((r._1, seq, r._2, r._3))
+      grans.foreach { g =>
+        st.tiles.getOrElseUpdate(g, mutable.HashMap.empty)
+          .getOrElseUpdate(Math.floorDiv(r._1, g) * g, new Tile(needs))
+          .add(r._2, r._3)
       }
-      buf.insert(lo, row)
     }
-    grans.foreach { g =>
-      st.tiles.getOrElseUpdate(g, mutable.HashMap.empty)
-        .getOrElseUpdate(Math.floorDiv(ts, g) * g, new Tile(needs))
-        .add(nums, strs)
+    if (nw.isEmpty) return
+    nw.sortInPlace()(Ordering.by((t: (Long, Long, Array[Double], Array[String])) => (t._1, t._2)))
+    val buf = st.buffer
+    if (buf.isEmpty || ordLeq(buf.last._1, buf.last._2, nw.head._1, nw.head._2)) buf ++= nw
+    else {
+      val merged = new mutable.ArrayBuffer[(Long, Long, Array[Double], Array[String])](
+        buf.length + nw.length)
+      var i = 0; var j = 0
+      while (i < buf.length && j < nw.length) {
+        if (ordLeq(buf(i)._1, buf(i)._2, nw(j)._1, nw(j)._2)) { merged += buf(i); i += 1 }
+        else { merged += nw(j); j += 1 }
+      }
+      while (i < buf.length) { merged += buf(i); i += 1 }
+      while (j < nw.length) { merged += nw(j); j += 1 }
+      buf.clear(); buf ++= merged
     }
   }
 
@@ -693,11 +714,10 @@ object SlidingWindows {
         .getOrElse(new KeyState)
       val wm = state.getCurrentWatermarkMs()
       // ingest (drop terminal-flush sentinels and already-emitted positions)
-      rows.foreach { r =>
-        val ts = r._1
-        if (ts != FLUSH_TS && ts > st.emittedTs)
-          insertSorted(st, ts, r._3.toArray, r._4.toArray, grans, needs)
-      }
+      ingestChunk(st, rows.collect {
+        case r if r._1 != FLUSH_TS && r._1 > st.emittedTs =>
+          (r._1, r._3.toArray, r._4.toArray)
+      }, grans, needs)
       // advance: emit every buffered row with ts <= wm not yet emitted
       val out = mutable.ArrayBuffer.empty[Row]
       val buf = st.buffer
@@ -783,7 +803,7 @@ object SlidingWindows {
       .groupByKey(_._2)
       .flatMapGroups { (key: String, rows: Iterator[(Long, String, Seq[Double], Seq[String])]) =>
         val st = new KeyState
-        rows.foreach(r => insertSorted(st, r._1, r._3.toArray, r._4.toArray, grans, needs))
+        ingestChunk(st, rows.map(r => (r._1, r._3.toArray, r._4.toArray)), grans, needs)
         val buf = st.buffer
         (0 until buf.length).iterator.map { i =>
           val (ts, _, nums, strs) = buf(i)

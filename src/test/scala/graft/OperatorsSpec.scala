@@ -208,6 +208,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_punct") == 1)
   }
 
+  test("dot_long kernel: bit-identical to the higher-order form, null-safe, SQL-callable") {
+    import spark.implicits._
+    import graft.functions.ArrayMath
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 2000).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(20001).toLong - 10000),
+        Seq.fill(64)(rnd.nextInt(20001).toLong - 10000))
+    }.toDF("id", "a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val mismatches = df.select(ArrayMath.dotLong(col("a"), col("b")).as("fast"), hof.as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+    assert(df.select(ArrayMath.norm2Long(col("a"))).head().getLong(0) ==
+      df.select(aggregate(col("a"), lit(0L), (acc, x) => acc + x * x)).head().getLong(0))
+    // null input -> null out (BinaryExpression null semantics)
+    val withNull = df.limit(1).select(lit(null).cast("array<long>").as("a"), col("b"))
+    assert(withNull.select(ArrayMath.dotLong(col("a"), col("b"))).head().isNullAt(0))
+    // registered for SQL
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("dot_probe")
+    assert(spark.sql("SELECT dot_long(a, b) AS d FROM dot_probe")
+      .where(col("d").isNull).count() == 0)
+  }
+
   test("streaming exact dedup keeps first arrival per key across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
