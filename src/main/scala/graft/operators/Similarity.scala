@@ -69,9 +69,16 @@ object Similarity {
   /** Trains the coarse quantizer (MLlib KMeans, distributed, seeded) and
     * assigns every corpus vector to its cell (map-side transform; the
     * corpus is never shuffled).
+    *
+    * @param maxTrainRows quantizer training-set cap: KMeans over the full
+    *   corpus is a non-starter at scale and adds nothing — a coarse
+    *   quantizer needs only a representative sample (the FAISS guideline
+    *   is tens-to-hundreds of points per cell). Corpora at or under the
+    *   cap train on everything, so small-corpus results are unchanged.
     */
   def ivfBuild(corpus: DataFrame, idCol: String, embCol: String,
-               nlist: Int = 64, seed: Long = 13): IvfIndex = {
+               nlist: Int = 64, seed: Long = 13,
+               maxTrainRows: Long = 262144): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -80,9 +87,14 @@ object Similarity {
       .withColumn("__cn2", norm2(col("__cq")))
       .withColumn("__features",
         array_to_vector(transform(col("__cq"), x => x.cast("double"))))
+    val total = corpusVec.count()
+    val train =
+      if (total <= maxTrainRows) corpusVec
+      else corpusVec.sample(withReplacement = false,
+        math.min(1.0, maxTrainRows.toDouble * 1.05 / total), seed)
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("__features").setPredictionCol("__cell")
-      .fit(corpusVec)
+      .fit(train)
     val assigned = model.transform(corpusVec).drop("__features")
 
     import spark.implicits._
