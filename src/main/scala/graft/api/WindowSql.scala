@@ -112,9 +112,13 @@ object WindowSql {
         case Seq(l, r) =>
           // streaming has no AQE and the session disables static
           // auto-broadcast (GraftSession), so the static dimension side of
-          // a stream-static join is broadcast explicitly
-          val rside = if (l.isStreaming && !r.isStreaming) broadcast(r) else r
-          l.join(rside, expr(joinCondSql.getOrElse(sys.error("join needs an ON condition"))), "inner")
+          // a stream-static join is broadcast explicitly — whichever side
+          // of the SQL's join it appears on
+          val (ls, rs) =
+            if (l.isStreaming && !r.isStreaming) (l, broadcast(r))
+            else if (!l.isStreaming && r.isStreaming) (broadcast(l), r)
+            else (l, r)
+          ls.join(rs, expr(joinCondSql.getOrElse(sys.error("join needs an ON condition"))), "inner")
         case _ => sys.error("at most two FROM relations supported")
       }
       val src = derived.foldLeft(joined) { case (df, (name, sql)) =>

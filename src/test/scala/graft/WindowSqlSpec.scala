@@ -187,6 +187,11 @@ class WindowSqlSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     GraftSession.prepare(spark, null)
+    // production sessions disable static auto-broadcast (GraftSession);
+    // the stream-static join must still broadcast via WindowSql's
+    // explicit hint — run the whole flagship under that config
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // The reference README's flagship pipeline (README.md:105-146), same
     // text modulo (a) standard clause order — Spark's parser wants FROM
     // before WINDOW — and (b) the code-confirmed (value, cond, cate)
@@ -274,7 +279,18 @@ class WindowSqlSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table(qname).collect().map(shape(_, cntLong = false)).toSeq.sorted
       assert(got == want, "README flagship: streaming == batch")
-    } finally q.stop()
+      // the static users side carries the broadcast hint (no AQE in
+      // streaming; without it this join is a per-micro-batch SMJ)
+      val hinted = out.queryExecution.analyzed.collectFirst {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+      }
+      assert(hinted.nonEmpty, "stream-static join lost its broadcast hint")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 
   test("batch router: frame length picks WindowExec vs the tiled sweep") {
