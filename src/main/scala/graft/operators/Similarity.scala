@@ -76,9 +76,14 @@ object Similarity {
     *   is tens-to-hundreds of points per cell). Corpora at or under the
     *   cap train on everything, so small-corpus results are unchanged.
     */
+  /** @param maxIter KMeans iteration cap. A COARSE quantizer doesn't need
+    *   converged centroids — cell boundaries move little after a few
+    *   iterations and recall is governed by nprobe; 10 halves the training
+    *   cost of MLlib's default 20 with no measured recall loss.
+    */
   def ivfBuild(corpus: DataFrame, idCol: String, embCol: String,
                nlist: Int = 64, seed: Long = 13,
-               maxTrainRows: Long = 262144): IvfIndex = {
+               maxTrainRows: Long = 262144, maxIter: Int = 10): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -92,7 +97,7 @@ object Similarity {
       if (total <= maxTrainRows) corpusVec
       else corpusVec.sample(withReplacement = false,
         math.min(1.0, maxTrainRows.toDouble * 1.05 / total), seed)
-    val model = new KMeans().setK(nlist).setSeed(seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("__cell")
       .fit(train)
     val assigned = model.transform(corpusVec).drop("__features")
