@@ -255,6 +255,16 @@ class OperatorsSpec extends AnyFunSuite {
       val vals = spark.table(qname).collect()
         .map(r => r.getAs[String]("text") -> r.getAs[Double]("value")).toMap
       assert(vals == Map("alpha" -> 1.0, "beta" -> 3.0, "gamma" -> 5.0))
+      // bounded-state contract: a duplicate arriving beyond the watermark
+      // horizon (old key state expired) passes through again
+      mem.addData((t0 + 60000, "advance", 0.0)) // watermark -> t0+50s
+      q.processAllAvailable()
+      mem.addData((t0 + 60001, "alpha", 9.0))   // alpha state expired
+      q.processAllAvailable()
+      val alphas = spark.table(qname).collect()
+        .filter(_.getAs[String]("text") == "alpha").map(_.getAs[Double]("value")).sorted
+      assert(alphas.toSeq == Seq(1.0, 9.0),
+        "duplicate beyond the watermark horizon must pass through (state is bounded)")
     } finally q.stop()
   }
 
