@@ -42,11 +42,17 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      long acc = 0L;
-      for (int i = 0; i < n; i++) { acc += $a.getLong(i) * $b.getLong(i); }
-      ${ev.value} = acc;""")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName per instance: several kernels commonly share one codegen
+      // scope (the LSH bucket expressions sum 8-16 dots in one projection),
+      // and fixed locals would collide -> Janino failure -> interpreted mode.
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      s"""
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      long $acc = 0L;
+      for (int $i = 0; $i < $n; $i++) { $acc += $a.getLong($i) * $b.getLong($i); }
+      ${ev.value} = $acc;"""
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotLong =
     copy(left = newLeft, right = newRight)

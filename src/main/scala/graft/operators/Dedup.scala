@@ -87,8 +87,39 @@ object Dedup {
     * whole linear pass to one core.
     */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val plan = df.queryExecution.optimizedPlan
+    // Decide from plan METADATA only: the previous df.rdd.getNumPartitions
+    // probe forced physical planning (and, under AQE, eager materialization
+    // of any upstream shuffle stages — double execution on non-scan inputs).
+    // A plan with a shuffle-introducing operator is already split by
+    // spark.sql.shuffle.partitions; only a narrow chain over under-split
+    // file scans needs the rebalance.
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val hasShuffleUpstream = plan.exists {
+      case _: lp.Aggregate | _: lp.Join | _: lp.Window | _: lp.Sort | _: lp.Distinct |
+           _: lp.RepartitionOperation | _: lp.GlobalLimit => true
+      case _ => false
+    }
+    if (hasShuffleUpstream) df
+    else {
+      val conf = spark.sessionState.conf
+      val bytesPerSplit = math.max(1L, conf.filesMaxPartitionBytes)
+      val estScanSplits = plan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              // parquet is splittable: splits ~ ceil(bytes / maxPartitionBytes)
+              math.max(1L, (fs.location.sizeInBytes + bytesPerSplit - 1) / bytesPerSplit)
+            case _ => target.toLong // non-file relation: assume already split
+          }
+      }
+      // LocalRelation / memory inputs parallelize on their own; only known
+      // under-split file scans trigger the rebalance.
+      if (estScanSplits.nonEmpty && estScanSplits.sum < target) df.repartition(target)
+      else df
+    }
   }
 
   /** One row per (doc, k-char shingle position), hashed to 31 bits — the
