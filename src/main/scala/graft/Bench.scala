@@ -193,7 +193,13 @@ object Bench {
     spark.sql("SELECT count(*) FROM documents WHERE length(text) > 0").collect()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic (sorted) execution order: Map iteration order shifts
+    // whenever an entry is added, silently re-attributing first-run JIT +
+    // codegen warm-up of shared operator shapes to whichever query now runs
+    // them first (q_dedup_simhash swung 3.9 s <-> 8.3 s between rounds for
+    // exactly this reason). Sorted order keeps round-over-round per-query
+    // numbers comparable.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
@@ -234,7 +240,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }

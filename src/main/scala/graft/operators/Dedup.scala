@@ -104,20 +104,25 @@ object Dedup {
     }
     if (hasShuffleUpstream) df
     else {
-      val conf = spark.sessionState.conf
-      val bytesPerSplit = math.max(1L, conf.filesMaxPartitionBytes)
-      val estScanSplits = plan.collect {
+      val bytesPerSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+      // (bytes, estimated splits) per file scan; non-file relations count as
+      // already-split (LocalRelation / memory inputs parallelize on their own)
+      val scans = plan.collect {
         case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           l.relation match {
             case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              val bytes = fs.location.sizeInBytes
               // parquet is splittable: splits ~ ceil(bytes / maxPartitionBytes)
-              math.max(1L, (fs.location.sizeInBytes + bytesPerSplit - 1) / bytesPerSplit)
-            case _ => target.toLong // non-file relation: assume already split
+              (bytes, math.max(1L, (bytes + bytesPerSplit - 1) / bytesPerSplit))
+            case _ => (0L, target.toLong)
           }
       }
-      // LocalRelation / memory inputs parallelize on their own; only known
-      // under-split file scans trigger the rebalance.
-      if (estScanSplits.nonEmpty && estScanSplits.sum < target) df.repartition(target)
+      // Rebalance only a known under-split file scan that is big enough for
+      // the single-core linear pass to dominate — below the floor the
+      // repartition's shuffle + AQE round cost more than they recover
+      // (measured ~0.5 s per query on sub-MB inputs).
+      if (scans.nonEmpty && scans.map(_._1).sum >= SpreadMinBytes &&
+          scans.map(_._2).sum < target) df.repartition(target)
       else df
     }
   }
@@ -171,6 +176,12 @@ object Dedup {
 
   /** Default hot-bucket membership cap for all LSH variants. */
   val DefaultMaxBucket = 10000
+
+  /** Scans below this size skip [[spread]]'s rebalance: the per-row linear
+    * pass over so little data finishes faster single-core than the
+    * repartition's extra shuffle + AQE round.
+    */
+  val SpreadMinBytes: Long = 4L << 20
 
   /** Hot-bucket guard: the bucket-local pair join is O(c²) in a bucket's
     * membership c, and web-scale corpora have boilerplate-driven buckets

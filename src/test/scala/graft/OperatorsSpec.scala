@@ -336,9 +336,27 @@ class OperatorsSpec extends AnyFunSuite {
     spark.conf.set(keys(1), "8388608")
     spark.conf.set(keys(2), "256")
     try {
-      // the heavy per-row pass must not inherit a single-file scan's split count
-      assert(Dedup.shingleRows(docs01, "doc_id", "text", 5).rdd.getNumPartitions ==
-        spark.sparkContext.defaultParallelism)
+      // spread decision ladder: a tiny scan stays put (the rebalance costs
+      // more than it recovers), a big under-split scan is rebalanced to
+      // defaultParallelism, and an input that already shuffled upstream is
+      // left alone (it is already split across shuffle partitions).
+      assert(Dedup.shingleRows(docs01, "doc_id", "text", 5).rdd.getNumPartitions == 1,
+        "tiny scan must not pay a rebalance shuffle")
+      locally {
+        import spark.implicits._
+        val big = java.nio.file.Files.createTempDirectory("graft_spread_big_").toString
+        val rnd = new scala.util.Random(3)
+        // ~8 MB of incompressible text in one file -> 1 split < parallelism
+        (0 until 4000).map(i => (i.toLong, rnd.alphanumeric.take(2000).mkString))
+          .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(big)
+        val bigDf = spark.read.parquet(big)
+        assert(Dedup.shingleRows(bigDf, "doc_id", "text", 5).rdd.getNumPartitions ==
+          spark.sparkContext.defaultParallelism,
+          "big under-split scan must be rebalanced")
+        val shuffled = bigDf.repartition(3)
+        assert(Dedup.shingleRows(shuffled, "doc_id", "text", 5).rdd.getNumPartitions == 3,
+          "already-shuffled input must not be re-repartitioned")
+      }
       val fin = Dedup.minhashLsh(docs01, "doc_id", "text")
       fin.collect()
       val plan = fin.queryExecution.executedPlan
@@ -348,6 +366,36 @@ class OperatorsSpec extends AnyFunSuite {
       // both signature re-attach branches read the reused exchange instead
       // of re-running the explode+hash+aggregate pipeline per join branch
       assert("ReusedExchange".r.findAllIn(plan).length >= 1, s"no exchange reuse:\n${plan.take(3000)}")
+      assert("FileScan parquet".r.findAllIn(plan).length <= 3,
+        s"documents scanned more than 3x:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
+  test("simhash plan: no rebalance shuffle on small input, codegen'd vote aggregate") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold", "spark.sql.codegen.maxFields")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "-1")
+    spark.conf.set(keys(1), "8388608")
+    spark.conf.set(keys(2), "256")
+    try {
+      val fin = Dedup.simhashDedup(docs01, "doc_id", "text")
+      fin.collect()
+      val plan = fin.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        .getOrElse(fin.queryExecution.executedPlan).toString
+      // the round-4 regression: spread()'s unconditional repartition put a
+      // full-text RoundRobin shuffle + an AQE round ahead of tokenization
+      // on an input far too small to amortize it
+      assert(!plan.contains("RoundRobinPartitioning"),
+        s"small input paid a rebalance shuffle:\n${plan.take(3000)}")
+      // the 60-vote aggregate must stay on the codegen'd HashAggregate path
+      assert(!plan.contains("ObjectHashAggregate"),
+        s"vote aggregate fell off the codegen path:\n${plan.take(3000)}")
       assert("FileScan parquet".r.findAllIn(plan).length <= 3,
         s"documents scanned more than 3x:\n${plan.take(3000)}")
     } finally prev.foreach { case (k, v) =>
