@@ -614,6 +614,52 @@ object SparkEntry {
                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         ORDER BY ts_ms, key, value"""))
 
+    // Multi-column PARTITION BY through the SQL compiler + streaming engine:
+    // windows keyed on (user_id, event_type) — the engine runs on a derived
+    // composite key (WindowSql length-prefixes each part) and the source key
+    // columns ride string slots, cast back per type on output. The reference
+    // keys windows on the plan's full PARTITION BY list
+    // (src/api/planner.rs:409-415, key_by_function.rs:56-172).
+    m += "q_window_streaming_mk" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.col
+        import graft.api.WindowSql
+        import graft.streaming.StreamVerify
+        val ev = s.sql(
+          """SELECT ts DIV 1000000 AS ts_ms, user_id AS uid, event_type AS etype,
+                    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS value_c
+             FROM events""")
+        val mkSql = """
+          SELECT ts_ms, uid, etype, value_c,
+                 sum(value_c) OVER w AS sum_c,
+                 count(*) OVER w AS cnt_1h,
+                 max(value_c) OVER w AS max_c
+          FROM mk_events
+          WINDOW w AS (PARTITION BY uid, etype ORDER BY ts_ms
+                       RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"""
+        val c = WindowSql.compile(s, mkSql).fold(e => sys.error(e), identity)
+        StreamVerify.runBoundedSql(s, c, ev, latenessMs = 0,
+            tileGranularityMs = 600000)
+          .select(col("ts_ms"), col("uid"), col("etype"),
+            (col("value_c") / 100).as("value"),
+            (col("sum_c") / 100).as("sum_1h"),
+            col("cnt_1h").cast("long").as("cnt_1h"),
+            (col("max_c") / 100).as("max_1h"))
+          .orderBy("ts_ms", "uid", "etype", "value")
+      },
+      Some("""
+        SELECT ts_ms, uid, etype,
+               CAST(value_c AS DOUBLE) / 100 AS value,
+               CAST(sum(value_c) OVER w AS DOUBLE) / 100 AS sum_1h,
+               count(*) OVER w AS cnt_1h,
+               CAST(max(value_c) OVER w AS DOUBLE) / 100 AS max_1h
+        FROM (SELECT epoch_ms(ts) AS ts_ms, user_id AS uid, event_type AS etype,
+                     CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
+        WINDOW w AS (PARTITION BY uid, etype ORDER BY ts_ms
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        ORDER BY ts_ms, uid, etype, value"""))
+
     // Same semantics as q_top_window, evaluated through the tiled per-key
     // engine sweep (SlidingWindows.batchCompute) instead of WindowExec —
     // the scale path for ML aggregates over long frames: O(buckets + edge)

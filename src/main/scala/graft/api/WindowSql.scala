@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFu
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, CurrentRow, Expression, Literal, RangeFrame, RowFrame, SortOrder, SpecifiedWindowFrame, UnaryMinus, UnresolvedWindowExpression, WindowExpression, WindowSpecDefinition, WindowSpecReference}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, Sort, SubqueryAlias, WithWindowDefinition}
-import org.apache.spark.sql.functions.{broadcast, col, expr}
+import org.apache.spark.sql.functions.{broadcast, col, concat, expr, length, lit, when}
 import org.apache.spark.sql.types.{CalendarIntervalType, DataType, DayTimeIntervalType, StringType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
@@ -22,7 +22,8 @@ import graft.streaming.SlidingWindows.{AggSpec, Frame, RangeMs, RowsN}
   * via the engine, with identical results.
   *
   * Supported shape (the reference's window contract, SURVEY §2.6 and the
-  * README flagship, README.md:105-146): one PARTITION BY key, ORDER BY one
+  * README flagship, README.md:105-146): one or more PARTITION BY columns
+  * (multi-column lists key the engine on a derived composite), ORDER BY one
   * ms-timestamp column, frames `RANGE/ROWS ... PRECEDING AND CURRENT ROW`
   * (RANGE bounds as ms literals or day-time INTERVAL literals), optionally
   * a join ahead of the window (`FROM users u JOIN orders o ON ...` — run
@@ -64,7 +65,12 @@ object WindowSql {
   final case class Compiled(
       relations: Seq[Rel],
       joinCondSql: Option[String],
-      keyCol: String,
+      /** PARTITION BY columns (the reference keys windows on the plan's
+        * full partition expression list, planner.rs:409-415; its KeyBy
+        * builds the composite key, key_by_function.rs:56-172). Multi-column
+        * lists run the engine on a derived composite key and restore the
+        * source columns on output. */
+      keyCols: Seq[String],
       tsCol: String,
       aggs: Seq[AggDef],
       /** Output columns in SELECT order (pass-through cols + aliases). */
@@ -79,6 +85,14 @@ object WindowSql {
 
     /** The streaming-side (primary) table. */
     def table: String = streamRel.getOrElse(relations.head.table)
+
+    /** Single-key accessor for paths that key external state on one column
+      * (request serving, feature-store upserts). */
+    def keyCol: String = keyCols match {
+      case Seq(one) => one
+      case many => sys.error(
+        s"single partition column required here, got ${many.mkString(", ")}")
+    }
 
     /** Single-source compatibility entry. */
     def run(src: DataFrame, latenessMs: Long = 0,
@@ -124,6 +138,24 @@ object WindowSql {
       val src = derived.foldLeft(joined) { case (df, (name, sql)) =>
         df.withColumn(name, expr(sql))
       }
+      val multiKey = keyCols.length > 1
+      if (multiKey && src.columns.contains("key"))
+        sys.error("multi-column PARTITION BY reserves the output name 'key'; " +
+          "alias the source column named 'key' first")
+      // Multi-column PARTITION BY: the engine keys state on ONE string
+      // column, so the full partition list becomes a derived composite key
+      // (each part length-prefixed and null-marked — distinct tuples can
+      // never concatenate equal). The source key columns ride through the
+      // engine as string slots and are cast back per source type on output,
+      // so no decoding of the composite is ever needed.
+      val engineKey = if (multiKey) "__ckey" else keyCols.head
+      val keyed =
+        if (!multiKey) src
+        else src.withColumn(engineKey, concat(keyCols.map { c =>
+          val s = col(c).cast("string")
+          when(s.isNull, lit("N:")).otherwise(
+            concat(length(s).cast("string"), lit(":"), s))
+        }: _*))
       val schema = src.schema
       def isStr(c: String): Boolean =
         schema(schema.fieldIndex(c)).dataType == StringType
@@ -141,14 +173,18 @@ object WindowSql {
       val argCols = (aggs.flatMap(a => slotValue(a)) ++ aggs.flatMap(_.cateArg) ++
         aggs.flatMap(_.whereArg)).toSet
       val passCols = outCols.filterNot(c =>
-        c == keyCol || c == tsCol || aggNames(c) || argCols(c))
+        keyCols.contains(c) || c == tsCol || aggNames(c) || argCols(c))
+      // multi-key: selected partition columns come back out of string slots
+      // (exact round-trip for ints/strings), unless already riding as args
+      val keyPass =
+        if (multiKey) keyCols.filter(c => outCols.contains(c) && !argCols(c)) else Nil
       // slot assignment: numeric value columns + condition columns + numeric
       // pass-throughs; string slots for top-family string values,
       // categories, and string pass-throughs — in first-use order
       val numCols = (aggs.flatMap(slotValue).filter(!isStr(_)) ++
         aggs.flatMap(_.whereArg) ++ passCols.filter(!isStr(_))).distinct
       val strCols = (aggs.flatMap(slotValue).filter(isStr) ++
-        aggs.flatMap(_.cateArg) ++ passCols.filter(isStr)).distinct
+        aggs.flatMap(_.cateArg) ++ passCols.filter(isStr) ++ keyPass).distinct
       val specs = aggs.map { a =>
         val vStr = slotValue(a).exists(isStr)
         if (SlidingWindows.isCate(a.kind) && vStr)
@@ -169,22 +205,26 @@ object WindowSql {
       }
       val out =
         if (useBatchSweep)
-          SlidingWindows.batchComputeMulti(src, keyCol, tsCol, numCols, strCols,
+          SlidingWindows.batchComputeMulti(keyed, engineKey, tsCol, numCols, strCols,
             specs, tileGranularityMs)
         else if (engine == "fmgws")
-          SlidingWindows.streamingMulti(src, keyCol, tsCol, numCols, strCols,
+          SlidingWindows.streamingMulti(keyed, engineKey, tsCol, numCols, strCols,
             specs, latenessMs, tileGranularityMs)
         else
-          SlidingWindowsTws.streamingMulti(src, keyCol, tsCol, numCols, strCols,
+          SlidingWindowsTws.streamingMulti(keyed, engineKey, tsCol, numCols, strCols,
             specs, latenessMs, tileGranularityMs)
       // engine emits (ts_ms, key, <numCols>, <strCols>, <specs>) with the
       // original column names — ts/key need renaming back; pass-through
       // slots AND the key/ts (the engine strings the key, longs the ts)
-      // cast back to their source types
+      // cast back to their source types. Multi-key: the composite engine
+      // key is dropped and the source key columns come from their slots.
       val origType: Map[String, DataType] =
-        (passCols ++ Seq(keyCol, tsCol).filter(outCols.contains))
+        (passCols ++ keyPass ++
+          (if (multiKey) Seq(tsCol) else Seq(keyCols.head, tsCol)).filter(outCols.contains))
           .map(c => c -> schema(schema.fieldIndex(c)).dataType).toMap
-      val renamed = out.withColumnRenamed("ts_ms", tsCol).withColumnRenamed("key", keyCol)
+      val restoredKey = out.withColumnRenamed("ts_ms", tsCol)
+      val renamed = (if (multiKey) restoredKey.drop("key")
+                     else restoredKey.withColumnRenamed("key", keyCols.head))
         .select(outCols.map { c =>
           origType.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
         }: _*)
@@ -269,7 +309,7 @@ object WindowSql {
       }
     }
 
-    var keyCol: String = null; var tsCol: String = null
+    var keyCols: Seq[String] = null; var tsCol: String = null
     var tsQualifier: String = null
     val aggs = Seq.newBuilder[AggDef]
     val outCols = Seq.newBuilder[String]
@@ -309,6 +349,10 @@ object WindowSql {
     def setShared(cur: String, nw: String, what: String): Either[String, String] =
       if (cur == null || cur == nw) Right(nw)
       else Left(s"all windows must share one $what column ($cur vs $nw)")
+    def setSharedKeys(nw: Seq[String]): Either[String, Seq[String]] =
+      if (keyCols == null || keyCols == nw) Right(nw)
+      else Left("all windows must share one PARTITION BY list " +
+        s"(${keyCols.mkString(",")} vs ${nw.mkString(",")})")
 
     def frameOf(spec: WindowSpecDefinition): Either[String, Frame] = spec.frameSpecification match {
       case SpecifiedWindowFrame(RangeFrame, lower, CurrentRow) =>
@@ -321,11 +365,11 @@ object WindowSql {
     def handleWindow(fn: UnresolvedFunction, spec: WindowSpecDefinition,
                      alias: String): Either[String, Unit] = {
       for {
-        k <- spec.partitionSpec match {
-          case Seq(p) => attr(p, "PARTITION BY")
-          case _ => Left("exactly one PARTITION BY column required")
-        }
-        _ <- setShared(keyCol, k, "partition").map(keyCol = _)
+        k <- spec.partitionSpec.foldLeft[Either[String, Vector[String]]](Right(Vector.empty)) {
+          (acc, e) => acc.flatMap(v => attr(e, "PARTITION BY").map(v :+ _))
+        }.flatMap(v =>
+          if (v.isEmpty) Left("at least one PARTITION BY column required") else Right(v))
+        _ <- setSharedKeys(k).map(keyCols = _)
         t <- spec.orderSpec match {
           case Seq(SortOrder(o, Ascending, _, _)) =>
             o match { // the ts column's qualifier names the streaming side
@@ -400,7 +444,7 @@ object WindowSql {
     else {
       val streamRel = Option(tsQualifier).flatMap(q =>
         relations.find(r => r.alias.contains(q) || r.table == q).map(_.table))
-      Right(Compiled(relations, joinCondSql, keyCol, tsCol, built,
+      Right(Compiled(relations, joinCondSql, keyCols, tsCol, built,
         outCols.result(), derived.result(), orderCols, streamRel))
     }
   }

@@ -38,6 +38,56 @@ object StreamVerify {
       keyCol, tsMsCol, Seq("value"), Nil, specs, latenessMs, tileGranularityMs,
       checkpointDir, statePartitions, useTws)
 
+  /** Bounded run of a compiled SQL window query ([[graft.api.WindowSql]])
+    * through the streaming engine — the path that exercises multi-column
+    * PARTITION BY (composite engine key). Stages `input` as the compiled
+    * query's streaming table, appends flush sentinels per distinct key
+    * TUPLE, and reads the parquet sink back.
+    */
+  def runBoundedSql(spark: SparkSession, compiled: graft.api.WindowSql.Compiled,
+                    input: DataFrame,
+                    latenessMs: Long = 0, tileGranularityMs: Long = 60000L,
+                    statePartitions: Int = 8,
+                    engine: String = "tws"): DataFrame = {
+    val root = Files.createTempDirectory("graft_stream_sql_").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    input.write.parquet(inDir)
+    val expected = spark.read.parquet(inDir).count()
+    val keys = input.select(compiled.keyCols.map(col): _*).distinct()
+    val flushCols = input.schema.fields.map { f =>
+      if (f.name == compiled.tsCol) lit(SlidingWindows.FLUSH_TS).cast(f.dataType).as(f.name)
+      else if (compiled.keyCols.contains(f.name)) col(f.name)
+      // numeric slots are non-nullable through the engine's encoders; the
+      // sentinel rows never ingest, so zero is as good as absent
+      else if (f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        lit(0).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val flush = keys.select(flushCols.toIndexedSeq: _*)
+    flush.write.mode("append").parquet(inDir)
+
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val streamIn = spark.readStream.schema(input.schema).parquet(inDir)
+      val out = compiled.runWith(Map(compiled.table -> streamIn),
+        latenessMs, tileGranularityMs, useBatchSweep = false, engine)
+      val q = out.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      def landed: Long =
+        try spark.read.parquet(outDir).count() catch { case _: Exception => -1L }
+      try {
+        q.processAllAvailable()
+        var i = 0
+        while (i < 4 && landed < expected) {
+          flush.write.mode("append").parquet(inDir); q.processAllAvailable(); i += 1
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.read.parquet(outDir)
+  }
+
   /** Multi-slot variant: `valueCols` are numeric slots (cast double),
     * `strCols` string slots. Output columns follow the engine contract
     * (ts_ms, key, valueCols..., strCols..., one per spec). */

@@ -183,6 +183,57 @@ class WindowSqlSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("multi-column PARTITION BY: composite key, streaming == batch, key types restored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.prepare(spark, null)
+    // feature-engineering shape: windows keyed on (user, event type); uid is
+    // a LONG so the output column must be cast back from its string slot
+    val mSql = """
+      SELECT ts_ms, uid, etype, value,
+             sum(value) OVER w AS s10,
+             count(*) OVER w AS c10,
+             sum_cate(value, cate) OVER w AS sc10
+      FROM mk_evt
+      WINDOW w AS (PARTITION BY uid, etype ORDER BY ts_ms
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)"""
+    val rows = (0 until 300).map { i =>
+      (1704067200000L + 700L * i, (i % 3).toLong, Seq("A", "B")(i % 2),
+        (i * 3 % 21) / 4.0, Seq("x", "y", "z")(i % 5 % 3))
+    }
+    rows.toDF("ts_ms", "uid", "etype", "value", "cate").createOrReplaceTempView("mk_evt")
+    val c = WindowSql.compile(spark, mSql).fold(e => fail(e), identity)
+    assert(c.keyCols == Seq("uid", "etype"))
+    def shape(r: org.apache.spark.sql.Row, cntLong: Boolean) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        R.r6(r.getDouble(4)), if (cntLong) r.getLong(5).toDouble else r.getDouble(5),
+        r.getString(6))
+    val want = spark.sql(mSql).collect().map(shape(_, cntLong = true)).toSet
+    val gotBatch = c.run(spark.table("mk_evt"), tileGranularityMs = 2000,
+        useBatchSweep = true)
+      .collect().map(shape(_, cntLong = false)).toSet
+    assert(gotBatch == want, "batch engine sweep (composite key)")
+
+    val mem = MemoryStream[(Long, Long, String, Double, String)]
+    val out = c.runWith(
+      Map("mk_evt" -> mem.toDF().toDF("ts_ms", "uid", "etype", "value", "cate")),
+      tileGranularityMs = 2000)
+    val qname = s"mk_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      rows.grouped(100).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val keys = rows.map(r => (r._2, r._3)).distinct
+      mem.addData(keys.map { case (u, e) =>
+        (SlidingWindows.FLUSH_TS, u, e, 0.0, null: String) }: _*)
+      q.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, keys.head._1, keys.head._2, 0.0, null: String))
+      q.processAllAvailable()
+      val got = spark.table(qname).collect().map(shape(_, cntLong = false)).toSet
+      assert(got == want, "streaming == batch with composite key")
+    } finally q.stop()
+  }
+
   test("literal README flagship: join ahead of the window, interval frames, streaming == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
