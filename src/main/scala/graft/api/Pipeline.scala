@@ -4,11 +4,12 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.functions.GraftFunctions
-import graft.serving.{FeatureStore, RequestServer}
+import graft.serving.{FeatureStore, RequestServer, ServingBuffer}
 import graft.sources.{Datagen, Kafka}
 import graft.streaming.SlidingWindows
 import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
@@ -61,15 +62,24 @@ import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
 object Pipeline {
 
   /** A running (or completed) pipeline. */
+  /** Raw-row stream + slot layout feeding live request evaluation. */
+  private final case class LiveFeed(raw: DataFrame, rawKeyCol: String,
+                                    rawTsCol: String, valueCols: Seq[String],
+                                    strCols: Seq[String], specs: Seq[AggSpec])
+
   final case class Handle(
       mode: String,
       result: Option[DataFrame],
       query: Option[StreamingQuery],
       store: Option[FeatureStore],
       server: Option[RequestServer],
-      port: Option[Int]) {
+      port: Option[Int],
+      /** Raw-row feeder behind live request evaluation (request mode). */
+      feeder: Option[StreamingQuery] = None,
+      buffer: Option[ServingBuffer] = None) {
     def stop(): Unit = {
       query.foreach(_.stop())
+      feeder.foreach(_.stop())
       server.foreach(_.stop())
     }
   }
@@ -201,9 +211,14 @@ object Pipeline {
             val gran = tilingGrans.headOption.orElse(opt(spec, "window")
               .flatMap(w => opt(w, "tile_granularity_ms")).map(_.asLong()))
               .getOrElse(60000L)
+            // live request evaluation reads the SAME engine slot layout
+            // from the raw (joined + derived) rows the window query sees
+            val plan = c.enginePlan(windowSrcs(c))
             startRequestServing(spec,
               c.runWith(windowSrcs(c), latenessMs, gran, engine = engine),
-              c.keyCol, c.tsCol)
+              c.keyCol, c.tsCol,
+              liveFeed = Some(LiveFeed(plan.keyed, plan.engineKey, c.tsCol,
+                plan.numCols, plan.strCols, plan.specs)))
           case None =>
             val win = opt(spec, "window")
               .getOrElse(sys.error("Request pipeline needs sql or a window block"))
@@ -360,24 +375,52 @@ object Pipeline {
       else
         graft.streaming.SlidingWindowsTws.streaming(src, keyCol, tsCol, valueCol,
           specs, latenessMs, gran, cateCol = cateCol)
-    startRequestServing(spec, out, "key", "ts_ms")
+    // live request evaluation reads raw rows keyed/slotted exactly as the
+    // engine wrapper slots them (value -> slot 0, cate -> string slot 0)
+    val raw = src.select(Seq(col(tsCol).cast("long").as("ts_ms"),
+      col(keyCol).cast("string").as("key"),
+      col(valueCol).cast("double").as("value")) ++
+      (if (cateCol != null) Seq(col(cateCol).cast("string").as("cate")) else Nil): _*)
+    startRequestServing(spec, out, "key", "ts_ms",
+      liveFeed = Some(LiveFeed(raw, "key", "ts_ms", Seq("value"),
+        if (cateCol != null) Seq("cate") else Nil, specs)))
   }
 
   /** Serving tail shared by both request-mode variants: upsert store fed
     * by the streaming window output + the HTTP endpoint. */
+  /** Serving tail shared by both request-mode variants. `liveFeed` wires
+    * the reference's request-path semantics: the RAW input rows (frame,
+    * value-slot columns, string-slot columns, specs) stream into a
+    * [[ServingBuffer]] through a second query, and each `POST /request`
+    * re-evaluates the aggregates at the request's timestamp instead of
+    * serving the last upserted row (window_request_operator.rs:90-300).
+    * The upsert store stays as the fallback for keys with no buffer. */
   private def startRequestServing(spec: JsonNode, out: DataFrame,
-                                  keyCol: String, tsCol: String): Handle = {
+                                  keyCol: String, tsCol: String,
+                                  liveFeed: Option[LiveFeed] = None): Handle = {
     val store = new FeatureStore
     val q = out.writeStream.outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch(FeatureStore.upsertBatch(store, keyCol, tsCol) _)
       .start()
+    val (buffer, feeder) = liveFeed match {
+      case Some(lf) =>
+        val buf = new ServingBuffer(lf.specs)
+        val fq = lf.raw.writeStream.outputMode("append")
+          .trigger(Trigger.ProcessingTime(0))
+          .foreachBatch(ServingBuffer.feedBatch(buf, lf.rawKeyCol, lf.rawTsCol,
+            lf.valueCols, lf.strCols) _)
+          .start()
+        (Some(buf), Some(fq))
+      case None => (None, None)
+    }
     val bind = opt(spec, "request_source_sink")
       .map(r => text(r, "bind_address", "127.0.0.1:0")).getOrElse("127.0.0.1:0")
     val port0 = bind.split(':').last.toInt
-    val server = new RequestServer(store, port0)
+    val server = new RequestServer(store, port0, buffer)
     val port = server.start()
-    Handle("Request", None, Some(q), Some(store), Some(server), Some(port))
+    Handle("Request", None, Some(q), Some(store), Some(server), Some(port),
+      feeder, buffer)
   }
 
   // -- helpers ------------------------------------------------------------

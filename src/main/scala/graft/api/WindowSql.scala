@@ -117,6 +117,45 @@ object WindowSql {
                 tileGranularityMs: Long = 60000L,
                 useBatchSweep: Boolean = false,
                 engine: String = "tws"): DataFrame = {
+      val plan = enginePlan(srcs)
+      import plan._
+      val out =
+        if (useBatchSweep)
+          SlidingWindows.batchComputeMulti(keyed, engineKey, tsCol, numCols, strCols,
+            specs, tileGranularityMs)
+        else if (engine == "fmgws")
+          SlidingWindows.streamingMulti(keyed, engineKey, tsCol, numCols, strCols,
+            specs, latenessMs, tileGranularityMs)
+        else
+          SlidingWindowsTws.streamingMulti(keyed, engineKey, tsCol, numCols, strCols,
+            specs, latenessMs, tileGranularityMs)
+      // engine emits (ts_ms, key, <numCols>, <strCols>, <specs>) with the
+      // original column names — ts/key need renaming back; pass-through
+      // slots AND the key/ts (the engine strings the key, longs the ts)
+      // cast back to their source types. Multi-key: the composite engine
+      // key is dropped and the source key columns come from their slots.
+      val multiKey = keyCols.length > 1
+      val origType: Map[String, DataType] =
+        (passCols ++ keyPass ++
+          (if (multiKey) Seq(tsCol) else Seq(keyCols.head, tsCol)).filter(outCols.contains))
+          .map(c => c -> schema(schema.fieldIndex(c)).dataType).toMap
+      val restoredKey = out.withColumnRenamed("ts_ms", tsCol)
+      val renamed = (if (multiKey) restoredKey.drop("key")
+                     else restoredKey.withColumnRenamed("key", keyCols.head))
+        .select(outCols.map { c =>
+          origType.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+        }: _*)
+      if (orderBy.nonEmpty && useBatchSweep) renamed.orderBy(orderBy.map(col): _*)
+      else if (orderBy.nonEmpty) sys.error("ORDER BY is batch-only in engine mode")
+      else renamed
+    }
+
+    /** The resolved engine inputs for this query over `srcs`: the joined +
+      * derived + composite-keyed frame, the engine key column, the slot
+      * layout, and the compiled [[AggSpec]]s. Exposed so the serving layer
+      * can feed the SAME slot layout into a live request-evaluation buffer
+      * ([[graft.serving.ServingBuffer]]). */
+    def enginePlan(srcs: Map[String, DataFrame]): EnginePlan = {
       val frames = relations.map { r =>
         val df = srcs.getOrElse(r.table, sys.error(s"no source for table '${r.table}'"))
         r.alias.map(df.as).getOrElse(df)
@@ -203,36 +242,18 @@ object WindowSql {
         val wIdx = a.whereArg.map(numCols.indexOf).getOrElse(-1)
         AggSpec(a.name, a.kind, a.frame, a.n, vIdx, cIdx, useStr, wIdx)
       }
-      val out =
-        if (useBatchSweep)
-          SlidingWindows.batchComputeMulti(keyed, engineKey, tsCol, numCols, strCols,
-            specs, tileGranularityMs)
-        else if (engine == "fmgws")
-          SlidingWindows.streamingMulti(keyed, engineKey, tsCol, numCols, strCols,
-            specs, latenessMs, tileGranularityMs)
-        else
-          SlidingWindowsTws.streamingMulti(keyed, engineKey, tsCol, numCols, strCols,
-            specs, latenessMs, tileGranularityMs)
-      // engine emits (ts_ms, key, <numCols>, <strCols>, <specs>) with the
-      // original column names — ts/key need renaming back; pass-through
-      // slots AND the key/ts (the engine strings the key, longs the ts)
-      // cast back to their source types. Multi-key: the composite engine
-      // key is dropped and the source key columns come from their slots.
-      val origType: Map[String, DataType] =
-        (passCols ++ keyPass ++
-          (if (multiKey) Seq(tsCol) else Seq(keyCols.head, tsCol)).filter(outCols.contains))
-          .map(c => c -> schema(schema.fieldIndex(c)).dataType).toMap
-      val restoredKey = out.withColumnRenamed("ts_ms", tsCol)
-      val renamed = (if (multiKey) restoredKey.drop("key")
-                     else restoredKey.withColumnRenamed("key", keyCols.head))
-        .select(outCols.map { c =>
-          origType.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
-        }: _*)
-      if (orderBy.nonEmpty && useBatchSweep) renamed.orderBy(orderBy.map(col): _*)
-      else if (orderBy.nonEmpty) sys.error("ORDER BY is batch-only in engine mode")
-      else renamed
+      EnginePlan(keyed, engineKey, numCols, strCols, specs, schema,
+        passCols, keyPass)
     }
   }
+
+  /** Resolved engine inputs for one compiled query (see
+    * [[Compiled.enginePlan]]). */
+  final case class EnginePlan(
+      keyed: DataFrame, engineKey: String,
+      numCols: Seq[String], strCols: Seq[String], specs: Seq[AggSpec],
+      schema: org.apache.spark.sql.types.StructType,
+      passCols: Seq[String], keyPass: Seq[String])
 
   private val plainKinds = Set("sum", "count", "avg", "min", "max",
     "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp", "variance")

@@ -12,16 +12,21 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * server, `POST /request` with a keyed JSON payload, response completed
   * with the feature row; src/runtime/functions/sink/request_sink.rs).
   *
-  * `POST /request` body `{"key": "<entity key>"}` answers with the latest
-  * feature row for that key from the [[FeatureStore]] the streaming query
-  * keeps upserting — point-in-time-correct serving without an external KV
-  * store, which is the reference's flagship claim (README.md:60-100).
+  * `POST /request` body `{"key": "<entity key>"[, "ts_ms": <event ms>]}`.
+  * With a `live` [[ServingBuffer]] wired, every window aggregate is
+  * re-evaluated AT the request's timestamp (`ts_ms`, default: the key's
+  * newest buffered event) against the buffered rows — the reference's
+  * request-path semantics (window_request_operator.rs:90-300), never stale
+  * by an emission interval. Keys with no buffered rows fall back to the
+  * latest feature row from the [[FeatureStore]] the streaming query keeps
+  * upserting. Without `live`, lookups serve the store row directly.
   * Unknown keys get 404; malformed payloads 400.
   *
   * Built on the JDK's HttpServer (no extra dependencies); JSON via
   * Jackson, which Spark already ships.
   */
-final class RequestServer(store: FeatureStore, port: Int = 0) {
+final class RequestServer(store: FeatureStore, port: Int = 0,
+                          live: Option[ServingBuffer] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -40,8 +45,14 @@ final class RequestServer(store: FeatureStore, port: Int = 0) {
     })
     // a small worker pool, not the dispatcher thread: lookups are
     // sub-millisecond map reads, but concurrent clients must not serialize
-    // behind one socket loop (the reference's axum server is concurrent)
-    pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // behind one socket loop (the reference's axum server is concurrent).
+    // Daemon threads: a crash between start() and stop() must not keep the
+    // JVM alive on a non-daemon pool.
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-request-server")
+        t.setDaemon(true); t
+      })
     server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
@@ -51,27 +62,47 @@ final class RequestServer(store: FeatureStore, port: Int = 0) {
 
   def stop(): Unit = {
     if (server != null) server.stop(0)
-    if (pool != null) pool.shutdown()
+    if (pool != null) {
+      pool.shutdown()
+      // let in-flight handlers finish writing their responses
+      pool.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
+    }
   }
 
   private def respond(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") { send(ex, 405, errJson("POST only")); return }
+    var atTs: Option[Long] = None
     val key =
       try {
         val root = mapper.readTree(ex.getRequestBody)
+        val t = root.get("ts_ms")
+        if (t != null && t.isNumber) atTs = Some(t.asLong())
         val k = root.get("key")
         if (k == null || !k.isTextual) null else k.asText()
       } catch { case _: Exception => null }
     if (key == null) { send(ex, 400, errJson("body must be {\"key\": \"...\"}")); return }
-    store.get(key) match {
-      case None => send(ex, 404, errJson(s"no features for key $key"))
-      case Some(entry) =>
+    // live path: re-evaluate the window aggregates at the request's virtual
+    // point from buffered rows (reference request semantics); fall back to
+    // the last upserted feature row for keys with no buffer
+    live.flatMap(_.eval(key, atTs)) match {
+      case Some((at, feats)) =>
         val root = mapper.createObjectNode()
         root.put("key", key)
-        root.put("ts_ms", entry.tsMs)
-        val feats = root.putObject("features")
-        entry.values.toSeq.sortBy(_._1).foreach { case (n, v) => putAny(feats, n, v) }
+        root.put("ts_ms", at)
+        root.put("live", true)
+        val fo = root.putObject("features")
+        feats.sortBy(_._1).foreach { case (n, v) => putAny(fo, n, v) }
         send(ex, 200, mapper.writeValueAsString(root))
+      case None => store.get(key) match {
+        case None => send(ex, 404, errJson(s"no features for key $key"))
+        case Some(entry) =>
+          val root = mapper.createObjectNode()
+          root.put("key", key)
+          root.put("ts_ms", entry.tsMs)
+          val feats = root.putObject("features")
+          entry.values.toSeq.sortBy(_._1).foreach { case (n, v) => putAny(feats, n, v) }
+          send(ex, 200, mapper.writeValueAsString(root))
+      }
     }
   }
 

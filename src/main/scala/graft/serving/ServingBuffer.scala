@@ -1,0 +1,96 @@
+package graft.serving
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.streaming.SlidingWindows
+import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
+
+/** Per-key row buffer for LIVE request-time window evaluation — the
+  * reference's WindowRequestOperator answers each request by evaluating
+  * every aggregate AT the request's timestamp against the rows buffered in
+  * operator state (src/runtime/operators/window/
+  * window_request_operator.rs:90-300), not by returning the last emitted
+  * feature row. This buffer holds exactly that state on the serving side:
+  * per key, the rows inside the widest RANGE horizon plus the `maxRows+1`
+  * most recent rows for ROWS frames; [[eval]] folds them through the
+  * engine's own accumulators ([[SlidingWindows.evalAtPoint]]).
+  *
+  * Bounded like the reference's state, with one horizon of slack: appends
+  * prune to `max(rows in (maxTs - 2*horizon, maxTs], last 2*(maxRows+1)
+  * rows)` per key, so a request at any virtual point within one horizon of
+  * the newest buffered event still sees its FULL RANGE frame (requests
+  * further back see whatever is retained — the reference likewise answers
+  * from current buffered state, window_request_operator.rs:90-300; ROWS
+  * frames are exact at the newest point, best-effort earlier). Lives on
+  * the driver next to [[FeatureStore]] — the serving-parity path; a
+  * production deployment shards this across a serving tier exactly as it
+  * would the store.
+  */
+final class ServingBuffer(val specs: Seq[AggSpec]) {
+
+  private val horizonMs = 2 * specs.map(_.frame).collect { case RangeMs(l) => l }
+    .foldLeft(0L)(math.max)
+  private val keepRows = 2 * specs.map(_.frame).collect { case RowsN(n) => n + 1 }
+    .foldLeft(0)(math.max)
+
+  private val m =
+    new ConcurrentHashMap[String, Vector[(Long, Array[Double], Array[String])]]()
+
+  /** Append rows for a key, keeping the buffer bounded by the frame spans. */
+  def append(key: String, rows: Seq[(Long, Array[Double], Array[String])]): Unit =
+    if (rows.nonEmpty) m.compute(key, (_, old) => {
+      val all = ((if (old == null) Vector.empty else old) ++ rows).sortBy(_._1)
+      val lo = all.last._1 - horizonMs
+      val firstInRange = all.indexWhere(_._1 > lo) match {
+        case -1 => all.length
+        case i  => i
+      }
+      val start = math.max(0, math.min(firstInRange, all.length - keepRows))
+      all.drop(start)
+    })
+
+  /** Evaluate every spec for `key` at `atTs` (default: the key's newest
+    * buffered ts). None when the key has no buffered rows — callers fall
+    * back to the upsert store. */
+  def eval(key: String, atTs: Option[Long] = None): Option[(Long, Seq[(String, Any)])] =
+    Option(m.get(key)).filter(_.nonEmpty).map { rows =>
+      val at = atTs.getOrElse(rows.last._1)
+      at -> specs.map(_.name).zip(SlidingWindows.evalAtPoint(rows, specs, at))
+    }
+
+  def bufferedKeys: Int = m.size
+  def rowCount(key: String): Int = Option(m.get(key)).map(_.length).getOrElse(0)
+}
+
+object ServingBuffer {
+
+  /** `foreachBatch` feeder over the engine's INPUT frame (key, ts, value
+    * slots, string slots). O(batch rows) driver transfer — the same
+    * serving-parity trade as [[FeatureStore.upsertBatch]], documented
+    * there; the reference ships the same rows into its operator state.
+    * `FLUSH_TS` sentinels never enter the buffer.
+    */
+  def feedBatch(buf: ServingBuffer, keyCol: String, tsCol: String,
+                valueCols: Seq[String], strCols: Seq[String])
+               (batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val nv = valueCols.length; val ns = strCols.length
+      val rows = batch.select(
+        col(keyCol).cast("string") +: col(tsCol).cast("long") +:
+          (valueCols.map(c => col(c).cast("double")) ++
+            strCols.map(c => col(c).cast("string"))): _*).collect()
+      rows.iterator
+        .filter(r => !r.isNullAt(1) && r.getLong(1) != SlidingWindows.FLUSH_TS)
+        .map { r =>
+          val nums = Array.tabulate(nv)(i =>
+            if (r.isNullAt(2 + i)) 0.0 else r.getDouble(2 + i))
+          val strs = Array.tabulate(ns)(i => r.getString(2 + nv + i))
+          (r.getString(0), (r.getLong(1), nums, strs))
+        }.toSeq.groupBy(_._1)
+        .foreach { case (k, rs) => buf.append(k, rs.map(_._2)) }
+    }
+  }
+}

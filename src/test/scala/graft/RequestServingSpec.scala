@@ -98,6 +98,76 @@ class RequestServingSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("live request evaluation: lookup between emissions returns the at-request-time value") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.Pipeline
+    val mem = MemoryStream[(Long, String, Double)]
+    val spec = """{
+      "execution_mode": "Request",
+      "sources": [ { "table_name": "ev_live", "source": { "Memory": {} } } ],
+      "window": { "key_column": "key", "ts_column": "ts_ms", "value_column": "value",
+                  "tile_granularity_ms": 2000,
+                  "aggs": [ {"name": "sum_10s", "kind": "sum", "range_ms": 10000} ] },
+      "request_source_sink": { "bind_address": "127.0.0.1:0" }
+    }"""
+    val handle = Pipeline.runJson(spark, spec,
+      tables = Map("ev_live" -> mem.toDF().toDF("ts_ms", "key", "value")))
+    try {
+      val t0 = 1704067200000L
+      val phase1 = (0 until 40).map(i => (t0 + 500L * i, "u1", 2.0))
+      mem.addData(phase1: _*); handle.query.get.processAllAvailable()
+      handle.feeder.get.processAllAvailable()
+      // flush: every phase-1 row emits, the store now holds the last emission
+      mem.addData((SlidingWindows.FLUSH_TS, "u1", 0.0)); handle.query.get.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, "u1", 0.0)); handle.query.get.processAllAvailable()
+      handle.feeder.get.processAllAvailable()
+      val storeTs = handle.store.get.get("u1").get.tsMs
+      assert(storeTs == phase1.last._1)
+
+      // phase 2: newer rows arrive but have NOT emitted (no flush) — the
+      // upsert store is now stale relative to buffered state
+      val t2 = phase1.last._1 + 4000
+      val phase2 = Seq((t2 - 1000, "u1", 5.0), (t2, "u1", 7.0))
+      mem.addData(phase2: _*); handle.query.get.processAllAvailable()
+      handle.feeder.get.processAllAvailable()
+      assert(handle.store.get.get("u1").get.tsMs == storeTs, "no new emission yet")
+
+      val client = HttpClient.newHttpClient()
+      def post(body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${handle.port.get}/request"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      // default lookup evaluates at the newest BUFFERED event (t2), not the
+      // stale upsert: sum over (t2-10000, t2] of phase1 tail + phase2
+      val all = phase1 ++ phase2
+      def sumAt(at: Long): Double =
+        all.filter(r => r._1 > at - 10000 && r._1 <= at).map(_._3).sum
+      val live = post("""{"key": "u1"}""")
+      assert(live.statusCode() == 200)
+      assert(live.body().contains(s""""ts_ms":$t2"""), live.body())
+      assert(live.body().contains(s""""sum_10s":${sumAt(t2)}"""), live.body())
+      assert(live.body().contains(""""live":true"""))
+      // the stale store value is different — the live path really changed it
+      val staleSum = handle.store.get.get("u1").get.values("sum_10s")
+      assert(staleSum != sumAt(t2), "test setup: stale and live must differ")
+
+      // explicit request timestamp: evaluate AT that virtual point
+      val atMid = phase1.last._1
+      val pit = post(s"""{"key": "u1", "ts_ms": $atMid}""")
+      assert(pit.body().contains(s""""sum_10s":${sumAt(atMid)}"""), pit.body())
+
+      // keys with no buffered rows fall back to the upsert store row
+      handle.store.get.upsert("manual", 42L, Map("sum_10s" -> 9.5))
+      val fb = post("""{"key": "manual"}""")
+      assert(fb.statusCode() == 200 && fb.body().contains(""""sum_10s":9.5"""), fb.body())
+      assert(!fb.body().contains(""""live":true"""))
+      assert(post("""{"key": "nope"}""").statusCode() == 404)
+    } finally handle.stop()
+  }
+
   test("pointInTimeMulti evaluates every aggregate kind at the virtual point") {
     import spark.implicits._
     GraftSession.prepare(spark, null)
