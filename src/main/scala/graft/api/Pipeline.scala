@@ -192,7 +192,11 @@ object Pipeline {
             val gran = tilingGrans.headOption.orElse(opt(spec, "window")
               .flatMap(w => opt(w, "tile_granularity_ms")).map(_.asLong()))
               .getOrElse(60000L)
-            c.runWith(windowSrcs(c), latenessMs, gran, engine = engine)
+            // the FULL hierarchy reaches the engine: finest granularity
+            // sizes the state buckets, the coarse tail covers long-frame
+            // interiors (the reference's tiles.rs:104-112 default ladder)
+            c.runWith(windowSrcs(c), latenessMs, gran, engine = engine,
+              coarseTilesMs = tilingGrans.drop(1))
           case _ => spark.sql(sqlText)
         }
         runStreamSink(spec, df, latenessMs)
@@ -215,7 +219,8 @@ object Pipeline {
             // from the raw (joined + derived) rows the window query sees
             val plan = c.enginePlan(windowSrcs(c))
             startRequestServing(spec,
-              c.runWith(windowSrcs(c), latenessMs, gran, engine = engine),
+              c.runWith(windowSrcs(c), latenessMs, gran, engine = engine,
+                coarseTilesMs = tilingGrans.drop(1)),
               c.keyCol, c.tsCol,
               liveFeed = Some(LiveFeed(plan.keyed, plan.engineKey, c.tsCol,
                 plan.numCols, plan.strCols, plan.specs)))
@@ -224,7 +229,7 @@ object Pipeline {
               .getOrElse(sys.error("Request pipeline needs sql or a window block"))
             val src = sourceFrames.values.headOption
               .getOrElse(sys.error("Request pipeline needs a source"))
-            runRequestMode(spec, win, src, latenessMs, engine)
+            runRequestMode(spec, win, src, latenessMs, engine, tilingGrans)
         }
       case other => sys.error(s"unknown execution_mode $other")
     }
@@ -347,12 +352,15 @@ object Pipeline {
     * expression has no spec field) are rejected at parse time with a
     * pointer to SQL mode, instead of failing deep in the engine. */
   private def runRequestMode(spec: JsonNode, win: JsonNode, src: DataFrame,
-                             latenessMs: Long, engine: String): Handle = {
+                             latenessMs: Long, engine: String,
+                             tilingGrans: Seq[Long] = Nil): Handle = {
     val keyCol = text(win, "key_column", "key")
     val tsCol = text(win, "ts_column", "ts_ms")
     val valueCol = text(win, "value_column", "value")
     val cateCol = opt(win, "cate_column").map(_.asText()).orNull
-    val gran = opt(win, "tile_granularity_ms").map(_.asLong()).getOrElse(60000L)
+    val gran = tilingGrans.headOption
+      .orElse(opt(win, "tile_granularity_ms").map(_.asLong())).getOrElse(60000L)
+    val coarse = tilingGrans.drop(1)
     val specs = opt(win, "aggs").toSeq.flatMap(_.elements().asScala).map { a =>
       val name = text(a, "name", sys.error("agg needs name"))
       val kind = text(a, "kind", sys.error("agg needs kind"))
@@ -371,10 +379,10 @@ object Pipeline {
     val out =
       if (engine == "fmgws")
         SlidingWindows.streaming(src, keyCol, tsCol, valueCol, specs,
-          latenessMs, gran, cateCol = cateCol)
+          latenessMs, gran, cateCol = cateCol, coarseTilesMs = coarse)
       else
         graft.streaming.SlidingWindowsTws.streaming(src, keyCol, tsCol, valueCol,
-          specs, latenessMs, gran, cateCol = cateCol)
+          specs, latenessMs, gran, cateCol = cateCol, coarseTilesMs = coarse)
     // live request evaluation reads raw rows keyed/slotted exactly as the
     // engine wrapper slots them (value -> slot 0, cate -> string slot 0)
     val raw = src.select(Seq(col(tsCol).cast("long").as("ts_ms"),

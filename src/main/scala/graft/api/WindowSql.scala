@@ -98,9 +98,10 @@ object WindowSql {
     def run(src: DataFrame, latenessMs: Long = 0,
             tileGranularityMs: Long = 60000L,
             useBatchSweep: Boolean = false,
-            engine: String = "tws"): DataFrame =
+            engine: String = "tws",
+            coarseTilesMs: Seq[Long] = Nil): DataFrame =
       runWith(Map(relations.head.table -> src), latenessMs, tileGranularityMs,
-        useBatchSweep, engine)
+        useBatchSweep, engine, coarseTilesMs)
 
     /** Run the compiled windows through the engine. `srcs` maps each FROM
       * relation to its frame; in streaming mode the FIRST relation is the
@@ -116,19 +117,20 @@ object WindowSql {
     def runWith(srcs: Map[String, DataFrame], latenessMs: Long = 0,
                 tileGranularityMs: Long = 60000L,
                 useBatchSweep: Boolean = false,
-                engine: String = "tws"): DataFrame = {
+                engine: String = "tws",
+                coarseTilesMs: Seq[Long] = Nil): DataFrame = {
       val plan = enginePlan(srcs)
       import plan._
       val out =
         if (useBatchSweep)
           SlidingWindows.batchComputeMulti(keyed, engineKey, tsCol, numCols, strCols,
-            specs, tileGranularityMs)
+            specs, tileGranularityMs, coarseTilesMs)
         else if (engine == "fmgws")
           SlidingWindows.streamingMulti(keyed, engineKey, tsCol, numCols, strCols,
-            specs, latenessMs, tileGranularityMs)
+            specs, latenessMs, tileGranularityMs, coarseTilesMs)
         else
           SlidingWindowsTws.streamingMulti(keyed, engineKey, tsCol, numCols, strCols,
-            specs, latenessMs, tileGranularityMs)
+            specs, latenessMs, tileGranularityMs, coarseTilesMs)
       // engine emits (ts_ms, key, <numCols>, <strCols>, <specs>) with the
       // original column names — ts/key need renaming back; pass-through
       // slots AND the key/ts (the engine strings the key, longs the ts)

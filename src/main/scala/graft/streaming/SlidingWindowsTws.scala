@@ -39,9 +39,19 @@ object SlidingWindowsTws {
   /** Tiny per-key scalar state (positions + the registered timer). */
   final case class Meta(nextSeq: Long, emittedTs: Long, emittedSeq: Long, timerTs: Long)
 
-  final class Processor(specs: Seq[AggSpec], gran: Long,
+  /** @param grans ascending tile-granularity hierarchy; the FINEST (head)
+    *              defines the state buckets, coarser tiles are derived at
+    *              emission by merging the loaded fine tiles (the emission
+    *              path loads every bucket anyway, so the hierarchy costs
+    *              O(fine tiles) merges per batch and NO extra state writes,
+    *              while a long-frame interior folds the coarsest aligned
+    *              tiles — tens instead of tens of thousands for a 30-day
+    *              frame on 1-minute buckets). */
+  final class Processor(specs: Seq[AggSpec], grans: Seq[Long],
                         needs: Needs, maxRangeMs: Long, maxRows: Int)
     extends StatefulProcessor[String, (Long, String, Seq[Double], Seq[String], java.sql.Timestamp), Row] {
+
+    private val gran = grans.head
 
     /** Buckets store as StateCodec bytes (rows only, tile rebuilt on
       * decode) — the flat codec beats Kryo's class-graph walk on the
@@ -154,6 +164,13 @@ object SlidingWindowsTws {
       val st = new KeyState
       val tileMap = st.tiles.getOrElseUpdate(gran, mutable.HashMap.empty)
       local.foreach { case (b, bk) => st.buffer ++= bk.rows; tileMap(b) = bk.tile }
+      // coarse hierarchy: exact merges of the (already loaded) fine tiles
+      grans.tail.foreach { g =>
+        val cm = st.tiles.getOrElseUpdate(g, mutable.HashMap.empty)
+        local.foreach { case (b, bk) =>
+          cm.getOrElseUpdate(Math.floorDiv(b, g) * g, new Tile(needs)).merge(bk.tile)
+        }
+      }
       st.nextSeq = nextSeq; st.emittedTs = emTs; st.emittedSeq = emSeq
 
       // advance: emit every buffered row with ts <= wm not yet emitted
@@ -163,7 +180,7 @@ object SlidingWindowsTws {
       while (i < buf.length && ordLeq(buf(i)._1, buf(i)._2, emTs, emSeq)) i += 1
       while (i < buf.length && buf(i)._1 <= wm) {
         val (ts, seq, nums, strs) = buf(i)
-        val aggs = specs.map(evalSpec(st, _, i, Seq(gran), needs))
+        val aggs = specs.map(evalSpec(st, _, i, grans, needs))
         out += Row.fromSeq(Seq(ts, key) ++ nums ++ strs ++ aggs)
         emTs = ts; emSeq = seq
         i += 1
@@ -224,7 +241,9 @@ object SlidingWindowsTws {
   def streamingMulti(df: DataFrame, keyCol: String, tsMsCol: String,
                      valueCols: Seq[String], strCols: Seq[String],
                      specs: Seq[AggSpec], latenessMs: Long = 0,
-                     tileGranularityMs: Long = 60000L): DataFrame = {
+                     tileGranularityMs: Long = 60000L,
+                     coarseTilesMs: Seq[Long] = Nil): DataFrame = {
+    val grans = tileGrans(tileGranularityMs, coarseTilesMs)
     df.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // changelog checkpointing: commit the per-batch delta, snapshot in the
@@ -247,7 +266,7 @@ object SlidingWindowsTws {
     prepared.as[(Long, String, Seq[Double], Seq[String], java.sql.Timestamp)]
       .groupByKey(_._2)
       .transformWithState(
-        new Processor(specs, tileGranularityMs, needs, maxRangeMs, maxRows),
+        new Processor(specs, grans, needs, maxRangeMs, maxRows),
         TimeMode.EventTime(), OutputMode.Append())(outEnc)
   }
 
@@ -256,12 +275,14 @@ object SlidingWindowsTws {
   def streaming(df: DataFrame, keyCol: String, tsMsCol: String, valueCol: String,
                 specs: Seq[AggSpec], latenessMs: Long = 0,
                 tileGranularityMs: Long = 60000L,
-                cateCol: String = null): DataFrame = {
+                cateCol: String = null,
+                coarseTilesMs: Seq[Long] = Nil): DataFrame = {
     val hasCate = cateCol != null
     val src = df.select(Seq(col(tsMsCol), col(keyCol),
       col(valueCol).cast("double").as("value")) ++
       (if (hasCate) Seq(col(cateCol).cast("string").as("cate")) else Nil): _*)
     streamingMulti(src, keyCol, tsMsCol, Seq("value"),
-      if (hasCate) Seq("cate") else Nil, specs, latenessMs, tileGranularityMs)
+      if (hasCate) Seq("cate") else Nil, specs, latenessMs, tileGranularityMs,
+      coarseTilesMs)
   }
 }

@@ -155,6 +155,18 @@ class PipelineApiSpec extends AnyFunSuite {
       handle.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
+    // the FULL granularity list reaches the engine (not just the head): a
+    // non-multiple coarse tail must fail tileGrans validation instead of
+    // being silently dropped
+    val badSpec = spec.replace("[2000, 10000]", "[2000, 5000]")
+    val mem2 = MemoryStream[(Long, String, Double)]
+    val err = intercept[IllegalArgumentException] {
+      val h = Pipeline.runJson(spark, badSpec,
+        tables = Map("ovr_evt" -> mem2.toDF().toDF("ts_ms", "key", "value")))
+      h.stop()
+    }
+    assert(err.getMessage.contains("multiple"), err.getMessage)
+    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   test("Datagen source: field generators produce the declared columns deterministically") {

@@ -307,6 +307,50 @@ class SlidingWindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TWS multi-granularity tiles: long-frame parity with 2s/10s/60s hierarchy") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.prepare(spark, null)
+    val evs = events
+    val longSpecs = Seq(
+      AggSpec("sum_5m", "sum", RangeMs(300000)),
+      AggSpec("cnt_5m", "count", RangeMs(300000)),
+      AggSpec("min_5m", "min", RangeMs(300000)),
+      AggSpec("top_5m", "top", RangeMs(300000), 3))
+    evs.toDF("ts_ms", "key", "value").createOrReplaceTempView("tws_tile_evt")
+    val want = spark.sql("""
+      SELECT ts_ms, key, value,
+             sum(value) OVER w AS sum_5m, count(value) OVER w AS cnt_5m,
+             min(value) OVER w AS min_5m, top(value, 3) OVER w AS top_5m
+      FROM tws_tile_evt WINDOW w AS (PARTITION BY key ORDER BY ts_ms
+        RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+    """).collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+      R.r6(r.getDouble(3)), r.getLong(4).toDouble, r.getDouble(5), r.getString(6))).toSet
+
+    val rnd = new scala.util.Random(47)
+    val batches = rnd.shuffle(evs).sortBy(_._1).grouped(100).toSeq.map(b => rnd.shuffle(b))
+    val mem = MemoryStream[(Long, String, Double)]
+    val out = graft.streaming.SlidingWindowsTws.streaming(
+      mem.toDF().toDF("ts_ms", "key", "value"),
+      "key", "ts_ms", "value", longSpecs, latenessMs = 60000,
+      tileGranularityMs = 2000, coarseTilesMs = Seq(10000, 60000))
+    val qname = s"tws_tile_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val keys = evs.map(_._2).distinct
+      mem.addData(keys.map(k => (SlidingWindows.FLUSH_TS, k, 0.0)): _*)
+      q.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, keys.head, 0.0))
+      q.processAllAvailable()
+      val got = spark.table(qname).collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), R.r6(r.getDouble(3)), r.getDouble(4), r.getDouble(5),
+        r.getString(6))).toSet
+      assert(got == want, "TWS with coarse hierarchy == batch OVER")
+    } finally q.stop()
+  }
+
   test("TWS engine multi-column: heterogeneous agg args == batch OVER") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -46,4 +46,26 @@ class IngestChunkSpec extends AnyFunSuite {
     assert(st.buffer.length == 1000)
     assert(st.buffer.map(_._1) == st.buffer.map(_._1).sorted)
   }
+
+  test("coarse tile hierarchy: identical results, far fewer folds per long-frame eval") {
+    // 30-minute frame over 1 s rows with 2 s fine tiles: single-granularity
+    // interiors fold ~900 tiles per emission, a 2s/10s/60s hierarchy ~30.
+    val spec = AggSpec("s30m", "sum", RangeMs(1800000))
+    val n = needsOf(Seq(spec), 1, 0)
+    def build(grans: Seq[Long]): KeyState = {
+      val st = new KeyState
+      ingestChunk(st,
+        (0 until 2400).map(i => row(1704067200000L + 1000L * i, (i % 13).toDouble)).iterator,
+        grans, n)
+      st
+    }
+    val fine = build(Seq(2000L))
+    val multi = build(Seq(2000L, 10000L, 60000L))
+    val last = fine.buffer.length - 1
+    val fineVal = SlidingWindows.evalSpec(fine, spec, last, Seq(2000L), n)
+    val multiVal = SlidingWindows.evalSpec(multi, spec, last, Seq(2000L, 10000L, 60000L), n)
+    assert(fineVal == multiVal, "hierarchy must not change the result")
+    assert(multi.tileFolds * 10 < fine.tileFolds,
+      s"coarse walk should cut folds >10x: fine=${fine.tileFolds} multi=${multi.tileFolds}")
+  }
 }
