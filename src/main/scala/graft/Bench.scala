@@ -14,6 +14,64 @@ object Bench {
     * sliding-window engine as a real streaming query (file source in
     * ~1000-record batches). Returns (records, elapsedSec).
     */
+  /** Engine-bound variant of the streaming workload: the SAME 20k-record
+    * input consumed without the one-file-per-trigger cadence (a single
+    * AvailableNow run over all files). The cadence-bound number reflects
+    * the reference's batch-arrival shape; this one isolates the engine's
+    * throughput from the micro-batch floor (~1 s/trigger x 21 files).
+    */
+  private def streamingEngineBound(spark: org.apache.spark.sql.SparkSession): (Long, Double) = {
+    import graft.sources.Datagen
+    import graft.streaming.SlidingWindows
+    import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+
+    val records = 20000L
+    val startMs = 1704067200000L; val stepMs = 25L
+    val root = java.nio.file.Files.createTempDirectory("graft_bench_stream_eb_").toString
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+    val input = Datagen.batch(spark, records, Map(
+        "ts_ms" -> Datagen.IncrementalTimestamp(startMs, stepMs),
+        "key" -> Datagen.Key(4),
+        "value" -> Datagen.Uniform(0.0, 100.0)))
+      .select(col("ts_ms").cast("long"), col("key"), col("value"))
+    input.coalesce(1).write.parquet(inDir)
+    SlidingWindows.flushRows(input, "key", "ts_ms", "value")
+      .write.mode("append").parquet(inDir)
+
+    val t0 = System.nanoTime()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val streamIn = spark.readStream.schema(spark.read.parquet(inDir).schema)
+      .parquet(inDir) // no maxFilesPerTrigger: all files in one batch
+    val out = SlidingWindows.streaming(streamIn, "key", "ts_ms", "value",
+      Seq(AggSpec("sum_1s", "sum", RangeMs(1000))), latenessMs = 0,
+      tileGranularityMs = 250)
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        { emitted.addAndGet(b.count()); () })
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      var rounds = 0
+      while (emitted.get() < records && rounds < 5) {
+        SlidingWindows.flushRows(input, "key", "ts_ms", "value")
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        rounds += 1
+      }
+      require(emitted.get() == records,
+        s"engine-bound streaming bench emitted ${emitted.get()} of $records")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    (records, (System.nanoTime() - t0) / 1e9)
+  }
+
   private def streamingWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double) = {
     import graft.sources.Datagen
     import graft.streaming.SlidingWindows
@@ -123,14 +181,22 @@ object Bench {
     * feature store (window_request_operator_benchmark.rs shape).
     * Returns (records, evalSec, qps).
     */
-  private def requestWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double, Double) = {
-    import graft.serving.{FeatureStore, RequestServer, RequestServing}
+  /** @return (records, evalSec bounded, evalSec unbounded, store qps,
+    *          live qps). The bounded/unbounded pair attributes the cost of
+    *          the ROWS-frame counting pass (the scan-bounding fix) against
+    *          the full-history scan it replaces; the live QPS serves
+    *          at-request-time evaluation from a [[ServingBuffer]] instead
+    *          of the last upserted row. */
+  private def requestWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double, Double, Double, Double) = {
+    import graft.serving.{FeatureStore, RequestServer, RequestServing, ServingBuffer}
     import graft.sources.Datagen
     import graft.streaming.SlidingWindows.{AggSpec, RowsN}
     import org.apache.spark.sql.functions.{col, lit}
 
     val records = 200000L; val keys = 40
     val startMs = 1704067200000L; val stepMs = 5L
+    val specs = Seq(AggSpec("min_10k", "min", RowsN(10000)),
+        AggSpec("max_10k", "max", RowsN(10000)))
     val input = Datagen.batch(spark, records, Map(
         "ts_ms" -> Datagen.IncrementalTimestamp(startMs, stepMs),
         "key" -> Datagen.Key(keys),
@@ -139,18 +205,23 @@ object Bench {
     val atTs = startMs + records * stepMs
     val t0 = System.nanoTime()
     val pit = RequestServing.pointInTime(input, "key", "ts_ms", "value",
-      Seq(AggSpec("min_10k", "min", RowsN(10000)),
-          AggSpec("max_10k", "max", RowsN(10000))), atTs)
+      specs, atTs)
     val store = new FeatureStore
     FeatureStore.upsertBatch(store, "key", "ts_ms")(
       pit.withColumn("ts_ms", lit(atTs)), 0L)
     require(store.size == keys, s"request bench produced ${store.size} of $keys keys")
     val evalSec = (System.nanoTime() - t0) / 1e9
 
-    // HTTP lookup QPS (sequential client, like the reference's harness)
-    val server = new RequestServer(store)
-    val port = server.start()
-    val qps =
+    // same evaluation WITHOUT the bounded-scan counting pass (full-history
+    // ROWS scan) — attributes the bounding's local cost vs its scale win
+    val t0u = System.nanoTime()
+    val pitU = RequestServing.pointInTime(input, "key", "ts_ms", "value",
+      specs, atTs, countingPass = false)
+    require(pitU.count() == keys)
+    val evalUnboundedSec = (System.nanoTime() - t0u) / 1e9
+
+    def measureQps(server: RequestServer): Double = {
+      val port = server.start()
       try {
         val client = java.net.http.HttpClient.newHttpClient()
         val n = 2000
@@ -168,7 +239,19 @@ object Bench {
         }
         n / ((System.nanoTime() - t1) / 1e9)
       } finally server.stop()
-    (records, evalSec, qps)
+    }
+
+    // HTTP lookup QPS against the upsert store (sequential client, like
+    // the reference's harness)
+    val qps = measureQps(new RequestServer(store))
+
+    // live QPS: every lookup re-evaluates min/max at the newest buffered
+    // event over the 10k-row ROWS frame (reference request semantics)
+    val buffer = new ServingBuffer(specs)
+    ServingBuffer.feedBatch(buffer, "key", "ts_ms", Seq("value"), Nil)(input, 0L)
+    val liveQps = measureQps(new RequestServer(store, 0, Some(buffer)))
+
+    (records, evalSec, evalUnboundedSec, qps, liveQps)
   }
 
   def main(args: Array[String]): Unit = {
@@ -208,11 +291,14 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // streaming window workload (reference window_operator_benchmark.rs)
+    // streaming window workload (reference window_operator_benchmark.rs):
+    // cadence-bound (one file per trigger, the reference's batch-arrival
+    // shape) + engine-bound (all files in one batch) variants
     val streaming =
       try {
         val (recs, sec) = streamingWorkload(spark)
-        f"""{"records":$recs,"elapsed_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f,"keys":4,"range_ms":1000,"batch_records":1000}"""
+        val (recsEb, secEb) = streamingEngineBound(spark)
+        f"""{"records":$recs,"elapsed_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f,"keys":4,"range_ms":1000,"batch_records":1000,"engine_bound_elapsed_sec":$secEb%.3f,"engine_bound_records_per_sec":${recsEb / secEb}%.1f}"""
       } catch { case e: Throwable =>
         errors("streaming_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
@@ -231,8 +317,8 @@ object Bench {
     // request-mode workload (reference window_operator_benchmark.rs:590-625)
     val request =
       try {
-        val (recs, sec, qps) = requestWorkload(spark)
-        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f}"""
+        val (recs, sec, secU, qps, liveQps) = requestWorkload(spark)
+        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"live_lookup_qps":$liveQps%.1f}"""
       } catch { case e: Throwable =>
         errors("request_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"

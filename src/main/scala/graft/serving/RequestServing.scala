@@ -41,7 +41,8 @@ object RequestServing {
     * unbounded semantics. */
   def boundedAsOf(df: DataFrame, keyCol: String, tsMsCol: String,
                   specs: Seq[AggSpec], atTs: Long,
-                  bucketMs: Long = 86400000L): DataFrame = {
+                  bucketMs: Long = 86400000L,
+                  countingPass: Boolean = true): DataFrame = {
     val ts = col(tsMsCol)
     val hasRows = specs.exists(_.frame.isInstanceOf[RowsN])
     val hasRange = specs.exists(_.frame.isInstanceOf[RangeMs])
@@ -51,6 +52,9 @@ object RequestServing {
       .foldLeft(0)(math.max)
     val upTo = df.where(ts <= atTs)
     if (!hasRows) return upTo.where(ts > atTs - maxRange)
+    // knob for benchmarking the counting pass's cost against its scan
+    // bound: without it, ROWS frames read each key's full (<= atTs) history
+    if (!countingPass) return upTo
     val rangeFloor = if (hasRange) atTs - maxRange + 1 else Long.MaxValue
     val counts = upTo.groupBy(col(keyCol),
         expr(s"($tsMsCol DIV $bucketMs) * $bucketMs").as("__bucket"))
@@ -72,12 +76,14 @@ object RequestServing {
     *         avg is DOUBLE (sum/count — exact when values are integers).
     */
   def pointInTime(df: DataFrame, keyCol: String, tsMsCol: String,
-                  valueCol: String, specs: Seq[AggSpec], atTs: Long): DataFrame = {
+                  valueCol: String, specs: Seq[AggSpec], atTs: Long,
+                  countingPass: Boolean = true): DataFrame = {
     val ts = col(tsMsCol)
     val v = col(valueCol)
     val hasRows = specs.exists(_.frame.isInstanceOf[RowsN])
 
-    val base = boundedAsOf(df, keyCol, tsMsCol, specs, atTs)
+    val base = boundedAsOf(df, keyCol, tsMsCol, specs, atTs,
+      countingPass = countingPass)
     // Recency rank per key, only when some ROWS frame needs it.
     val ranked =
       if (hasRows)

@@ -58,7 +58,8 @@ final class ServingBuffer(val specs: Seq[AggSpec]) {
   def eval(key: String, atTs: Option[Long] = None): Option[(Long, Seq[(String, Any)])] =
     Option(m.get(key)).filter(_.nonEmpty).map { rows =>
       val at = atTs.getOrElse(rows.last._1)
-      at -> specs.map(_.name).zip(SlidingWindows.evalAtPoint(rows, specs, at))
+      at -> specs.map(_.name).zip(
+        SlidingWindows.evalAtPoint(rows, specs, at, presorted = true))
     }
 
   def bufferedKeys: Int = m.size

@@ -667,8 +667,18 @@ object SlidingWindows {
     * so every aggregate kind evaluates at the point. Rows are
     * (ts, numSlots, strSlots) in any order; ts ties keep input order. */
   private[graft] def evalAtPoint(rows: Seq[(Long, Array[Double], Array[String])],
-                                 specs: Seq[AggSpec], atTs: Long): Seq[Any] = {
-    val sorted = rows.filter(_._1 <= atTs).sortBy(_._1).toIndexedSeq
+                                 specs: Seq[AggSpec], atTs: Long,
+                                 presorted: Boolean = false): Seq[Any] = {
+    // presorted: serving buffers keep rows ts-ascending — skip the per-call
+    // sort (it dominates lookup latency on deep ROWS frames)
+    val sorted =
+      if (presorted) {
+        val cut = rows.indexWhere(_._1 > atTs) match {
+          case -1 => rows.length
+          case i  => i
+        }
+        rows.take(cut).toIndexedSeq
+      } else rows.filter(_._1 <= atTs).sortBy(_._1).toIndexedSeq
     specs.map { spec =>
       val a = new Acc(spec, -1, -1, -1)
       spec.frame match {

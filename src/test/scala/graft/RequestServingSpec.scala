@@ -168,6 +168,34 @@ class RequestServingSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("boundedAsOf counting pass prunes its scan to key/ts columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_pit_prune_").toString + "/data"
+    (0 until 5000).map(i =>
+        (1704067200000L + 100L * i, s"u${i % 4}", i.toDouble, s"wide_payload_$i"))
+      .toDF("ts_ms", "key", "value", "payload").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val specs = Seq(AggSpec("min_1k", "min", RowsN(1000)))
+    val atTs = 1704067200000L + 100L * 4500
+    val out = RequestServing.pointInTime(df, "key", "ts_ms", "value", specs, atTs)
+    assert(out.count() == 4)
+    val fin = out.queryExecution.executedPlan
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[Set[String]] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s.schema.fieldNames.toSet)
+      }.flatten
+    val scans = scansOf(fin)
+    assert(scans.nonEmpty, s"no file scans found:\n${fin.toString.take(2000)}")
+    // the counting pass must NOT drag the wide row columns through its
+    // shuffle — its scan reads exactly (key, ts)
+    assert(scans.exists(_ == Set("key", "ts_ms")),
+      s"counting-pass scan not pruned to key/ts: $scans")
+    assert(scans.exists(_.contains("value")), s"main scan missing: $scans")
+  }
+
   test("pointInTimeMulti evaluates every aggregate kind at the virtual point") {
     import spark.implicits._
     GraftSession.prepare(spark, null)
