@@ -51,6 +51,12 @@ import graft.streaming.SlidingWindows.{AggSpec, Frame, RangeMs, RowsN}
   */
 object WindowSql {
 
+  /** Estimated-size cap for force-broadcasting the static side of a
+    * stream-static join (Catalyst's estimate, which skews high): dimension
+    * tables qualify, fact-sized relations fall back to a per-micro-batch
+    * shuffle join instead of OOMing the driver. */
+  val BroadcastStaticMaxBytes: Long = 128L << 20
+
   /** One source relation (table name + optional alias). */
   final case class Rel(table: String, alias: Option[String])
 
@@ -168,10 +174,23 @@ object WindowSql {
           // streaming has no AQE and the session disables static
           // auto-broadcast (GraftSession), so the static dimension side of
           // a stream-static join is broadcast explicitly — whichever side
-          // of the SQL's join it appears on
+          // of the SQL's join it appears on. Guarded by an estimated-size
+          // cap: a fact-sized static side force-broadcast every micro-batch
+          // is a driver/executor OOM source, and falling back to a
+          // per-batch shuffle join is slow-but-correct.
+          def hinted(static: DataFrame): DataFrame = {
+            val est = static.queryExecution.optimizedPlan.stats.sizeInBytes
+            if (est <= BroadcastStaticMaxBytes) broadcast(static)
+            else {
+              System.err.println(s"[windowsql] static join side estimated at " +
+                s"$est bytes (> $BroadcastStaticMaxBytes): not broadcasting; " +
+                "the stream-static join runs as a per-micro-batch shuffle join")
+              static
+            }
+          }
           val (ls, rs) =
-            if (l.isStreaming && !r.isStreaming) (l, broadcast(r))
-            else if (!l.isStreaming && r.isStreaming) (broadcast(l), r)
+            if (l.isStreaming && !r.isStreaming) (l, hinted(r))
+            else if (!l.isStreaming && r.isStreaming) (hinted(l), r)
             else (l, r)
           ls.join(rs, expr(joinCondSql.getOrElse(sys.error("join needs an ON condition"))), "inner")
         case _ => sys.error("at most two FROM relations supported")

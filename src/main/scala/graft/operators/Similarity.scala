@@ -140,7 +140,17 @@ object Similarity {
 
     val cos = dot(col("__qq"), col("__cq")).cast("double") /
       (sqrt(col("__qn2").cast("double")) * sqrt(col("__cn2").cast("double")))
-    val scored = index.assigned.join(broadcast(probes), Seq("__cell"))
+    // STATIC partition pruning on the cell-partitioned index: the broadcast
+    // join alone plans dynamic pruning that degenerates to `true` under AQE
+    // (observed: PartitionFilters [dynamicpruningexpression(true)] — a full
+    // index scan). The probed-cell set is at most nlist ints, so collecting
+    // it costs one tiny job and turns the probe into a real
+    // partition-pruned read — the point of the IVF layout.
+    val probedCells = probes.select(col("__cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val scored = index.assigned
+      .where(col("__cell").isin(probedCells: _*))
+      .join(broadcast(probes), Seq("__cell"))
       .where(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"), cos.as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
