@@ -181,6 +181,63 @@ object SparkEntry {
       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
       ORDER BY c_custkey""")
 
+    // ---------------- temporal joins (beyond reference §2.4) ---------------
+    // Point-in-time as-of join — the feature-store backfill primitive: each
+    // click attaches the user's latest purchase at-or-before it (48 h
+    // tolerance). Spark has no native operator; TemporalJoins.asofJoin runs
+    // it as union + one keyed window pass (the sort-merge-join shuffle
+    // shape). Oracle: DuckDB's native ASOF LEFT JOIN + the same tolerance.
+    m += "q_join_asof" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        val ev = s.sql(s"SELECT * FROM $eventsMsSpark")
+        val out = graft.operators.TemporalJoins.asofJoin(
+          ev.where("event_type = 'click'").select("event_id", "user_id", "ts_ms"),
+          ev.where("event_type = 'purchase'"),
+          keyCols = Seq("user_id"), leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+          rightCols = Seq("value_c"), rightPrefix = "p_",
+          toleranceMs = Some(172800000L))
+        out.orderBy("event_id")
+      },
+      Some(s"""
+      SELECT l.event_id, l.user_id, l.ts_ms,
+             CASE WHEN l.ts_ms - r.ts_ms <= 172800000 THEN r.ts_ms END AS p_ts_ms,
+             CASE WHEN l.ts_ms - r.ts_ms <= 172800000 THEN r.value_c END AS p_value_c
+      FROM (SELECT event_id, user_id, ts_ms FROM $eventsMsDuck WHERE event_type = 'click') l
+      ASOF LEFT JOIN (SELECT * FROM $eventsMsDuck WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
+      ORDER BY l.event_id"""))
+
+    // Bounded interval join (Flink interval-join semantics): each click
+    // pairs with the same user's errors from the preceding 24 h, then
+    // aggregates per click. TemporalJoins.rangeJoin bucketizes event time
+    // so the plan is a plain equi-join on (key, bucket) — never the
+    // BroadcastNestedLoopJoin Spark would pick for the raw inequality.
+    m += "q_join_range" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{col, count, sum}
+        val ev = s.sql(s"SELECT * FROM $eventsMsSpark")
+        graft.operators.TemporalJoins.rangeJoin(
+          ev.where("event_type = 'click'").select("event_id", "user_id", "ts_ms"),
+          ev.where("event_type = 'error'"),
+          keyCols = Seq("user_id"), leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+          lowerMs = -86400000L, upperMs = 0L,
+          rightCols = Seq("value_c"), rightPrefix = "e_")
+          .groupBy("event_id", "user_id")
+          .agg(count(col("*")).as("n_err"), sum("e_value_c").as("err_value_c"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+      SELECT l.event_id, l.user_id, count(*) AS n_err,
+             CAST(sum(r.value_c) AS BIGINT) AS err_value_c
+      FROM (SELECT event_id, user_id, ts_ms FROM $eventsMsDuck WHERE event_type = 'click') l
+      JOIN (SELECT * FROM $eventsMsDuck WHERE event_type = 'error') r
+        ON l.user_id = r.user_id
+       AND r.ts_ms BETWEEN l.ts_ms - 86400000 AND l.ts_ms
+      GROUP BY l.event_id, l.user_id
+      ORDER BY l.event_id"""))
+
     // ---------------- sorts / limits / set ops (SURVEY §2.8) --------------
     m += "q_orderby_limit" -> both("""
       SELECT o_orderkey, o_totalprice FROM orders
