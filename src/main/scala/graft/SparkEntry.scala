@@ -131,6 +131,64 @@ object SparkEntry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
          GROUP BY event_type ORDER BY event_type""")
 
+    // KMV distinct-count sketch (functions/Sketches.scala): O(k) state per
+    // group vs exact count-distinct's full-value shuffle. Deterministic on
+    // the engine-portable md5-prefix hash, so DuckDB replays the estimate
+    // bit-for-bit (k smallest distinct hashes via row_number; exact when a
+    // group has fewer than k distinct hashes).
+    m += "q_approx_distinct" -> split(
+      """SELECT o_orderpriority,
+               kmv_distinct(CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10)
+                                 AS BIGINT), 32) AS approx_custs,
+               count(DISTINCT o_custkey) AS exact_custs
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      """WITH ex AS (
+           SELECT o_orderpriority AS g, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs
+           FROM orders GROUP BY 1
+         ), h AS (
+           SELECT DISTINCT o_orderpriority AS g,
+                  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+           FROM orders
+         ), r AS (
+           SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn,
+                  count(*) OVER (PARTITION BY g) AS n
+           FROM h
+         )
+         SELECT r.g AS o_orderpriority,
+                CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
+                     ELSE 31.0 * 1152921504606846976 / CAST(hv AS DOUBLE) END AS approx_custs,
+                ex.exact_custs
+         FROM r JOIN ex ON r.g = ex.g
+         WHERE rn = CASE WHEN n < 32 THEN n ELSE 32 END
+         ORDER BY o_orderpriority""")
+
+    // Deterministic stratified sampling (operators/Sampling.scala):
+    // hash-of-id predicate, reproducible row-for-row across engines —
+    // the oracle replays the exact same sample.
+    m += "q_sample_stratified" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{count, sum, col, expr}
+        val sampled = graft.operators.Sampling.stratifiedSample(
+          s.table("events"), idCol = "event_id", strataCol = "event_type",
+          pctByStratum = Map("view" -> 5, "click" -> 20), defaultPct = 100)
+        sampled.groupBy("event_type")
+          .agg(count(col("*")).as("n_sampled"),
+            (sum(expr("CAST(round(value * 100) AS BIGINT)")).cast("double") / 100)
+              .as("sampled_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+      SELECT event_type, count(*) AS n_sampled,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sampled_value
+      FROM (
+        SELECT *, (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 2147483647) % 100 AS slot
+        FROM events
+      )
+      WHERE slot < CASE event_type WHEN 'view' THEN 5 WHEN 'click' THEN 20 ELSE 100 END
+      GROUP BY event_type ORDER BY event_type"""))
+
     // Exact-integer money arithmetic (cents / basis points), converted to
     // double once at the end: bit-identical across engines, no rounding.
     m += "q1_agg" -> both("""

@@ -123,4 +123,28 @@ class MlAggregatesSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSeq ==
       Seq("1", "2,1", "4,2", "4,4", "4,4"))
   }
+
+  test("kmv_distinct: exact below k, ~accurate above, merge-invariant") {
+    import spark.implicits._
+    // 40 distinct ids, k=64 -> the sketch holds them all: exact
+    (1 to 200).map(i => ("g", s"id${i % 40}")).toDF("g", "v").createOrReplaceTempView("small")
+    val exact = one("""SELECT kmv_distinct(
+        CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT),64) FROM small GROUP BY g""")
+    assert(exact == 40.0)
+
+    // 5000 distinct ids, k=256 -> estimate; KMV relative error ~1/sqrt(k-2)
+    // (~6.3%), assert a loose 3-sigma band. Deterministic: fixed hash.
+    (1 to 5000).map(i => ("g", s"user-$i")).toDF("g", "v").createOrReplaceTempView("big")
+    val est = one("""SELECT kmv_distinct(
+        CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT),256) FROM big GROUP BY g""")
+      .asInstanceOf[Double]
+    assert(math.abs(est - 5000) / 5000 < 0.20, s"estimate $est too far from 5000")
+
+    // partial/merge across partitions must not change the result
+    val repart = spark.table("big").repartition(7)
+    repart.createOrReplaceTempView("big7")
+    val est7 = one("""SELECT kmv_distinct(
+        CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT),256) FROM big7 GROUP BY g""")
+    assert(est7 == est, "sketch must be merge-order-invariant")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Behavior tests for the LLM-data-pipeline operators with planted
   * duplicates/neighbors (the driver testdata lacks embedding near-dups).
@@ -199,6 +199,25 @@ class OperatorsSpec extends AnyFunSuite {
       .getOrElse(fail("no scan over the index directory found"))
     assert(idxScan.selectedPartitions.partitionCount <= 4,
       s"probe read ${idxScan.selectedPartitions.partitionCount} of $cells cell partitions (nprobe=4)")
+  }
+
+  test("stratified sampling: deterministic, per-stratum rates, unbiased weights") {
+    import spark.implicits._
+    val rows = (1 to 10000).map(i => (i.toLong, if (i % 2 == 0) "common" else "rare"))
+      .toDF("id", "cls")
+    val s1 = Sampling.stratifiedSample(rows, "id", "cls", Map("common" -> 10))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Sampling.stratifiedSample(rows, "id", "cls", Map("common" -> 10))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2, "same ids + rates must sample identical rows")
+    val byCls = Sampling.stratifiedSample(rows, "id", "cls", Map("common" -> 10))
+      .groupBy("cls").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCls("rare") == 5000L, "default rate keeps every rare row")
+    assert(math.abs(byCls("common") - 500L) < 150, s"~10% of common, got ${byCls("common")}")
+    val w = Sampling.stratifiedSampleWeighted(rows, "id", "cls", Map("common" -> 10))
+      .select("cls", "weight").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w("common") == 10.0 && w("rare") == 1.0)
   }
 
   test("text analysis: token counts and fingerprint normalization") {
