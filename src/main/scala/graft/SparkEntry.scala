@@ -1034,6 +1034,23 @@ object SparkEntry {
         "doc_id", "text").select("doc_id").orderBy("doc_id"),
       DedupOracles.simhash())
 
+    // Canonical near-dup clusters: MinHash pair edges closed into
+    // connected components (min-label propagation, one shuffle per round,
+    // diameter-bounded rounds); every doc labeled with its cluster's min
+    // id. The oracle closes the same edges with a recursive CTE.
+    m += "q_dedup_cluster" -> op(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.coalesce
+        val docs = GraftSession.table(s, dir, "documents")
+        val cc = Dedup.connectedComponents(
+          Dedup.minhashAccepted(docs, "doc_id", "text"), "__lid", "__rid")
+        docs.select(col("doc_id"))
+          .join(cc.select(col("id").as("doc_id"), col("c")), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("component"))
+          .orderBy("doc_id")
+      },
+      DedupOracles.minhashCluster())
+
     m += "q_dedup_embedding" -> op(
       (s, dir) => Dedup.embeddingDedupLsh(
           GraftSession.table(s, dir, "embeddings"), "vec_id", "embedding", 0.99)

@@ -233,6 +233,19 @@ object Dedup {
                  k: Int = 5, numHashes: Int = 128, bands: Int = 16,
                  threshold: Double = 0.8,
                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val losers = minhashAccepted(df, idCol, textCol, k, numHashes, bands,
+      threshold, maxBucket)
+      .select(col("__rid").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** The accepted MinHash near-dup PAIRS `(__lid, __rid)`, `lid < rid`
+    * (the edge list [[minhashLsh]] reduces to an anti-join, and the input
+    * to [[connectedComponents]] for canonical cluster assignment). */
+  def minhashAccepted(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, numHashes: Int = 128, bands: Int = 16,
+                      threshold: Double = 0.8,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val sig = minhashSigs(shingleRows(df, idCol, textCol, k), numHashes)
     val pairs = candidatePairs(bandRows(sig, numHashes, bands), maxBucket, "minhash")
@@ -241,9 +254,57 @@ object Dedup {
     val eq = aggregate(
       zip_with(col("__lsig"), col("__rsig"), (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    val losers = pairs.where(eq.cast("double") / numHashes >= threshold)
-      .select(col("__rid").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
+    pairs.where(eq.cast("double") / numHashes >= threshold)
+      .select("__lid", "__rid")
+  }
+
+  /** Connected components over an undirected edge list: every node gets
+    * `component` = the smallest node id reachable from it (the canonical
+    * representative), turning pairwise near-dup edges into CLUSTERS —
+    * pairwise drop-the-larger-id misfiles transitive chains (a~b, b~c but
+    * a!~c leaves c keyed to nobody), and training-data curation wants one
+    * canonical doc per cluster plus cluster sizes.
+    *
+    * Algorithm: min-label propagation — each round every node takes the
+    * min of its own and its neighbors' labels (one hash shuffle per
+    * round), converging in graph-DIAMETER rounds. Chosen over
+    * large/small-star because near-dup graphs have tiny diameters
+    * (clusters are near-cliques from the band join), so 2-4 rounds settle
+    * it at any corpus size; each round is one `groupBy(id).min` — the
+    * same shuffle shape as a keyed aggregation. Convergence is detected
+    * by the (monotonically non-increasing) label-sum fixpoint — one
+    * scalar action per round. Each round's result is `localCheckpoint`ed:
+    * iterative self-referencing lineage otherwise doubles the plan every
+    * round (exponential planning cost long before any data cost); on a
+    * production cluster with flaky executors swap in a reliable
+    * `checkpoint` directory.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    val und = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("c")).localCheckpoint(true)
+    // label sums decrease strictly until the fixpoint (decimal: id sums
+    // can pass Long range, and ANSI mode would throw on overflow)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("c").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prev = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val fromNeighbors = und.join(labels, und("v") === labels("id"))
+        .select(und("u").as("id"), labels("c"))
+      val next = labels.unionByName(fromNeighbors)
+        .groupBy("id").agg(min(col("c")).as("c")).localCheckpoint(true)
+      val cur = labelSum(next)
+      labels = next
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      iter += 1
+    }
+    labels
   }
 
   /** SimHash near-dup removal over a 60-bit fingerprint: per bit, token

@@ -76,6 +76,37 @@ object DedupOracles {
        |WHERE doc_id NOT IN (SELECT rid FROM losers) ORDER BY doc_id""".stripMargin
   }
 
+  /** q_dedup_cluster: the accepted MinHash pair edges closed into
+    * connected components (transitive closure via a recursive CTE), every
+    * document labeled with its component's minimum doc_id — the oracle
+    * twin of `Dedup.minhashAccepted` + `Dedup.connectedComponents`. */
+  def minhashCluster(k: Int = 5, numHashes: Int = 128, bands: Int = 16,
+                     threshold: Double = 0.8): String = {
+    val eqTerms = (0 until numHashes)
+      .map(i => s"CASE WHEN l.m$i = r.m$i THEN 1 ELSE 0 END")
+      .grouped(16).map(g => "(" + g.mkString(" + ") + ")").mkString(" + ")
+    s"""WITH RECURSIVE ${shCte(k)},
+       |${sigCte(numHashes)},
+       |${bandedCte(numHashes, bands)},
+       |$pairsCte,
+       |sims AS (
+       |  SELECT p.lid, p.rid, ($eqTerms) AS eq
+       |  FROM pairs p JOIN sig l ON l.doc_id = p.lid JOIN sig r ON r.doc_id = p.rid),
+       |accepted AS (SELECT lid, rid FROM sims WHERE eq / ${numHashes.toDouble} >= $threshold),
+       |sym AS (SELECT lid AS u, rid AS v FROM accepted
+       |        UNION SELECT rid, lid FROM accepted),
+       |reach AS (
+       |  SELECT u AS id, v AS r FROM sym
+       |  UNION
+       |  SELECT s.u AS id, reach.r FROM sym s JOIN reach ON reach.id = s.v),
+       |comp AS (
+       |  SELECT id, CASE WHEN min(r) < id THEN min(r) ELSE id END AS c
+       |  FROM reach GROUP BY id)
+       |SELECT d.doc_id, CAST(coalesce(c.c, d.doc_id) AS BIGINT) AS component
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** q_dedup_ngram: LSH-proposed candidates screened by estimated Jaccard
     * from the MinHash signature (same deterministic bound as the Spark
     * operator's `sigMargin` stage), then verified by exact Jaccard over

@@ -145,11 +145,25 @@ object Similarity {
     // (observed: PartitionFilters [dynamicpruningexpression(true)] — a full
     // index scan). The probed-cell set is at most nlist ints, so collecting
     // it costs one tiny job and turns the probe into a real
-    // partition-pruned read — the point of the IVF layout.
-    val probedCells = probes.select(col("__cell")).distinct()
-      .collect().map(_.get(0)).toSeq
-    val scored = index.assigned
-      .where(col("__cell").isin(probedCells: _*))
+    // partition-pruned read — the point of the IVF layout. Only worth it
+    // when the index IS a cell-partitioned file relation (loadIndex); for
+    // an in-memory just-built index there is nothing to prune and the
+    // extra job would recompute the probe subplan for no benefit.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val cellPartitioned = index.assigned.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.partitionSchema.fieldNames.contains("__cell")
+        case _ => false
+      }
+    }.getOrElse(false)
+    val pruned =
+      if (!cellPartitioned) index.assigned
+      else {
+        val probedCells = probes.select(col("__cell")).distinct()
+          .collect().map(_.get(0)).toSeq
+        index.assigned.where(col("__cell").isin(probedCells: _*))
+      }
+    val scored = pruned
       .join(broadcast(probes), Seq("__cell"))
       .where(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"), cos.as("cosine"))

@@ -201,6 +201,22 @@ class OperatorsSpec extends AnyFunSuite {
       s"probe read ${idxScan.selectedPartitions.partitionCount} of $cells cell partitions (nprobe=4)")
   }
 
+  test("connected components: transitive chains, disjoint clusters, diameter-bounded") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a long path needs diameter rounds; maxIter must cap, not hang
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val ccPath = Dedup.connectedComponents(path, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccPath.values.toSet == Set(1L))
+  }
+
   test("stratified sampling: deterministic, per-stratum rates, unbiased weights") {
     import spark.implicits._
     val rows = (1 to 10000).map(i => (i.toLong, if (i % 2 == 0) "common" else "rare"))
