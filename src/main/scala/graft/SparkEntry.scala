@@ -917,6 +917,38 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
          GROUP BY token ORDER BY cnt DESC, token LIMIT 100""")
 
+    // BM25 relevance scoring (Robertson/Sparck Jones, k1=1.2 b=0.75) of a
+    // fixed query-term set, per (doc, term): every factor derives from
+    // exact integer counts (tf, df, doc length, corpus totals) through ONE
+    // identically-written arithmetic expression, so both engines produce
+    // bit-identical doubles (same IEEE ops in the same order) — the reason
+    // the usual log() IDF is replaced by its exact-rational odds form.
+    locally {
+      val bmTerms = "'join','hash','scan','filter','merge'"
+      def bmSql(tokens: String): String = s"""
+        WITH tok AS (SELECT doc_id, token FROM ($tokens)),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ($bmTerms) GROUP BY doc_id, token),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+               WHERE token IN ($bmTerms) GROUP BY token)
+        SELECT tf.doc_id, tf.token,
+               CAST(((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+                    * (tf * CAST(2.2 AS DOUBLE))
+                    / (tf + CAST(1.2 AS DOUBLE)
+                         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl
+                            / (CAST(total_len AS DOUBLE) / n_docs)))
+                 AS DOUBLE) AS bm25
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        ORDER BY bm25 DESC, doc_id, token LIMIT 50"""
+      m += "q_bm25" -> split(
+        bmSql("""SELECT doc_id, explode(regexp_extract_all(text, '\\S+', 0)) AS token
+                 FROM documents"""),
+        bmSql("""SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+                 FROM documents"""))
+    }
+
     // ================= LLM-data-pipeline operators ========================
     // (dedup / similarity / text analysis / multimodal — SURVEY north star)
     import graft.operators.{Dedup, DedupOracles, Multimodal, Similarity, TextAnalysis}
