@@ -86,7 +86,7 @@ object Dedup {
     * no-op; locally a single small parquet file would otherwise pin the
     * whole linear pass to one core.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private def spread(df: DataFrame, workFactor: Int = 1): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val plan = df.queryExecution.optimizedPlan
@@ -121,7 +121,12 @@ object Dedup {
       // the single-core linear pass to dominate — below the floor the
       // repartition's shuffle + AQE round cost more than they recover
       // (measured ~0.5 s per query on sub-MB inputs).
-      if (scans.nonEmpty && scans.map(_._1).sum >= SpreadMinBytes &&
+      // the floor scales down by the caller's per-byte work multiplier: a
+      // shingle-exploding pass does ~workFactor x the per-byte work of a
+      // plain token pass, so much smaller scans still win from the spread
+      // (measured: 594 KB sf0.1 documents — minhash single-core 8-10 s vs
+      // ~4.9 s spread, while simhash's lighter pass LOSES ~0.5 s to it)
+      if (scans.nonEmpty && scans.map(_._1).sum >= SpreadMinBytes / math.max(1, workFactor) &&
           scans.map(_._2).sum < target) df.repartition(target)
       else df
     }
@@ -135,7 +140,7 @@ object Dedup {
     * Jaccard runs a distributed `.distinct()` over the hashed rows).
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    spread(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+    spread(df.select(col(idCol).as("__id"), col(textCol).as("__t")), workFactor = 8)
       .select(col("__id"),
         explode(transform(
           sequence(lit(1), greatest(length(col("__t")) - (k - 1), lit(1))),
@@ -179,7 +184,9 @@ object Dedup {
 
   /** Scans below this size skip [[spread]]'s rebalance: the per-row linear
     * pass over so little data finishes faster single-core than the
-    * repartition's extra shuffle + AQE round.
+    * repartition's extra shuffle + AQE round. Callers with a heavier
+    * per-byte pass lower the effective floor via spread's `workFactor`
+    * (shingle explosion emits ~one row per character, ~8x a token pass).
     */
   val SpreadMinBytes: Long = 4L << 20
 
