@@ -189,6 +189,24 @@ object SparkEntry {
       WHERE slot < CASE event_type WHEN 'view' THEN 5 WHEN 'click' THEN 20 ELSE 100 END
       GROUP BY event_type ORDER BY event_type"""))
 
+    // Multi-level aggregation: ROLLUP produces the (flag, status),
+    // (flag, ALL), (ALL, ALL) grouping sets in one pass (Spark expands
+    // grouping sets before the hash aggregate — still partial-aggregated).
+    // NULLS FIRST is explicit: Spark and DuckDB default null order differ.
+    m += "q_rollup" -> both("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+
+    // Exact median over integer cents: even-count groups average the two
+    // middle integers — the same halves in both engines' doubles.
+    m += "q_median" -> both("""
+      SELECT user_id, median(CAST(round(value * 100) AS BIGINT)) AS median_c
+      FROM events GROUP BY user_id ORDER BY user_id""")
+
     // Exact-integer money arithmetic (cents / basis points), converted to
     // double once at the end: bit-identical across engines, no rounding.
     m += "q1_agg" -> both("""
