@@ -314,6 +314,49 @@ object SparkEntry {
       GROUP BY l.event_id, l.user_id
       ORDER BY l.event_id"""))
 
+    // STREAM-STREAM interval join (SURVEY §2.4's intended streaming join,
+    // run as a REAL streaming query): clicks and errors as two watermarked
+    // file streams, inner-joined on user_id with a 24 h event-time range —
+    // the watermark + range condition bound the join state (each side
+    // evicts rows older than the watermark minus the range), and inner
+    // matches emit immediately. Bounded input + processAllAvailable =
+    // complete output; the oracle is the same join as plain batch SQL.
+    m += "q_join_stream_stream" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{col, expr, timestamp_millis}
+        val ev = s.sql(s"SELECT * FROM $eventsMsSpark")
+        val root = java.nio.file.Files.createTempDirectory("graft_ssj_").toString
+        ev.where("event_type = 'click'").select("event_id", "user_id", "ts_ms")
+          .write.parquet(s"$root/l")
+        ev.where("event_type = 'error'").select("event_id", "user_id", "ts_ms", "value_c")
+          .write.parquet(s"$root/r")
+        def side(sub: String): DataFrame = {
+          val st = s.read.parquet(s"$root/$sub").schema
+          s.readStream.schema(st).parquet(s"$root/$sub")
+            .withColumn("ts", timestamp_millis(col("ts_ms")))
+            .withWatermark("ts", "1 hour")
+        }
+        val joined = side("l").as("l").join(side("r").as("r"),
+          expr("""l.user_id = r.user_id
+                  AND r.ts >= l.ts - INTERVAL 24 HOURS AND r.ts <= l.ts"""))
+          .select(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
+            col("l.ts_ms").as("ts_ms"), col("r.event_id").as("e_event_id"),
+            col("r.value_c").as("e_value_c"))
+        val q = joined.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$root/out").orderBy("event_id", "e_event_id")
+      },
+      Some(s"""
+      SELECT l.event_id, l.user_id, l.ts_ms, r.event_id AS e_event_id, r.value_c AS e_value_c
+      FROM (SELECT event_id, user_id, ts_ms FROM $eventsMsDuck WHERE event_type = 'click') l
+      JOIN (SELECT * FROM $eventsMsDuck WHERE event_type = 'error') r
+        ON l.user_id = r.user_id
+       AND r.ts_ms BETWEEN l.ts_ms - 86400000 AND l.ts_ms
+      ORDER BY l.event_id, e_event_id"""))
+
     // ---------------- sorts / limits / set ops (SURVEY §2.8) --------------
     m += "q_orderby_limit" -> both("""
       SELECT o_orderkey, o_totalprice FROM orders
@@ -327,6 +370,25 @@ object SparkEntry {
       UNION
       SELECT o_orderpriority AS label FROM orders WHERE o_totalprice > 300000
       ORDER BY label""")
+
+    // Sessionization: gap-based session assignment (4 h inactivity gap)
+    // via lag + running sum — two window passes over ONE keyed shuffle;
+    // the per-session aggregate reuses the same partitioning.
+    m += "q_sessionize" -> evQ("""
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts_ms) AS session_start, max(ts_ms) AS session_end
+      FROM (
+        SELECT user_id, ts_ms,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+          SELECT user_id, event_id, ts_ms,
+                 CASE WHEN lag(ts_ms) OVER w IS NULL
+                      OR ts_ms - lag(ts_ms) OVER w > 14400000 THEN 1 ELSE 0 END AS new_sess
+          FROM __EV__
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)))
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""")
 
     // ---------------- OVER windows (SURVEY §2.6) ---------------------------
     // RANGE frame in event-time ms; one output row per input row — the
