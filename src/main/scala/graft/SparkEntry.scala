@@ -390,6 +390,74 @@ object SparkEntry {
       GROUP BY user_id, session_id
       ORDER BY user_id, session_id""")
 
+    // The same sessionization as a REAL streaming query on Spark's native
+    // session_window (watermarked, merging-session state): gap-closed
+    // sessions emit in append mode once the watermark passes them; far-
+    // future flush sentinels (one per user) drive the terminal watermark,
+    // their own never-closing sessions filtered from the sink. Oracle =
+    // the batch gap-sessionization SQL (minus the ordinal session_id,
+    // which streaming emission order cannot reproduce).
+    m += "q_sessionize_streaming" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{col, count, expr, lit, max => fmax, min => fmin, session_window, timestamp_millis}
+        val ev = s.sql(s"SELECT user_id, event_id, ts_ms FROM $eventsMsSpark")
+        val expected = s.sql(
+          s"""SELECT count(*) FROM (SELECT DISTINCT user_id, session_id FROM (
+                SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM (SELECT user_id, event_id, ts_ms,
+                        CASE WHEN lag(ts_ms) OVER w IS NULL
+                             OR ts_ms - lag(ts_ms) OVER w > 14400000 THEN 1 ELSE 0 END AS new_sess
+                      FROM $eventsMsSpark
+                      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))))""")
+          .collect()(0).getLong(0)
+        val flushTs = 4102444800000L // 2100-01-01: past any event, closes every session
+        val root = java.nio.file.Files.createTempDirectory("graft_sw_").toString
+        ev.write.parquet(s"$root/in")
+        val flush = ev.select("user_id").distinct()
+          .select(col("user_id"), lit(-1L).as("event_id"), lit(flushTs).as("ts_ms"))
+        val stream = s.readStream.schema(s.read.parquet(s"$root/in").schema)
+          .parquet(s"$root/in")
+          .withColumn("ts", timestamp_millis(col("ts_ms")))
+          .withWatermark("ts", "1 second")
+        val agg = stream.groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+          .agg(count(lit(1)).as("n_events"),
+            fmin(col("ts_ms")).as("session_start"), fmax(col("ts_ms")).as("session_end"))
+          .where(col("session_start") < flushTs)
+          .drop("session_window")
+        val q = agg.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+        def landed: Long =
+          try s.read.parquet(s"$root/out").count() catch { case _: Exception => -1L }
+        try {
+          q.processAllAvailable()
+          var i = 0
+          while (i < 6 && landed < expected) {
+            flush.write.mode("append").parquet(s"$root/in"); q.processAllAvailable(); i += 1
+          }
+        } finally q.stop()
+        s.read.parquet(s"$root/out")
+          .select(col("user_id"), col("n_events"), col("session_start"), col("session_end"))
+          .orderBy("user_id", "session_start")
+      },
+      Some(s"""
+      SELECT user_id, count(*) AS n_events,
+             min(ts_ms) AS session_start, max(ts_ms) AS session_end
+      FROM (
+        SELECT user_id, ts_ms,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+          SELECT user_id, event_id, ts_ms,
+                 CASE WHEN lag(ts_ms) OVER w IS NULL
+                      OR ts_ms - lag(ts_ms) OVER w > 14400000 THEN 1 ELSE 0 END AS new_sess
+          FROM $eventsMsDuck
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)))
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""))
+
     // ---------------- OVER windows (SURVEY §2.6) ---------------------------
     // RANGE frame in event-time ms; one output row per input row — the
     // batch-mode semantics of the reference WindowOperator.
