@@ -146,5 +146,13 @@ class MlAggregatesSpec extends AnyFunSuite {
     val est7 = one("""SELECT kmv_distinct(
         CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT),256) FROM big7 GROUP BY g""")
     assert(est7 == est, "sketch must be merge-order-invariant")
+
+    // and it runs over window frames like the rest of the family
+    (1 to 50).map(i => (i.toLong, s"u${i % 7}")).toDF("seq", "v").createOrReplaceTempView("wf")
+    val wrows = spark.sql("""
+      SELECT seq, kmv_distinct(CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT), 64)
+               OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d
+      FROM wf ORDER BY seq""").collect()
+    assert(wrows(6).getDouble(1) == 7.0 && wrows(49).getDouble(1) == 7.0)
   }
 }
