@@ -371,6 +371,36 @@ object SparkEntry {
       SELECT o_orderpriority AS label FROM orders WHERE o_totalprice > 300000
       ORDER BY label""")
 
+    // Z-order (Morton) clustering key — the layout operator behind
+    // multi-dimensional data skipping (operators/Layout.scala; the spec
+    // test proves row-group pruning on a box query). The z-value is a pure
+    // deterministic expression, replayed bit-for-bit by the oracle: NOTE
+    // DuckDB CAST(double AS BIGINT) ROUNDS while Spark truncates — the
+    // oracle goes through trunc().
+    locally {
+      def duckScale(v: String, mn: Long, mx: Long): String =
+        s"least(greatest(CAST(trunc(($v - $mn) * 65535 / ${mx - mn}) AS BIGINT), 0), 65535)"
+      val orTerms = (for { b <- 0 until 16; i <- 0 until 2 } yield
+          s"(((s$i >> $b) & 1) << ${b * 2 + i})")
+        .grouped(8).map(g => "(" + g.mkString(" | ") + ")").mkString(" | ")
+      m += "q_zorder" -> Q(
+        (s, dir) => {
+          GraftSession.prepare(s, dir)
+          import org.apache.spark.sql.functions.col
+          s.sql(s"SELECT * FROM $eventsMsSpark")
+            .select(col("event_id"), graft.operators.Layout.zvalue(
+              Seq((col("user_id"), 0L, 149L), (col("value_c"), 0L, 4999L)), 16).as("zval"))
+            .orderBy("zval", "event_id").limit(100)
+        },
+        Some(s"""
+        SELECT event_id, ($orTerms) AS zval
+        FROM (SELECT event_id,
+                     ${duckScale("user_id", 0L, 149L)} AS s0,
+                     ${duckScale("value_c", 0L, 4999L)} AS s1
+              FROM $eventsMsDuck)
+        ORDER BY zval, event_id LIMIT 100"""))
+    }
+
     // Sessionization: gap-based session assignment (4 h inactivity gap)
     // via lag + running sum — two window passes over ONE keyed shuffle;
     // the per-session aggregate reuses the same partitioning.

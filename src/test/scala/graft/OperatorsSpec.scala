@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Behavior tests for the LLM-data-pipeline operators with planted
   * duplicates/neighbors (the driver testdata lacks embedding near-dups).
@@ -199,6 +199,37 @@ class OperatorsSpec extends AnyFunSuite {
       .getOrElse(fail("no scan over the index directory found"))
     assert(idxScan.selectedPartitions.partitionCount <= 4,
       s"probe read ${idxScan.selectedPartitions.partitionCount} of $cells cell partitions (nprobe=4)")
+  }
+
+  test("z-order: morton interleave is exact; layout prunes a box query's row groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => fcol}
+    // exact interleave at bits=2 over [0,3]: a-bit b -> position 2b, b-bit -> 2b+1
+    val small = Seq((3L, 0L), (0L, 3L), (3L, 3L), (1L, 2L)).toDF("a", "b")
+    val z = small.select(Layout.zvalue(Seq((fcol("a"), 0L, 3L), (fcol("b"), 0L, 3L)), 2))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(5L, 10L, 15L, 9L)) // 0b0101, 0b1010, 0b1111, 0b1001
+    // data skipping: 100k points, box x<100 && y<100 (1% of the plane);
+    // row-group stats prune most groups only under the z-ordered layout
+    val pts = spark.range(100000).select(fcol("id"),
+      (fcol("id") * 2654435761L % 1000).as("x"), (fcol("id") * 40503L % 1000).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    Layout.zorderBy(pts, Seq(("x", 0L, 999L), ("y", 0L, 999L)), numFiles = 8)
+      .write.option("parquet.block.size", "65536").parquet(s"$dir/z")
+    pts.write.option("parquet.block.size", "65536").parquet(s"$dir/r")
+    def materialized(sub: String): Long = {
+      val q = spark.read.parquet(s"$dir/$sub").where(fcol("x") < 100 && fcol("y") < 100)
+      q.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case s: FileSourceScanExec => Seq(s)
+        }.flatten
+      scans(q.queryExecution.executedPlan).head.metrics("numOutputRows").value
+    }
+    val (mz, mr) = (materialized("z"), materialized("r"))
+    assert(mz < mr / 3, s"z-ordered scan materialized $mz rows vs unordered $mr — no skipping")
   }
 
   test("connected components: transitive chains, disjoint clusters, diameter-bounded") {
