@@ -282,7 +282,7 @@ object WindowSql {
   /** Every kind the engine evaluates (the reference's full registry,
     * aggregates/mod.rs:104-120 + 184-199). */
   private val kinds: Set[String] = plainKinds ++
-    Set("top", "topn_frequency", "top1_ratio",
+    Set("top", "topn_frequency", "top1_ratio", "distinct_count",
       "top_n_key_ratio_cate", "top_n_value_ratio_cate") ++
     cateBases.flatMap(k => Seq(s"${k}_where", s"${k}_cate", s"${k}_cate_where",
       s"top_n_key_${k}_cate_where", s"top_n_value_${k}_cate_where"))
@@ -298,7 +298,7 @@ object WindowSql {
   private def argLayout(kind: String): Option[(Int, Int, Int, Int)] = kind match {
     case "count"                                  => Some((0, -1, -1, -1)) // or 1
     case k if plainKinds(k)                       => Some((1, -1, -1, -1))
-    case "top1_ratio"                             => Some((1, -1, -1, -1))
+    case "top1_ratio" | "distinct_count"          => Some((1, -1, -1, -1))
     case "top" | "topn_frequency"                 => Some((2, -1, -1, 1))
     case k if SlidingWindows.whereBaseKinds(k)    => Some((2, 1, -1, -1))
     case k if SlidingWindows.isRatioKind(k)       => Some((4, 1, 2, 3))

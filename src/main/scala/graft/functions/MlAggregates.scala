@@ -86,6 +86,31 @@ case class TopValues(
     copy(value = c(0), nExpr = c(1))
 }
 
+/** `distinct_count(value)`: exact distinct count as DOUBLE (the batch /
+  * WindowExec twin of the streaming engine's `distinct_count` kind —
+  * Spark has no COUNT(DISTINCT) OVER, this aggregate supplies it). */
+case class DistinctCount(
+    value: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends GraftTypedAgg[CountMapBuf] with CountMapSer {
+
+  override def prettyName: String = "distinct_count"
+  override def children: Seq[Expression] = Seq(value)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def createAggregationBuffer(): CountMapBuf = new CountMapBuf
+  override def update(b: CountMapBuf, input: InternalRow): CountMapBuf = {
+    SV.fromCatalyst(value.eval(input), value.dataType).foreach(b.add(_)); b
+  }
+  override def merge(b: CountMapBuf, o: CountMapBuf): CountMapBuf = { b.mergeIn(o); b }
+  override def eval(b: CountMapBuf): Any = b.m.size.toDouble
+  override def withNewMutableAggBufferOffset(o: Int): ImperativeAggregate = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ImperativeAggregate = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(value = c(0))
+}
+
 /** `topn_frequency(value, n)`: top n values by frequency desc (ties: value desc), CSV. */
 case class TopNFrequency(
     value: Expression,

@@ -82,8 +82,12 @@ object SlidingWindows {
                            vIdx: Int = 0, cIdx: Int = 0, vStr: Boolean = false,
                            wIdx: Int = -1)
 
-  /** The top family accepts any scalar value type. */
-  val cmKinds: Set[String] = Set("top", "topn_frequency", "top1_ratio")
+  /** The count-map family accepts any scalar value type: the top kinds
+    * plus `distinct_count` (distinct values in the frame — the canonical
+    * "distinct users in the last hour" feature; rides the same per-value
+    * count-map tile payload the top kinds already carry, so tiles merge
+    * it for free). */
+  val cmKinds: Set[String] = Set("top", "topn_frequency", "top1_ratio", "distinct_count")
   /** Condition-masked base aggregates (no category). */
   val whereBaseKinds: Set[String] =
     Set("sum_where", "avg_where", "count_where", "min_where", "max_where")
@@ -522,6 +526,8 @@ object SlidingWindows {
     case "top1_ratio" =>
       val m: Iterable[Long] = if (spec.vStr) a.cmS.values else a.cmN.values
       if (m.isEmpty) null else m.max.toDouble / m.sum.toDouble
+    case "distinct_count" =>
+      (if (spec.vStr) a.cmS.size else a.cmN.size).toDouble
     case k if whereBaseKinds(k) => k match {
       // null when no row passes the condition — matches the batch rewrite
       // to built-ins over IF(cond, v, NULL) (GraftFunctions.whereAgg)
