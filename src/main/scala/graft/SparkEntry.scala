@@ -1098,6 +1098,17 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
          GROUP BY token ORDER BY cnt DESC, token LIMIT 100""")
 
+    // Single-pass data-profiling report (the Deequ-style quality check a
+    // pipeline runs before training): one aggregate computes row count,
+    // null fraction, id uniqueness, and length stats — no second scan.
+    m += "q_profile" -> both("""
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS empty_text,
+             count(DISTINCT doc_id) AS distinct_ids,
+             min(length(text)) AS min_len, max(length(text)) AS max_len,
+             CAST(sum(length(text)) AS BIGINT) AS total_len
+      FROM documents""")
+
     // BM25 relevance scoring (Robertson/Sparck Jones, k1=1.2 b=0.75) of a
     // fixed query-term set, per (doc, term): every factor derives from
     // exact integer counts (tf, df, doc length, corpus totals) through ONE
