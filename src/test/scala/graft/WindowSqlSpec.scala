@@ -31,7 +31,8 @@ class WindowSqlSpec extends AnyFunSuite {
            stddev_samp(value) OVER w AS sd10,
            sum_cate(value, cate) OVER w AS sc10,
            avg(value) OVER (PARTITION BY key ORDER BY ts_ms
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS a5r
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS a5r,
+           distinct_count(cate) OVER w AS dc10
     FROM win_evt
     WINDOW w AS (PARTITION BY key ORDER BY ts_ms
                  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)"""
@@ -50,8 +51,9 @@ class WindowSqlSpec extends AnyFunSuite {
       ("c10", "count", RangeMs(10000), None, None),
       ("sd10", "stddev_samp", RangeMs(10000), Some("value"), None),
       ("sc10", "sum_cate", RangeMs(10000), Some("value"), Some("cate")),
-      ("a5r", "avg", RowsN(4), Some("value"), None)))
-    assert(c.outCols == Seq("ts_ms", "key", "value", "cate", "s10", "c10", "sd10", "sc10", "a5r"))
+      ("a5r", "avg", RowsN(4), Some("value"), None),
+      ("dc10", "distinct_count", RangeMs(10000), Some("cate"), None)))
+    assert(c.outCols == Seq("ts_ms", "key", "value", "cate", "s10", "c10", "sd10", "sc10", "a5r", "dc10"))
   }
 
   test("unsupported shapes are rejected with reasons") {
@@ -85,7 +87,7 @@ class WindowSqlSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3),
         R.r6(r.getDouble(4)), r.getLong(5).toDouble,
         Option(r.get(6)).map(d => R.r6(d.asInstanceOf[Double])),
-        r.getString(7), R.r6(r.getDouble(8)))).toSet
+        r.getString(7), R.r6(r.getDouble(8)), r.getDouble(9))).toSet
 
     val mem = MemoryStream[(Long, String, Double, String)]
     val spec = s"""{
@@ -108,7 +110,7 @@ class WindowSqlSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3),
           R.r6(r.getDouble(4)), r.getDouble(5),
           Option(r.get(6)).map(d => R.r6(d.asInstanceOf[Double])),
-          r.getString(7), R.r6(r.getDouble(8)))).toSet
+          r.getString(7), R.r6(r.getDouble(8)), r.getDouble(9))).toSet
       assert(got == want)
     } finally handle.stop()
   }
