@@ -1027,7 +1027,8 @@ object SparkEntry {
                 AggSpec("top3_3d", "top", RangeMs(259200000L), 3),
                 AggSpec("sc_3d", "sum_cate", RangeMs(259200000L)),
                 AggSpec("ccw_3d", "count_cate_where", RangeMs(259200000L), wIdx = 1),
-                AggSpec("rk_3d", "top_n_key_ratio_cate", RangeMs(259200000L), 2, wIdx = 1)),
+                AggSpec("rk_3d", "top_n_key_ratio_cate", RangeMs(259200000L), 2, wIdx = 1),
+                AggSpec("dc_3d", "distinct_count", RangeMs(259200000L), vIdx = 0, vStr = true)),
             atTs)
           .select(col("key").cast("long").as("user_id"),
             (col("sum_3d_c") / 100).as("sum_3d"),
@@ -1037,7 +1038,7 @@ object SparkEntry {
             (col("max_3d_c") / 100).as("max_3d"),
             col("cnt_12h").cast("long").as("cnt_12h"),
             (col("sd_3d_c") / 100).as("sd_3d"),
-            col("top3_3d"), col("sc_3d"), col("ccw_3d"), col("rk_3d"))
+            col("top3_3d"), col("sc_3d"), col("ccw_3d"), col("rk_3d"), col("dc_3d"))
           .orderBy("user_id")
       },
       Some(s"""
@@ -1081,7 +1082,9 @@ object SparkEntry {
                coalesce(top3.top3_3d, '') AS top3_3d,
                coalesce(sc.sc_3d, '') AS sc_3d,
                coalesce(ccw.ccw_3d, '') AS ccw_3d,
-               coalesce(rk.rk_3d, '') AS rk_3d
+               coalesce(rk.rk_3d, '') AS rk_3d,
+               (SELECT CAST(count(DISTINCT cate) AS DOUBLE) FROM w3
+                WHERE w3.user_id = b.user_id AND cate IS NOT NULL) AS dc_3d
         FROM base b
         LEFT JOIN top3 USING (user_id) LEFT JOIN sc USING (user_id)
         LEFT JOIN ccw USING (user_id) LEFT JOIN rk USING (user_id)
@@ -1097,6 +1100,18 @@ object SparkEntry {
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
          GROUP BY token ORDER BY cnt DESC, token LIMIT 100""")
+
+    // Semi-structured extraction: the events.props JSON column parsed and
+    // aggregated in one pass (Spark get_json_object is codegen'd — no UDF).
+    m += "q_json_extract" -> split(
+      """SELECT event_type,
+               CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(get_json_object(props, '$.k')) AS n_with_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+      """SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(json_extract_string(props, '$.k')) AS n_with_k
+         FROM events GROUP BY event_type ORDER BY event_type""")
 
     // Single-pass data-profiling report (the Deequ-style quality check a
     // pipeline runs before training): one aggregate computes row count,
