@@ -294,9 +294,12 @@ object Dedup {
     var labels = und.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("c")).localCheckpoint(true)
     // label sums decrease strictly until the fixpoint (decimal: id sums
-    // can pass Long range, and ANSI mode would throw on overflow)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("c").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    // can pass Long range, and ANSI mode would throw on overflow; an
+    // empty edge list sums to null -> ZERO, converging immediately)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("c").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var prev = labelSum(labels)
     var iter = 0
     var converged = false

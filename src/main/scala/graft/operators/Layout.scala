@@ -35,6 +35,9 @@ object Layout {
     // scale to [0, 2^bits): (v - min) * maxCell / (max - min), clamped
     val scaled = cols.map { case (c, mn, mx) =>
       require(mx > mn, s"degenerate z-column bounds [$mn, $mx]")
+      require(mx - mn <= Long.MaxValue / maxCell,
+        s"z-column span ${mx - mn} x $maxCell overflows the scaling multiply " +
+          "— pre-bucket the column (e.g. ns -> ms) before z-ordering")
       val s = ((c.cast("long") - lit(mn)) * lit(maxCell) / lit(mx - mn)).cast("long")
       least(greatest(s, lit(0L)), lit(maxCell))
     }

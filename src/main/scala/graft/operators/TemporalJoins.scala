@@ -61,6 +61,11 @@ object TemporalJoins {
     *
     * Timestamps are compared as BIGINT (cast from the named columns);
     * pass epoch-ms columns for event time.
+    *
+    * NULL keys: window partitioning groups nulls together, so null-keyed
+    * left rows CAN match null-keyed right rows — unlike SQL equality
+    * joins (DuckDB ASOF never matches null keys). Filter null keys from
+    * either side first if SQL semantics are required.
     */
   def asofJoin(
       left: DataFrame,
@@ -153,6 +158,10 @@ object TemporalJoins {
     require(keyCols.nonEmpty, "rangeJoin needs at least one key column")
     require(upperMs >= lowerMs, s"empty range: [$lowerMs, $upperMs]")
     val width = if (bucketMs > 0) bucketMs else math.max(1L, upperMs - lowerMs)
+    val explosion = (upperMs - lowerMs) / width + 1
+    require(explosion <= 4096,
+      s"bucketMs=$width explodes each left row into $explosion candidate buckets " +
+        "over a " + (upperMs - lowerMs) + " ms range — widen the bucket")
 
     val lts = col(leftTsCol).cast("long")
     val l2 = left.withColumn(

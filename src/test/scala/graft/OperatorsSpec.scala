@@ -246,6 +246,8 @@ class OperatorsSpec extends AnyFunSuite {
     val ccPath = Dedup.connectedComponents(path, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ccPath.values.toSet == Set(1L))
+    // an empty edge list converges immediately to an empty labeling
+    assert(Dedup.connectedComponents(edges.where(lit(false)), "a", "b").count() == 0)
   }
 
   test("stratified sampling: deterministic, per-stratum rates, unbiased weights") {
