@@ -262,7 +262,11 @@ object SparkEntry {
     // click attaches the user's latest purchase at-or-before it (48 h
     // tolerance). Spark has no native operator; TemporalJoins.asofJoin runs
     // it as union + one keyed window pass (the sort-merge-join shuffle
-    // shape). Oracle: DuckDB's native ASOF LEFT JOIN + the same tolerance.
+    // shape). Oracle: DuckDB's native ASOF LEFT JOIN + the same tolerance;
+    // its right side pre-aggregates to max(value_c) per (user, ts) because
+    // ASOF picks an ARBITRARY row among equal timestamps while asofJoin
+    // deterministically takes the largest payload — same result, made
+    // explicit so duplicate-ts data can never flake the hash compare.
     m += "q_join_asof" -> Q(
       (s, dir) => {
         GraftSession.prepare(s, dir)
@@ -280,7 +284,9 @@ object SparkEntry {
              CASE WHEN l.ts_ms - r.ts_ms <= 172800000 THEN r.ts_ms END AS p_ts_ms,
              CASE WHEN l.ts_ms - r.ts_ms <= 172800000 THEN r.value_c END AS p_value_c
       FROM (SELECT event_id, user_id, ts_ms FROM $eventsMsDuck WHERE event_type = 'click') l
-      ASOF LEFT JOIN (SELECT * FROM $eventsMsDuck WHERE event_type = 'purchase') r
+      ASOF LEFT JOIN (SELECT user_id, ts_ms, max(value_c) AS value_c
+                      FROM $eventsMsDuck WHERE event_type = 'purchase'
+                      GROUP BY user_id, ts_ms) r
         ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
       ORDER BY l.event_id"""))
 

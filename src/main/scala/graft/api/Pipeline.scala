@@ -220,7 +220,7 @@ object Pipeline {
             val plan = c.enginePlan(windowSrcs(c))
             startRequestServing(spec,
               c.runWith(windowSrcs(c), latenessMs, gran, engine = engine,
-                coarseTilesMs = tilingGrans.drop(1)),
+                coarseTilesMs = tilingGrans.drop(1), prebuiltPlan = Some(plan)),
               c.keyCol, c.tsCol,
               liveFeed = Some(LiveFeed(plan.keyed, plan.engineKey, c.tsCol,
                 plan.numCols, plan.strCols, plan.specs)))

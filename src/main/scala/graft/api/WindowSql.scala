@@ -124,8 +124,13 @@ object WindowSql {
                 tileGranularityMs: Long = 60000L,
                 useBatchSweep: Boolean = false,
                 engine: String = "tws",
-                coarseTilesMs: Seq[Long] = Nil): DataFrame = {
-      val plan = enginePlan(srcs)
+                coarseTilesMs: Seq[Long] = Nil,
+                prebuiltPlan: Option[EnginePlan] = None): DataFrame = {
+      // prebuiltPlan: a caller that already materialized enginePlan (the
+      // request-serving path feeds the same slot layout to a live buffer)
+      // passes it back in rather than paying plan construction — and the
+      // static-side broadcast stats probe — twice
+      val plan = prebuiltPlan.getOrElse(enginePlan(srcs))
       import plan._
       val out =
         if (useBatchSweep)
@@ -143,9 +148,14 @@ object WindowSql {
       // cast back to their source types. Multi-key: the composite engine
       // key is dropped and the source key columns come from their slots.
       val multiKey = keyCols.length > 1
+      // ALL selected key columns restore their source type — including a
+      // partition column that also rides an aggregate-argument slot (it is
+      // excluded from keyPass to avoid a duplicate slot, but its output
+      // still comes back out of that slot as an engine string/double)
       val origType: Map[String, DataType] =
-        (passCols ++ keyPass ++
-          (if (multiKey) Seq(tsCol) else Seq(keyCols.head, tsCol)).filter(outCols.contains))
+        (passCols ++
+          (if (multiKey) keyCols :+ tsCol else Seq(keyCols.head, tsCol))
+            .filter(outCols.contains))
           .map(c => c -> schema(schema.fieldIndex(c)).dataType).toMap
       val restoredKey = out.withColumnRenamed("ts_ms", tsCol)
       val renamed = (if (multiKey) restoredKey.drop("key")

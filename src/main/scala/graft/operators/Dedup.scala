@@ -300,6 +300,14 @@ object Dedup {
       val d = df.agg(sum(col("c").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
+    // free a superseded localCheckpoint's pinned blocks (Dataset.unpersist
+    // doesn't reach the checkpoint RDD inside the LogicalRDD leaf) — else
+    // every round pins a full label snapshot for the method's lifetime
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
     var prev = labelSum(labels)
     var iter = 0
     var converged = false
@@ -309,11 +317,13 @@ object Dedup {
       val next = labels.unionByName(fromNeighbors)
         .groupBy("id").agg(min(col("c")).as("c")).localCheckpoint(true)
       val cur = labelSum(next)
+      freeCheckpoint(labels)
       labels = next
       converged = cur.compareTo(prev) == 0
       prev = cur
       iter += 1
     }
+    freeCheckpoint(und)
     labels
   }
 

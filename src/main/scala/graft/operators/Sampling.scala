@@ -21,19 +21,25 @@ object Sampling {
     * `hash31(id) % 100 < pct`. Same id + same rates => same decision,
     * everywhere, forever.
     */
+  /** The per-row sampling percentage as a column — ONE definition shared
+    * by the predicate and the weights, so they cannot disagree. */
+  private def pctColumn(strataCol: String, pctByStratum: Map[String, Int],
+                        defaultPct: Int): Column = {
+    require((pctByStratum.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "sampling percentages must be in [0, 100]")
+    pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (stratum, p)) =>
+      when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+  }
+
   def stratifiedSample(
       df: DataFrame,
       idCol: String,
       strataCol: String,
       pctByStratum: Map[String, Int],
       defaultPct: Int = 100): DataFrame = {
-    require((pctByStratum.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
-      "sampling percentages must be in [0, 100]")
     val slot: Column = Dedup.hash31(col(idCol).cast("string")) % 100
-    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (stratum, p)) =>
-      when(col(strataCol) === stratum, lit(p)).otherwise(acc)
-    }
-    df.where(slot < pct)
+    df.where(slot < pctColumn(strataCol, pctByStratum, defaultPct))
   }
 
   /** [[stratifiedSample]] plus an inverse-probability `weight` column
@@ -44,11 +50,8 @@ object Sampling {
       idCol: String,
       strataCol: String,
       pctByStratum: Map[String, Int],
-      defaultPct: Int = 100): DataFrame = {
-    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (stratum, p)) =>
-      when(col(strataCol) === stratum, lit(p)).otherwise(acc)
-    }
+      defaultPct: Int = 100): DataFrame =
     stratifiedSample(df, idCol, strataCol, pctByStratum, defaultPct)
-      .withColumn("weight", lit(100.0) / pct.cast("double"))
-  }
+      .withColumn("weight",
+        lit(100.0) / pctColumn(strataCol, pctByStratum, defaultPct).cast("double"))
 }

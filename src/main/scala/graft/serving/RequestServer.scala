@@ -86,24 +86,25 @@ final class RequestServer(store: FeatureStore, port: Int = 0,
     // the last upserted feature row for keys with no buffer
     live.flatMap(_.eval(key, atTs)) match {
       case Some((at, feats)) =>
-        val root = mapper.createObjectNode()
-        root.put("key", key)
-        root.put("ts_ms", at)
-        root.put("live", true)
-        val fo = root.putObject("features")
-        feats.sortBy(_._1).foreach { case (n, v) => putAny(fo, n, v) }
-        send(ex, 200, mapper.writeValueAsString(root))
+        send(ex, 200, featuresJson(key, at, feats, live = true))
       case None => store.get(key) match {
         case None => send(ex, 404, errJson(s"no features for key $key"))
         case Some(entry) =>
-          val root = mapper.createObjectNode()
-          root.put("key", key)
-          root.put("ts_ms", entry.tsMs)
-          val feats = root.putObject("features")
-          entry.values.toSeq.sortBy(_._1).foreach { case (n, v) => putAny(feats, n, v) }
-          send(ex, 200, mapper.writeValueAsString(root))
+          send(ex, 200, featuresJson(key, entry.tsMs, entry.values.toSeq, live = false))
       }
     }
+  }
+
+  /** One response shape for both the live and the store-fallback path. */
+  private def featuresJson(key: String, tsMs: Long,
+                           feats: Seq[(String, Any)], live: Boolean): String = {
+    val root = mapper.createObjectNode()
+    root.put("key", key)
+    root.put("ts_ms", tsMs)
+    if (live) root.put("live", true)
+    val fo = root.putObject("features")
+    feats.sortBy(_._1).foreach { case (n, v) => putAny(fo, n, v) }
+    mapper.writeValueAsString(root)
   }
 
   private def putAny(o: ObjectNode, n: String, v: Any): Unit = v match {

@@ -89,7 +89,9 @@ object ServingBuffer {
           val nums = Array.tabulate(nv)(i =>
             if (r.isNullAt(2 + i)) 0.0 else r.getDouble(2 + i))
           val strs = Array.tabulate(ns)(i => r.getString(2 + nv + i))
-          (r.getString(0), (r.getLong(1), nums, strs))
+          // String.valueOf: a NULL key would NPE ConcurrentHashMap.compute
+          // and kill the feeder query — normalize like FeatureStore does
+          (String.valueOf(r.getString(0)), (r.getLong(1), nums, strs))
         }.toSeq.groupBy(_._1)
         .foreach { case (k, rs) => buf.append(k, rs.map(_._2)) }
     }

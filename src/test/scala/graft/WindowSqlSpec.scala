@@ -236,6 +236,31 @@ class WindowSqlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("partition column doubling as an aggregate argument restores its source type") {
+    import spark.implicits._
+    GraftSession.prepare(spark, null)
+    // uid is BOTH a partition key and the cate argument: it rides the cate
+    // string slot (keyPass skips it to avoid a duplicate slot), and the
+    // output must still come back as LONG, matching plain Catalyst
+    val aSql = """
+      SELECT ts_ms, uid, etype,
+             sum_cate(value, uid) OVER w AS su
+      FROM arg_evt
+      WINDOW w AS (PARTITION BY uid, etype ORDER BY ts_ms
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)"""
+    val rows = (0 until 120).map { i =>
+      (1704067200000L + 700L * i, (i % 3).toLong, Seq("A", "B")(i % 2), (i % 7) / 2.0)
+    }
+    rows.toDF("ts_ms", "uid", "etype", "value").createOrReplaceTempView("arg_evt")
+    val c = WindowSql.compile(spark, aSql).fold(e => fail(e), identity)
+    val got = c.run(spark.table("arg_evt"), tileGranularityMs = 2000, useBatchSweep = true)
+    assert(got.schema("uid").dataType == org.apache.spark.sql.types.LongType,
+      s"uid must restore to LONG, got ${got.schema("uid").dataType}")
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+    assert(got.collect().map(shape).toSet == spark.sql(aSql).collect().map(shape).toSet)
+  }
+
   test("literal README flagship: join ahead of the window, interval frames, streaming == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
