@@ -162,6 +162,35 @@ object SparkEntry {
          WHERE rn = CASE WHEN n < 32 THEN n ELSE 32 END
          ORDER BY o_orderpriority""")
 
+    // Weighted variant: inverse-probability weights make the sample's
+    // aggregates unbiased estimates (Horvitz–Thompson). Every term is an
+    // exact integer times an exact power-of-rates double, so the sums are
+    // order-independent and engine-identical.
+    m += "q_sample_weighted" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{col, count, expr, sum}
+        graft.operators.Sampling.stratifiedSampleWeighted(
+          s.table("events"), idCol = "event_id", strataCol = "event_type",
+          pctByStratum = Map("view" -> 5, "click" -> 20), defaultPct = 100)
+          .groupBy("event_type")
+          .agg(count(col("*")).as("n_sampled"),
+            sum(expr("CAST(round(value * 100) AS BIGINT) * weight")).as("est_value_c"))
+          .orderBy("event_type")
+      },
+      Some("""
+      SELECT event_type, count(*) AS n_sampled,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * (100.0 / CASE event_type WHEN 'view' THEN 5 WHEN 'click' THEN 20 ELSE 100 END))
+               AS est_value_c
+      FROM (
+        SELECT *, (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 2147483647) % 100 AS slot
+        FROM events
+      )
+      WHERE slot < CASE event_type WHEN 'view' THEN 5 WHEN 'click' THEN 20 ELSE 100 END
+      GROUP BY event_type ORDER BY event_type"""))
+
     // Deterministic stratified sampling (operators/Sampling.scala):
     // hash-of-id predicate, reproducible row-for-row across engines —
     // the oracle replays the exact same sample.
@@ -288,6 +317,33 @@ object SparkEntry {
                       FROM $eventsMsDuck WHERE event_type = 'purchase'
                       GROUP BY user_id, ts_ms) r
         ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
+      ORDER BY l.event_id"""))
+
+    // Forward as-of: each click attaches the user's NEXT signup at-or-after
+    // it (the "time-to-conversion" backfill shape). DuckDB ASOF only does
+    // backward, so the oracle negates both timestamps — greatest negated
+    // ts at-or-before = smallest real ts at-or-after.
+    m += "q_join_asof_fwd" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        val ev = s.sql(s"SELECT * FROM $eventsMsSpark")
+        graft.operators.TemporalJoins.asofJoin(
+          ev.where("event_type = 'click'").select("event_id", "user_id", "ts_ms"),
+          ev.where("event_type = 'signup'"),
+          keyCols = Seq("user_id"), leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+          rightCols = Seq("value_c"), rightPrefix = "s_",
+          direction = "forward")
+          .orderBy("event_id")
+      },
+      Some(s"""
+      SELECT l.event_id, l.user_id, l.ts_ms,
+             -r.neg_ts AS s_ts_ms, r.value_c AS s_value_c
+      FROM (SELECT event_id, user_id, ts_ms, -ts_ms AS neg_ts
+            FROM $eventsMsDuck WHERE event_type = 'click') l
+      ASOF LEFT JOIN (SELECT user_id, -ts_ms AS neg_ts, max(value_c) AS value_c
+                      FROM $eventsMsDuck WHERE event_type = 'signup'
+                      GROUP BY user_id, ts_ms) r
+        ON l.user_id = r.user_id AND l.neg_ts >= r.neg_ts
       ORDER BY l.event_id"""))
 
     // Bounded interval join (Flink interval-join semantics): each click
