@@ -260,8 +260,9 @@ object WindowSql {
         if (SlidingWindows.isCate(a.kind) && vStr)
           sys.error(s"${a.name}: the ${SlidingWindows.cateBaseKind(a.kind)} cate " +
             "family needs a numeric value column")
-        if (vStr && !(a.kind == "count" || a.kind == "count_where" ||
-          SlidingWindows.cmKinds.contains(a.kind)))
+        if (vStr && (a.kind == "median" ||
+          !(a.kind == "count" || a.kind == "count_where" ||
+            SlidingWindows.cmKinds.contains(a.kind))))
           sys.error(s"${a.name}: ${a.kind} needs a numeric value column")
         val useStr = vStr && a.kind != "count" && a.kind != "count_where"
         val vIdx = slotValue(a) match {
@@ -292,7 +293,7 @@ object WindowSql {
   /** Every kind the engine evaluates (the reference's full registry,
     * aggregates/mod.rs:104-120 + 184-199). */
   private val kinds: Set[String] = plainKinds ++
-    Set("top", "topn_frequency", "top1_ratio", "distinct_count",
+    Set("top", "topn_frequency", "top1_ratio", "distinct_count", "median",
       "top_n_key_ratio_cate", "top_n_value_ratio_cate") ++
     cateBases.flatMap(k => Seq(s"${k}_where", s"${k}_cate", s"${k}_cate_where",
       s"top_n_key_${k}_cate_where", s"top_n_value_${k}_cate_where"))
@@ -308,7 +309,7 @@ object WindowSql {
   private def argLayout(kind: String): Option[(Int, Int, Int, Int)] = kind match {
     case "count"                                  => Some((0, -1, -1, -1)) // or 1
     case k if plainKinds(k)                       => Some((1, -1, -1, -1))
-    case "top1_ratio" | "distinct_count"          => Some((1, -1, -1, -1))
+    case "top1_ratio" | "distinct_count" | "median" => Some((1, -1, -1, -1))
     case "top" | "topn_frequency"                 => Some((2, -1, -1, 1))
     case k if SlidingWindows.whereBaseKinds(k)    => Some((2, 1, -1, -1))
     case k if SlidingWindows.isRatioKind(k)       => Some((4, 1, 2, 3))

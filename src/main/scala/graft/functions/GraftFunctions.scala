@@ -35,6 +35,7 @@ object GraftFunctions {
     out += "dot_long" -> { args => DotLong(args(0), args(1)) }
     out += "kmv_distinct" -> { args => KmvDistinct(args(0), args(1)) }
     out += "distinct_count" -> { args => DistinctCount(args(0)) }
+    out += "median" -> { args => MedianValue(args(0)) }
     out += "word_hits" -> { args =>
       require(args(1).foldable, "word_hits requires a literal word array")
       val arr = args(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)

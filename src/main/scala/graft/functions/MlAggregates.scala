@@ -111,6 +111,60 @@ case class DistinctCount(
     copy(value = c(0))
 }
 
+/** `median(value)`: exact median as DOUBLE, from the same count-map state
+  * (even counts average the two middle values — quantile_cont(0.5) on
+  * discrete rows). Registered OVER the builtin name deliberately: Spark's
+  * own `median` refuses window frames, and the engine's `median` kind
+  * needs a batch/WindowExec twin with identical semantics. */
+case class MedianValue(
+    value: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends GraftTypedAgg[CountMapBuf] with CountMapSer {
+
+  override def prettyName: String = "median"
+  override def children: Seq[Expression] = Seq(value)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def createAggregationBuffer(): CountMapBuf = new CountMapBuf
+  override def update(b: CountMapBuf, input: InternalRow): CountMapBuf = {
+    SV.fromCatalyst(value.eval(input), value.dataType).foreach {
+      case sv @ (_: SV.LongV | _: SV.DblV) => b.add(sv)
+      case other => throw new IllegalArgumentException(
+        s"median needs a numeric column, got $other")
+    }
+    b
+  }
+  override def merge(b: CountMapBuf, o: CountMapBuf): CountMapBuf = { b.mergeIn(o); b }
+  override def eval(b: CountMapBuf): Any =
+    if (b.m.isEmpty) null
+    else {
+      def dbl(sv: SV): Double = sv match {
+        case SV.LongV(v) => v.toDouble
+        case SV.DblV(v)  => v
+        case _           => Double.NaN
+      }
+      val sorted = b.m.toSeq.sortBy(_._1)
+      val n = sorted.iterator.map(_._2).sum
+      def valueAt(pos: Long): Double = {
+        var seen = 0L
+        val it = sorted.iterator
+        while (it.hasNext) {
+          val (v, c) = it.next()
+          seen += c
+          if (seen >= pos) return dbl(v)
+        }
+        dbl(sorted.last._1)
+      }
+      if (n % 2 == 1) valueAt(n / 2 + 1)
+      else (valueAt(n / 2) + valueAt(n / 2 + 1)) / 2.0
+    }
+  override def withNewMutableAggBufferOffset(o: Int): ImperativeAggregate = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ImperativeAggregate = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(value = c(0))
+}
+
 /** `topn_frequency(value, n)`: top n values by frequency desc (ties: value desc), CSV. */
 case class TopNFrequency(
     value: Expression,

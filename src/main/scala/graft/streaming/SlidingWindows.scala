@@ -82,12 +82,14 @@ object SlidingWindows {
                            vIdx: Int = 0, cIdx: Int = 0, vStr: Boolean = false,
                            wIdx: Int = -1)
 
-  /** The count-map family accepts any scalar value type: the top kinds
-    * plus `distinct_count` (distinct values in the frame — the canonical
-    * "distinct users in the last hour" feature; rides the same per-value
+  /** The count-map family: the top kinds plus `distinct_count` (distinct
+    * values in the frame — the canonical "distinct users in the last
+    * hour" feature) and `median` (exact frame median, the
+    * robust-statistic feature; numeric only). All ride the same per-value
     * count-map tile payload the top kinds already carry, so tiles merge
-    * it for free). */
-  val cmKinds: Set[String] = Set("top", "topn_frequency", "top1_ratio", "distinct_count")
+    * them for free. */
+  val cmKinds: Set[String] = Set("top", "topn_frequency", "top1_ratio",
+    "distinct_count", "median")
   /** Condition-masked base aggregates (no category). */
   val whereBaseKinds: Set[String] =
     Set("sum_where", "avg_where", "count_where", "min_where", "max_where")
@@ -528,6 +530,27 @@ object SlidingWindows {
       if (m.isEmpty) null else m.max.toDouble / m.sum.toDouble
     case "distinct_count" =>
       (if (spec.vStr) a.cmS.size else a.cmN.size).toDouble
+    case "median" =>
+      // exact median from the (value -> count) map: walk values ascending
+      // to the middle position(s); even totals average the two middles —
+      // matching SQL quantile_cont(0.5) on discrete rows
+      if (a.cmN == null || a.cmN.isEmpty) null
+      else {
+        val sorted = a.cmN.toSeq.sortBy(_._1)
+        val n = sorted.iterator.map(_._2).sum
+        def valueAt(pos: Long): Double = {
+          var seen = 0L
+          val it = sorted.iterator
+          while (it.hasNext) {
+            val (v, c) = it.next()
+            seen += c
+            if (seen >= pos) return v
+          }
+          sorted.last._1
+        }
+        if (n % 2 == 1) valueAt(n / 2 + 1)
+        else (valueAt(n / 2) + valueAt(n / 2 + 1)) / 2.0
+      }
     case k if whereBaseKinds(k) => k match {
       // null when no row passes the condition — matches the batch rewrite
       // to built-ins over IF(cond, v, NULL) (GraftFunctions.whereAgg)

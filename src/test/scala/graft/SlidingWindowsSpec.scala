@@ -421,10 +421,12 @@ class SlidingWindowsSpec extends AnyFunSuite {
              top_n_value_ratio_cate(value, big = 1.0, cate, 2) OVER w AS rv,
              distinct_count(value) OVER w AS dcw,
              distinct_count(cate)  OVER w AS dcs,
+             median(value) OVER w AS mdw,
              sum_where(value, big = 1.0) OVER wr AS swr,
              sum_cate_where(value, big = 1.0, cate) OVER wr AS scwr,
              top_n_value_ratio_cate(value, big = 1.0, cate, 2) OVER wr AS rvr,
-             distinct_count(value) OVER wr AS dcr
+             distinct_count(value) OVER wr AS dcr,
+             median(value) OVER wr AS mdr
       FROM evt_mlw
       WINDOW w AS (PARTITION BY key ORDER BY ts_ms
                    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW),
@@ -447,10 +449,12 @@ class SlidingWindowsSpec extends AnyFunSuite {
     AggSpec("rv", "top_n_value_ratio_cate", RangeMs(10000), 2, wIdx = 1),
     AggSpec("dcw", "distinct_count", RangeMs(10000)),
     AggSpec("dcs", "distinct_count", RangeMs(10000), vIdx = 0, vStr = true),
+    AggSpec("mdw", "median", RangeMs(10000)),
     AggSpec("swr", "sum_where", RowsN(7), wIdx = 1),
     AggSpec("scwr", "sum_cate_where", RowsN(7), wIdx = 1),
     AggSpec("rvr", "top_n_value_ratio_cate", RowsN(7), 2, wIdx = 1),
-    AggSpec("dcr", "distinct_count", RowsN(7)))
+    AggSpec("dcr", "distinct_count", RowsN(7)),
+    AggSpec("mdr", "median", RowsN(7)))
 
   /** Type-insensitive row view (batch counts are LONG, engine doubles). */
   private def normRow(r: org.apache.spark.sql.Row): Seq[Any] =
