@@ -902,14 +902,15 @@ object SparkEntry {
                 AggSpec("tnv", "top_n_value_count_cate_where", RangeMs(3600000), 2, wIdx = 1),
                 AggSpec("rk", "top_n_key_ratio_cate", RangeMs(3600000), 2, wIdx = 1),
                 AggSpec("rv", "top_n_value_ratio_cate", RangeMs(3600000), 2, wIdx = 1),
-                AggSpec("dc", "distinct_count", RangeMs(3600000), vIdx = 0, vStr = true)),
+                AggSpec("dc", "distinct_count", RangeMs(3600000), vIdx = 0, vStr = true),
+                AggSpec("md_c", "median", RangeMs(3600000))),
             latenessMs = 0, tileGranularityMs = 600000)
           .select(col("ts_ms"), col("key"), (col("value_c") / 100).as("value"),
             col("big"), col("cate"),
             (col("sum_w_c") / 100).as("sum_w"), col("cnt_w").cast("long").as("cnt_w"),
             (col("min_w_c") / 100).as("min_w"), (col("max_w_c") / 100).as("max_w"),
             col("sc"), col("scw"), col("tnk"), col("tnv"), col("rk"), col("rv"),
-            col("dc"))
+            col("dc"), (col("md_c") / 100).as("md"))
           .orderBy("ts_ms", "key", "value")
       },
       Some(s"""
@@ -966,7 +967,8 @@ object SparkEntry {
                               AND f.ts_ms BETWEEN e.ts_ms - 3600000 AND e.ts_ms
                               AND f.cate IS NOT NULL GROUP BY f.cate))
                 WHERE rn <= 2) AS rv,
-               CAST(count(DISTINCT cate) OVER w AS DOUBLE) AS dc
+               CAST(count(DISTINCT cate) OVER w AS DOUBLE) AS dc,
+               median(value_c) OVER w / 100 AS md
         FROM ev e
         WINDOW w AS (PARTITION BY key ORDER BY ts_ms
                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
