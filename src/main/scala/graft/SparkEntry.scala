@@ -1092,7 +1092,8 @@ object SparkEntry {
                 AggSpec("sc_3d", "sum_cate", RangeMs(259200000L)),
                 AggSpec("ccw_3d", "count_cate_where", RangeMs(259200000L), wIdx = 1),
                 AggSpec("rk_3d", "top_n_key_ratio_cate", RangeMs(259200000L), 2, wIdx = 1),
-                AggSpec("dc_3d", "distinct_count", RangeMs(259200000L), vIdx = 0, vStr = true)),
+                AggSpec("dc_3d", "distinct_count", RangeMs(259200000L), vIdx = 0, vStr = true),
+                AggSpec("md_3d_c", "median", RangeMs(259200000L))),
             atTs)
           .select(col("key").cast("long").as("user_id"),
             (col("sum_3d_c") / 100).as("sum_3d"),
@@ -1102,7 +1103,8 @@ object SparkEntry {
             (col("max_3d_c") / 100).as("max_3d"),
             col("cnt_12h").cast("long").as("cnt_12h"),
             (col("sd_3d_c") / 100).as("sd_3d"),
-            col("top3_3d"), col("sc_3d"), col("ccw_3d"), col("rk_3d"), col("dc_3d"))
+            col("top3_3d"), col("sc_3d"), col("ccw_3d"), col("rk_3d"), col("dc_3d"),
+            (col("md_3d_c") / 100).as("md_3d"))
           .orderBy("user_id")
       },
       Some(s"""
@@ -1148,7 +1150,9 @@ object SparkEntry {
                coalesce(ccw.ccw_3d, '') AS ccw_3d,
                coalesce(rk.rk_3d, '') AS rk_3d,
                (SELECT CAST(count(DISTINCT cate) AS DOUBLE) FROM w3
-                WHERE w3.user_id = b.user_id AND cate IS NOT NULL) AS dc_3d
+                WHERE w3.user_id = b.user_id AND cate IS NOT NULL) AS dc_3d,
+               (SELECT median(value_c) / 100 FROM w3
+                WHERE w3.user_id = b.user_id) AS md_3d
         FROM base b
         LEFT JOIN top3 USING (user_id) LEFT JOIN sc USING (user_id)
         LEFT JOIN ccw USING (user_id) LEFT JOIN rk USING (user_id)
