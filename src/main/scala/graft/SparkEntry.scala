@@ -1200,6 +1200,15 @@ object SparkEntry {
     // the usual log() IDF is replaced by its exact-rational odds form.
     locally {
       val bmTerms = "'join','hash','scan','filter','merge'"
+      // ONE scoring expression interpolated into BOTH engines' SQL: the
+      // bit-identical-doubles contract needs the exact same IEEE ops in
+      // the exact same order, so the formula must not exist twice
+      val scoreExpr = """CAST(((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+                    * (tf * CAST(2.2 AS DOUBLE))
+                    / (tf + CAST(1.2 AS DOUBLE)
+                         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl
+                            / (CAST(total_len AS DOUBLE) / n_docs)))
+                 AS DOUBLE) AS bm25"""
       def bmSql(tokens: String): String = s"""
         WITH tok AS (SELECT doc_id, token FROM ($tokens)),
         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
@@ -1209,12 +1218,7 @@ object SparkEntry {
         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
                WHERE token IN ($bmTerms) GROUP BY token)
         SELECT tf.doc_id, tf.token,
-               CAST(((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
-                    * (tf * CAST(2.2 AS DOUBLE))
-                    / (tf + CAST(1.2 AS DOUBLE)
-                         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl
-                            / (CAST(total_len AS DOUBLE) / n_docs)))
-                 AS DOUBLE) AS bm25
+               $scoreExpr
         FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
         ORDER BY bm25 DESC, doc_id, token LIMIT 50"""
       // Spark side: SINGLE tokenize + groupBy(doc) pass — per-term tf as
@@ -1246,12 +1250,7 @@ object SparkEntry {
           SELECT count(*) AS n_docs, sum(dl) AS total_len, $dfCols FROM perdoc),
         tfl AS ($tflArms)
         SELECT doc_id, token,
-               CAST(((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
-                    * (tf * CAST(2.2 AS DOUBLE))
-                    / (tf + CAST(1.2 AS DOUBLE)
-                         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl
-                            / (CAST(total_len AS DOUBLE) / n_docs)))
-                 AS DOUBLE) AS bm25
+               $scoreExpr
         FROM (SELECT tfl.*, $dfCase AS df, n_docs, total_len
               FROM tfl CROSS JOIN stats)
         ORDER BY bm25 DESC, doc_id, token LIMIT 50"""
@@ -1261,7 +1260,9 @@ object SparkEntry {
           // materialize the one tokenize+aggregate pass: CTE inlining would
           // re-tokenize the corpus for each of the 6 perdoc references
           // (measured: 6 scans, zero ReusedExchange), and perdoc is one
-          // short row per document — the cacheable thing at 100 TB
+          // short row per document — the cacheable thing at 100 TB. The
+          // cache intentionally lives for the session (build-once reuse);
+          // locally it is ~7 columns x n_docs, a few hundred KB
           val perdoc = s.sql(perdocSql).persist()
           perdoc.createOrReplaceTempView("perdoc")
           s.sql(scoreSql)

@@ -111,11 +111,40 @@ case class DistinctCount(
     copy(value = c(0))
 }
 
+/** The one exact-median walk shared by this batch UDAF and the streaming
+  * engine's `median` kind (SlidingWindows.finish) — engine-vs-batch
+  * parity depends on the two paths computing identically. */
+object MedianMath {
+  /** Median of a (value -> count) multiset; null when empty; even totals
+    * average the two middles (quantile_cont(0.5) on discrete rows). */
+  def exact(m: Iterable[(Double, Long)]): Any =
+    if (m.isEmpty) null
+    else {
+      val sorted = m.toSeq.sortBy(_._1)
+      val n = sorted.iterator.map(_._2).sum
+      def valueAt(pos: Long): Double = {
+        var seen = 0L
+        val it = sorted.iterator
+        while (it.hasNext) {
+          val (v, c) = it.next()
+          seen += c
+          if (seen >= pos) return v
+        }
+        sorted.last._1
+      }
+      if (n % 2 == 1) valueAt(n / 2 + 1)
+      else (valueAt(n / 2) + valueAt(n / 2 + 1)) / 2.0
+    }
+}
+
 /** `median(value)`: exact median as DOUBLE, from the same count-map state
   * (even counts average the two middle values — quantile_cont(0.5) on
   * discrete rows). Registered OVER the builtin name deliberately: Spark's
   * own `median` refuses window frames, and the engine's `median` kind
-  * needs a batch/WindowExec twin with identical semantics. */
+  * needs a batch/WindowExec twin with identical semantics. Known trades
+  * vs the builtin on plain GROUP BY: DECIMAL inputs come back as DOUBLE
+  * (exact only within 2^53 significand), and a non-numeric column fails
+  * at execution rather than analysis. */
 case class MedianValue(
     value: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -136,29 +165,14 @@ case class MedianValue(
     b
   }
   override def merge(b: CountMapBuf, o: CountMapBuf): CountMapBuf = { b.mergeIn(o); b }
-  override def eval(b: CountMapBuf): Any =
-    if (b.m.isEmpty) null
-    else {
-      def dbl(sv: SV): Double = sv match {
-        case SV.LongV(v) => v.toDouble
-        case SV.DblV(v)  => v
-        case _           => Double.NaN
-      }
-      val sorted = b.m.toSeq.sortBy(_._1)
-      val n = sorted.iterator.map(_._2).sum
-      def valueAt(pos: Long): Double = {
-        var seen = 0L
-        val it = sorted.iterator
-        while (it.hasNext) {
-          val (v, c) = it.next()
-          seen += c
-          if (seen >= pos) return dbl(v)
-        }
-        dbl(sorted.last._1)
-      }
-      if (n % 2 == 1) valueAt(n / 2 + 1)
-      else (valueAt(n / 2) + valueAt(n / 2 + 1)) / 2.0
+  override def eval(b: CountMapBuf): Any = {
+    def dbl(sv: SV): Double = sv match {
+      case SV.LongV(v) => v.toDouble
+      case SV.DblV(v)  => v
+      case _           => Double.NaN
     }
+    MedianMath.exact(b.m.iterator.map { case (sv, c) => (dbl(sv), c) }.toSeq)
+  }
   override def withNewMutableAggBufferOffset(o: Int): ImperativeAggregate = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): ImperativeAggregate = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =

@@ -127,6 +127,11 @@ object SlidingWindows {
       require(!(whereBaseKinds(s.kind) || s.kind.endsWith("_cate_where") ||
         isRatioKind(s.kind)) || s.wIdx >= 0,
         s"${s.name}: kind ${s.kind} needs a condition slot (wIdx)")
+      // validated here — the single choke point every engine path (both
+      // streaming engines, batch sweep, request evaluation) passes through
+      // — so a direct AggSpec caller cannot silently get all-null medians
+      require(!(s.kind == "median" && s.vStr),
+        s"${s.name}: median needs a numeric value slot")
       val tiled = s.frame.isInstanceOf[RangeMs]
       if (cmKinds.contains(s.kind) && tiled) {
         if (s.vStr) cmStr(s.vIdx) = true else cmNum(s.vIdx) = true
@@ -531,26 +536,9 @@ object SlidingWindows {
     case "distinct_count" =>
       (if (spec.vStr) a.cmS.size else a.cmN.size).toDouble
     case "median" =>
-      // exact median from the (value -> count) map: walk values ascending
-      // to the middle position(s); even totals average the two middles —
-      // matching SQL quantile_cont(0.5) on discrete rows
-      if (a.cmN == null || a.cmN.isEmpty) null
-      else {
-        val sorted = a.cmN.toSeq.sortBy(_._1)
-        val n = sorted.iterator.map(_._2).sum
-        def valueAt(pos: Long): Double = {
-          var seen = 0L
-          val it = sorted.iterator
-          while (it.hasNext) {
-            val (v, c) = it.next()
-            seen += c
-            if (seen >= pos) return v
-          }
-          sorted.last._1
-        }
-        if (n % 2 == 1) valueAt(n / 2 + 1)
-        else (valueAt(n / 2) + valueAt(n / 2 + 1)) / 2.0
-      }
+      // exact median from the (value -> count) map — the walk is shared
+      // with the batch MedianValue UDAF so the two paths cannot diverge
+      if (a.cmN == null) null else graft.functions.MedianMath.exact(a.cmN)
     case k if whereBaseKinds(k) => k match {
       // null when no row passes the condition — matches the batch rewrite
       // to built-ins over IF(cond, v, NULL) (GraftFunctions.whereAgg)
