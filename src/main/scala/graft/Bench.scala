@@ -289,7 +289,13 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // one line per query AS IT COMPLETES: the driver's tail capture
+      // truncated the single-line summary JSON mid-`queries` in r5, losing
+      // 21 per-query numbers from the permanent record — these short lines
+      // survive any tail window, and the summary stays for whole-file reads
+      println(f"""{"q":${jstr(name)},"s":$sec%.3f}""")
+      name -> sec
     }
     // streaming window workload (reference window_operator_benchmark.rs):
     // cadence-bound (one file per trigger, the reference's batch-arrival
@@ -327,7 +333,13 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(summary)
+    // belt-and-braces: the whole summary also lands in a file that a
+    // truncated stdout capture can't damage
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), summary + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

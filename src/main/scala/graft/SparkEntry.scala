@@ -230,8 +230,39 @@ object SparkEntry {
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
 
+    // CUBE: all four grouping sets — (flag,status), (flag), (status), ()
+    // — expanded before ONE partial-aggregated hash aggregate, closing the
+    // grouping-set surface the reference explicitly lacks
+    // (logical_optimizer_examples.rs:72-74 lists grouping sets as
+    // unsupported). Same scale shape as ROLLUP: the expand multiplies rows
+    // 4x BEFORE the map-side combine, so the shuffle still carries only
+    // group keys.
+    m += "q_cube" -> both("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+
+    // Explicit GROUPING SETS: an arbitrary set list (here: per-flag and
+    // per-status marginals WITHOUT the (flag,status) cross), plus
+    // GROUPING() to disambiguate real NULL keys from set placeholders —
+    // both engines compute it natively.
+    m += "q_grouping_sets" -> both("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+
     // Exact median over integer cents: even-count groups average the two
     // middle integers — the same halves in both engines' doubles.
+    // (plain GROUP BY median = the BUILTIN aggregate in both engines;
+    // graft_median is the separately-registered window-capable twin)
     m += "q_median" -> both("""
       SELECT user_id, median(CAST(round(value * 100) AS BIGINT)) AS median_c
       FROM events GROUP BY user_id ORDER BY user_id""")
@@ -393,9 +424,22 @@ object SparkEntry {
           .write.parquet(s"$root/l")
         ev.where("event_type = 'error'").select("event_id", "user_id", "ts_ms", "value_c")
           .write.parquet(s"$root/r")
+        // experiment knobs (bench attribution, default = pinned shape):
+        // provider hdfs|rocksdb, maxFilesPerTrigger spreads the input
+        // across watermark-advancing triggers so state evicts mid-run
+        val provider = sys.env.getOrElse("SPARK_GRAFT_SSJ_PROVIDER", "hdfs")
+        val maxFiles = sys.env.get("SPARK_GRAFT_SSJ_MAX_FILES").map(_.toInt)
+        if (provider == "rocksdb")
+          s.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        else
+          s.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
         def side(sub: String): DataFrame = {
           val st = s.read.parquet(s"$root/$sub").schema
-          s.readStream.schema(st).parquet(s"$root/$sub")
+          val rd = s.readStream.schema(st)
+          val rd2 = maxFiles.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+          rd2.parquet(s"$root/$sub")
             .withColumn("ts", timestamp_millis(col("ts_ms")))
             .withWatermark("ts", "1 hour")
         }
@@ -409,6 +453,17 @@ object SparkEntry {
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
         try q.processAllAvailable() finally q.stop()
+        // attribution: state rows/memory and per-trigger commit cost land in
+        // stderr so bench runs record WHY the number is what it is
+        val progs = q.recentProgress
+        val st = progs.flatMap(_.stateOperators).toSeq
+        System.err.println(
+          s"[ssj] provider=$provider maxFiles=${maxFiles.getOrElse(-1)} " +
+            s"triggers=${progs.length} " +
+            s"stateRowsTotal=${if (st.nonEmpty) st.map(_.numRowsTotal).max else -1} " +
+            s"stateRowsUpdated=${st.map(_.numRowsUpdated).sum} " +
+            s"commitMsSum=${progs.map(p => Option(p.durationMs.get("commitOffsets")).map(_.longValue).getOrElse(0L)).sum} " +
+            s"addBatchMsSum=${progs.map(p => Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)).sum}")
         s.read.parquet(s"$root/out").orderBy("event_id", "e_event_id")
       },
       Some(s"""
@@ -471,8 +526,8 @@ object SparkEntry {
              min(ts_ms) AS session_start, max(ts_ms) AS session_end
       FROM (
         SELECT user_id, ts_ms,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM (
           SELECT user_id, event_id, ts_ms,
                  CASE WHEN lag(ts_ms) OVER w IS NULL
@@ -1067,14 +1122,16 @@ object SparkEntry {
         val atTs = ev.agg(fmax("ts_ms")).head().getLong(0) - 86400000L
         // pre-filter on the RAW ts column so the bound reaches the parquet
         // scan (PushedFilters / rowgroup pruning) — a filter on the derived
-        // ts_ms wouldn't push. ts is BIGINT nanos; ts_ms > B <=> ts >= (B+1)e6.
+        // ts_ms wouldn't push. ts is BIGINT nanos; the RANGE frame is
+        // INCLUSIVE [at-len, at] (reference plain_points.rs:107 start_ts =
+        // ts - len then seek_ts_ge), so ts_ms >= B <=> ts >= B*1e6.
         val bounded = s.sql(
           s"""SELECT ts DIV 1000000 AS ts_ms, user_id,
                      CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS value_c,
                      CAST(CASE WHEN value > 10.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS big,
                      event_type AS cate
               FROM events
-              WHERE ts >= ${(atTs - 259200000L + 1) * 1000000L}
+              WHERE ts >= ${(atTs - 259200000L) * 1000000L}
                 AND ts < ${(atTs + 1) * 1000000L}""")
         // engine-based evaluation at the virtual point: EVERY aggregate
         // kind (the reference's plain_points/retractable_points), not just
@@ -1113,7 +1170,7 @@ object SparkEntry {
                            (value > 10.0) AS big_b, event_type AS cate FROM events),
         t AS (SELECT max(ts_ms) - 86400000 AS at_ts FROM ev),
         w3 AS (SELECT e.*, t.at_ts FROM ev e, t
-               WHERE e.ts_ms <= t.at_ts AND e.ts_ms > t.at_ts - 259200000),
+               WHERE e.ts_ms <= t.at_ts AND e.ts_ms >= t.at_ts - 259200000),
         base AS (
           SELECT user_id,
                  CAST(sum(value_c) AS DOUBLE) / 100 AS sum_3d,
@@ -1121,7 +1178,7 @@ object SparkEntry {
                  (CAST(sum(value_c) AS DOUBLE) / count(value_c)) / 100 AS avg_3d,
                  CAST(min(value_c) AS DOUBLE) / 100 AS min_3d,
                  CAST(max(value_c) AS DOUBLE) / 100 AS max_3d,
-                 count(CASE WHEN ts_ms > at_ts - 43200000 THEN value_c END) AS cnt_12h,
+                 count(CASE WHEN ts_ms >= at_ts - 43200000 THEN value_c END) AS cnt_12h,
                  CASE WHEN count(*) > 1 THEN
                    sqrt(CAST(count(*) * sum(value_c * value_c) - sum(value_c) * sum(value_c) AS DOUBLE)
                         / (count(*) * (count(*) - 1))) / 100 END AS sd_3d
@@ -1186,9 +1243,10 @@ object SparkEntry {
     // null fraction, id uniqueness, and length stats — no second scan.
     m += "q_profile" -> both("""
       SELECT count(*) AS n_rows,
-             sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS empty_text,
+             CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
              count(DISTINCT doc_id) AS distinct_ids,
-             min(length(text)) AS min_len, max(length(text)) AS max_len,
+             CAST(min(length(text)) AS BIGINT) AS min_len,
+             CAST(max(length(text)) AS BIGINT) AS max_len,
              CAST(sum(length(text)) AS BIGINT) AS total_len
       FROM documents""")
 

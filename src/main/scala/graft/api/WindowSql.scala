@@ -436,7 +436,13 @@ object WindowSql {
         _ <- setShared(tsCol, t, "order").map(tsCol = _)
         frame <- frameOf(spec)
         _ <- {
-          val name = fn.nameParts.last.toLowerCase
+          // graft_median is the SQL-callable registration of the `median`
+          // engine kind (the builtin `median` keeps plain-GROUP-BY
+          // semantics and refuses frames) — same SQL, both modes
+          val name = fn.nameParts.last.toLowerCase match {
+            case "graft_median" => "median"
+            case other          => other
+          }
           if (!kinds(name)) Left(s"unsupported window function $name")
           else {
             val args = fn.arguments

@@ -35,7 +35,12 @@ object GraftFunctions {
     out += "dot_long" -> { args => DotLong(args(0), args(1)) }
     out += "kmv_distinct" -> { args => KmvDistinct(args(0), args(1)) }
     out += "distinct_count" -> { args => DistinctCount(args(0)) }
-    out += "median" -> { args => MedianValue(args(0)) }
+    // window-capable exact median under its OWN name: Spark's builtin
+    // `median` refuses OVER frames, but shadowing it would silently change
+    // plain GROUP BY semantics session-wide (DECIMAL -> DOUBLE, non-numeric
+    // errors deferred from analysis to execution) — so the builtin keeps
+    // its name and frames use graft_median
+    out += "graft_median" -> { args => MedianValue(args(0)) }
     out += "word_hits" -> { args =>
       require(args(1).foldable, "word_hits requires a literal word array")
       val arr = args(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)

@@ -137,21 +137,20 @@ object MedianMath {
     }
 }
 
-/** `median(value)`: exact median as DOUBLE, from the same count-map state
-  * (even counts average the two middle values — quantile_cont(0.5) on
-  * discrete rows). Registered OVER the builtin name deliberately: Spark's
-  * own `median` refuses window frames, and the engine's `median` kind
-  * needs a batch/WindowExec twin with identical semantics. Known trades
-  * vs the builtin on plain GROUP BY: DECIMAL inputs come back as DOUBLE
-  * (exact only within 2^53 significand), and a non-numeric column fails
-  * at execution rather than analysis. */
+/** `graft_median(value)`: exact median as DOUBLE, from the same count-map
+  * state (even counts average the two middle values — quantile_cont(0.5)
+  * on discrete rows). Registered under its OWN name, not over the builtin:
+  * Spark's `median` refuses window frames, so frames call graft_median,
+  * while plain GROUP BY keeps builtin semantics (DECIMAL stays DECIMAL,
+  * non-numeric columns still fail at analysis). The engine's `median`
+  * window kind and this UDAF share MedianMath for batch/engine parity. */
 case class MedianValue(
     value: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends GraftTypedAgg[CountMapBuf] with CountMapSer {
 
-  override def prettyName: String = "median"
+  override def prettyName: String = "graft_median"
   override def children: Seq[Expression] = Seq(value)
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType

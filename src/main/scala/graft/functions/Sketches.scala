@@ -60,10 +60,19 @@ case class KmvDistinct(
   override def dataType: DataType = DoubleType
   override def createAggregationBuffer(): KmvBuf = new KmvBuf(k)
   override def update(b: KmvBuf, input: InternalRow): KmvBuf = {
+    def checked(h: Long): KmvBuf = {
+      // the (k-1)*2^60/h_k estimator assumes hashes uniform on [0, 2^60)
+      // (Dedup.hash60's domain); a signed 64-bit hash (e.g. xxhash64)
+      // would silently dominate the k-smallest set with negative values
+      // and drive the estimate negative — fail loudly instead
+      require(h >= 0 && h < Sketches.HashSpan.toLong,
+        s"kmv_distinct expects hashes in [0, 2^60) (Dedup.hash60 domain), got $h")
+      b.add(h); b
+    }
     hash.eval(input) match {
       case null       => b
-      case h: Long    => b.add(h); b
-      case h: Integer => b.add(h.longValue); b
+      case h: Long    => checked(h)
+      case h: Integer => checked(h.longValue)
       case other => throw new IllegalArgumentException(
         s"kmv_distinct expects an integer hash column, got $other")
     }

@@ -285,6 +285,13 @@ object Dedup {
     * round (exponential planning cost long before any data cost); on a
     * production cluster with flaky executors swap in a reliable
     * `checkpoint` directory.
+    *
+    * OWNERSHIP: the returned labels frame is backed by a `localCheckpoint`
+    * whose blocks stay pinned for the session's lifetime — intermediate
+    * rounds and the edge list are freed here, but the final snapshot
+    * cannot be (the caller still has to consume it). Call
+    * [[freeComponents]] on the returned frame once it has been consumed,
+    * or the per-call snapshot accumulates in long-lived sessions.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
@@ -303,11 +310,7 @@ object Dedup {
     // free a superseded localCheckpoint's pinned blocks (Dataset.unpersist
     // doesn't reach the checkpoint RDD inside the LogicalRDD leaf) — else
     // every round pins a full label snapshot for the method's lifetime
-    def freeCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-        case _ => ()
-      }
+    def freeCheckpoint(df: DataFrame): Unit = freeComponents(df)
     var prev = labelSum(labels)
     var iter = 0
     var converged = false
@@ -326,6 +329,16 @@ object Dedup {
     freeCheckpoint(und)
     labels
   }
+
+  /** Free the pinned `localCheckpoint` blocks behind a frame returned by
+    * [[connectedComponents]]. Safe to call once the frame (and anything
+    * derived from it) has been fully consumed; using the frame afterwards
+    * recomputes nothing — the blocks are gone, the job fails. */
+  def freeComponents(labels: DataFrame): Unit =
+    labels.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** SimHash near-dup removal over a 60-bit fingerprint: per bit, token
     * occurrences vote +1/-1 by their hash bit (one codegen'd sum() per

@@ -158,9 +158,11 @@ object TemporalJoins {
     require(keyCols.nonEmpty, "rangeJoin needs at least one key column")
     require(upperMs >= lowerMs, s"empty range: [$lowerMs, $upperMs]")
     val width = if (bucketMs > 0) bucketMs else math.max(1L, upperMs - lowerMs)
-    val explosion = (upperMs - lowerMs) / width + 1
+    // alignment-safe bound: floor((lts+upper)/w) - floor((lts+lower)/w) + 1
+    // can exceed span/w + 1 by one bucket depending on where lts falls
+    val explosion = (upperMs - lowerMs) / width + 2
     require(explosion <= 4096,
-      s"bucketMs=$width explodes each left row into $explosion candidate buckets " +
+      s"bucketMs=$width explodes each left row into up to $explosion candidate buckets " +
         "over a " + (upperMs - lowerMs) + " ms range — widen the bucket")
 
     val lts = col(leftTsCol).cast("long")

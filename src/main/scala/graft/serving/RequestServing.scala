@@ -17,7 +17,10 @@ import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
   *
   * The plan is the 1000-executor shape: one filtered scan, at most one
   * hash shuffle on the key. RANGE frames become conditional aggregates
-  * over `ts in (at - len, at]`; ROWS frames rank each key's rows by
+  * over `ts in [at - len, at]` (inclusive lower bound, matching both the
+  * engine emission frame and the reference's point plan —
+  * plain_points.rs:107 `start_ts = ts - len` then `seek_ts_ge`); ROWS
+  * frames rank each key's rows by
   * recency first (`row_number` over the same hash partitioning the final
   * aggregate reuses) and aggregate the top n+1. Keys with no row in any
   * frame produce no output row, matching the reference's empty-batch
@@ -26,7 +29,7 @@ import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
 object RequestServing {
 
   /** Bounded as-of scan: exactly the rows needed to evaluate `specs` at
-    * `atTs`. RANGE frames bound the scan to `(atTs - maxRange, atTs]`
+    * `atTs`. RANGE frames bound the scan to `[atTs - maxRange, atTs]`
     * directly. ROWS frames need each key's `maxRows+1` most recent rows —
     * naively that re-reads each key's entire history; instead a cheap
     * counting pass over coarse time buckets (key/ts columns only — the
@@ -51,11 +54,11 @@ object RequestServing {
     val maxRows = specs.map(_.frame).collect { case RowsN(n) => n }
       .foldLeft(0)(math.max)
     val upTo = df.where(ts <= atTs)
-    if (!hasRows) return upTo.where(ts > atTs - maxRange)
+    if (!hasRows) return upTo.where(ts >= atTs - maxRange)
     // knob for benchmarking the counting pass's cost against its scan
     // bound: without it, ROWS frames read each key's full (<= atTs) history
     if (!countingPass) return upTo
-    val rangeFloor = if (hasRange) atTs - maxRange + 1 else Long.MaxValue
+    val rangeFloor = if (hasRange) atTs - maxRange else Long.MaxValue
     val counts = upTo.groupBy(col(keyCol),
         expr(s"($tsMsCol DIV $bucketMs) * $bucketMs").as("__bucket"))
       .agg(count(lit(1)).as("__n"))
@@ -92,7 +95,7 @@ object RequestServing {
       else base
 
     def frameCond(frame: graft.streaming.SlidingWindows.Frame): Column = frame match {
-      case RangeMs(len) => ts > atTs - len // upper bound already applied
+      case RangeMs(len) => ts >= atTs - len // upper bound already applied
       case RowsN(n)     => col("__rn") <= n + 1
     }
 

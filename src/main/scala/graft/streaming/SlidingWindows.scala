@@ -679,7 +679,10 @@ object SlidingWindows {
   /** Evaluate `specs` at a virtual point `atTs` over ONE key's rows — the
     * reference's point-request evaluation (aggregates/plain_points.rs,
     * retractable_points.rs: the request ts is a virtual current row; a
-    * RANGE frame covers (atTs-len, atTs], a ROWS n frame the n+1 most
+    * RANGE frame covers [atTs-len, atTs] — lower bound INCLUSIVE, the
+    * same frame the engine's rangeAcc emits and the reference plans
+    * (plain_points.rs:107 `start_ts = ts - len` then `seek_ts_ge`) —
+    * a ROWS n frame the n+1 most
     * recent rows). Reuses the same accumulator/finisher as the engines,
     * so every aggregate kind evaluates at the point. Rows are
     * (ts, numSlots, strSlots) in any order; ts ties keep input order. */
@@ -702,7 +705,7 @@ object SlidingWindows {
         case RangeMs(len) =>
           val lo = atTs - len
           var i = sorted.length
-          while (i > 0 && sorted(i - 1)._1 > lo) i -= 1
+          while (i > 0 && sorted(i - 1)._1 >= lo) i -= 1
           while (i < sorted.length) { val r = sorted(i); a.addRow(r._2, r._3); i += 1 }
         case RowsN(n) =>
           var i = math.max(0, sorted.length - (n + 1))

@@ -141,10 +141,10 @@ class RequestServingSpec extends AnyFunSuite {
           HttpResponse.BodyHandlers.ofString())
 
       // default lookup evaluates at the newest BUFFERED event (t2), not the
-      // stale upsert: sum over (t2-10000, t2] of phase1 tail + phase2
+      // stale upsert: sum over [t2-10000, t2] of phase1 tail + phase2
       val all = phase1 ++ phase2
       def sumAt(at: Long): Double =
-        all.filter(r => r._1 > at - 10000 && r._1 <= at).map(_._3).sum
+        all.filter(r => r._1 >= at - 10000 && r._1 <= at).map(_._3).sum
       val live = post("""{"key": "u1"}""")
       assert(live.statusCode() == 200)
       assert(live.body().contains(s""""ts_ms":$t2"""), live.body())
@@ -220,11 +220,11 @@ class RequestServingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (0 until r.length).drop(1).map(r.get).toSeq).toMap
 
     // the same evaluation expressed with the batch UDAFs over the
-    // explicitly-filtered frame rows (RANGE = 10s window before atTs,
+    // explicitly-filtered frame rows (RANGE = inclusive [atTs-10s, atTs],
     // ROWS 4 = the 5 most recent rows at/before atTs)
     val want = spark.sql(s"""
       WITH win AS (SELECT * FROM pit_evt
-                   WHERE ts_ms <= $atTs AND ts_ms > $atTs - 10000),
+                   WHERE ts_ms <= $atTs AND ts_ms >= $atTs - 10000),
       last5 AS (SELECT * FROM (
           SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts_ms DESC) AS rn
           FROM pit_evt WHERE ts_ms <= $atTs) WHERE rn <= 5),
@@ -279,11 +279,11 @@ class RequestServingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val hotUpTo = hot.filter(_._1 <= atTs)
     val expMin = hotUpTo.sortBy(_._1).takeRight(11).map(_._3).min
-    val expSum = hotUpTo.filter(_._1 > atTs - 2000).map(_._3).sum
+    val expSum = hotUpTo.filter(_._1 >= atTs - 2000).map(_._3).sum
     assert(got("hot") == ((expMin, expSum)))
     val sparseUpTo = sparse.filter(_._1 <= atTs)
     assert(got("sparse") ==
-      ((sparseUpTo.map(_._3).min, sparseUpTo.filter(_._1 > atTs - 2000).map(_._3).sum)))
+      ((sparseUpTo.map(_._3).min, sparseUpTo.filter(_._1 >= atTs - 2000).map(_._3).sum)))
   }
 
   test("pointInTime == batch OVER frames evaluated at the virtual point") {
@@ -299,7 +299,7 @@ class RequestServingSpec extends AnyFunSuite {
 
     val perKey = events.filter(_._1 <= atTs).groupBy(_._2)
     val want = perKey.map { case (k, rows) =>
-      val inRange = rows.filter(_._1 > atTs - 10000).map(_._3)
+      val inRange = rows.filter(_._1 >= atTs - 10000).map(_._3)
       val last5 = rows.sortBy(_._1).takeRight(5).map(_._3)
       k -> (inRange.sum, inRange.size.toLong, last5.sum / last5.size)
     }
@@ -308,5 +308,56 @@ class RequestServingSpec extends AnyFunSuite {
       assert(math.abs(got(k)._1 - s) < 1e-9); assert(got(k)._2 == c)
       assert(math.abs(got(k)._3 - a) < 1e-9)
     }
+  }
+
+  test("RANGE boundary row (ts == atTs - len) is included by every evaluation path") {
+    import spark.implicits._
+    // a row EXACTLY at atTs - len: the engine emission frame, the live
+    // point eval, the conditional-aggregate path, and SQL's RANGE
+    // BETWEEN len PRECEDING AND CURRENT ROW must all include it
+    val atTs = 1704067200000L + 20000L
+    val rows = Seq((atTs - 20000, "k", 100.0), // outside every 10s frame
+                   (atTs - 10000, "k", 1.0),   // ON the boundary
+                   (atTs - 500, "k", 2.0), (atTs, "k", 4.0))
+    val spec = Seq(AggSpec("s10", "sum", RangeMs(10000)))
+
+    // SQL reference frame at the atTs row
+    val sqlSum = {
+      rows.toDF("ts_ms", "key", "value").createOrReplaceTempView("bnd_evt")
+      spark.sql("""SELECT sum(value) OVER (PARTITION BY key ORDER BY ts_ms
+                     RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS s
+                   FROM bnd_evt ORDER BY ts_ms""")
+        .collect().last.getDouble(0)
+    }
+    assert(sqlSum == 7.0) // boundary row IS in SQL's frame
+
+    // live point eval (the POST /request path)
+    val live = SlidingWindows.evalAtPoint(
+      rows.map(r => (r._1, Array(r._3), Array.empty[String])), spec, atTs)
+    assert(live == Seq(7.0))
+
+    // conditional-aggregate batch path
+    val cond = RequestServing.pointInTime(rows.toDF("ts_ms", "key", "value"),
+        "key", "ts_ms", "value", spec, atTs).collect()(0).getDouble(1)
+    assert(cond == 7.0)
+
+    // engine path (mapGroupsWithState emission at the atTs row)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val out = SlidingWindows.streaming(mem.toDF().toDF("ts_ms", "key", "value"),
+      "key", "ts_ms", "value", spec, latenessMs = 0, tileGranularityMs = 2000)
+    val sink = new scala.collection.mutable.ArrayBuffer[(Long, Double)]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink ++= b.collect().map(r =>
+          (r.getLong(r.fieldIndex("ts_ms")), r.getDouble(r.fieldIndex("s10"))))
+        ()
+      }.trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, "k", 0.0)); q.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, "k", 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    assert(sink.toMap.apply(atTs) == 7.0)
   }
 }

@@ -421,12 +421,12 @@ class SlidingWindowsSpec extends AnyFunSuite {
              top_n_value_ratio_cate(value, big = 1.0, cate, 2) OVER w AS rv,
              distinct_count(value) OVER w AS dcw,
              distinct_count(cate)  OVER w AS dcs,
-             median(value) OVER w AS mdw,
+             graft_median(value) OVER w AS mdw,
              sum_where(value, big = 1.0) OVER wr AS swr,
              sum_cate_where(value, big = 1.0, cate) OVER wr AS scwr,
              top_n_value_ratio_cate(value, big = 1.0, cate, 2) OVER wr AS rvr,
              distinct_count(value) OVER wr AS dcr,
-             median(value) OVER wr AS mdr
+             graft_median(value) OVER wr AS mdr
       FROM evt_mlw
       WINDOW w AS (PARTITION BY key ORDER BY ts_ms
                    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW),
