@@ -32,6 +32,15 @@ for name, sql in sorted(oracle.items()):
     gcols, ecols = sorted(got.keys()), sorted(exp.keys())
     if gcols != ecols:
         print(f"FAIL {name}: columns {gcols} vs {ecols}"); fails += 1; continue
+    # the driver's hash compare serializes VALUES WITH TYPES: a DuckDB
+    # decimal128 sum() vs a Spark int64 hash-mismatches even when every
+    # value is equal (the r5 q_profile/q_sessionize red rows) — so flag
+    # arrow-type divergence here even though the value loop below wouldn't
+    gtypes = {f.name: str(f.type) for f in ds.dataset(f"{outdir}/{name}").schema}
+    etypes = {f.name: str(f.type) for f in exp_tbl.schema}
+    tdiff = {c: (gtypes[c], etypes[c]) for c in gtypes if gtypes[c] != etypes.get(c)}
+    if tdiff:
+        print(f"FAIL {name}: type divergence {tdiff}"); fails += 1; continue
     nrow_g = len(got[gcols[0]]) if gcols else 0
     nrow_e = len(exp[ecols[0]]) if ecols else 0
     if nrow_g != nrow_e:

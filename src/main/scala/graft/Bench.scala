@@ -274,6 +274,14 @@ object Bench {
     GraftSession.prepare(spark, sfDir)
     spark.sql("SELECT count(*) FROM events WHERE value > 0").collect()
     spark.sql("SELECT count(*) FROM documents WHERE length(text) > 0").collect()
+    // warm the dedup family's shared shapes (shingle explosion + the wide
+    // 128-column min() signature aggregate + band explode) on a tiny slice:
+    // their first-run JIT + codegen otherwise bills to whichever dedup
+    // entry sorts first (q_dedup_cluster swung 6.8 <-> 10.8 s in r5 for
+    // exactly this; q_dedup_simhash did the same in r4)
+    graft.operators.Dedup.minhashAccepted(
+      spark.sql("SELECT doc_id, text FROM documents LIMIT 64"),
+      "doc_id", "text").count()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // deterministic (sorted) execution order: Map iteration order shifts

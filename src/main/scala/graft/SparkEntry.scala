@@ -414,6 +414,18 @@ object SparkEntry {
     // evicts rows older than the watermark minus the range), and inner
     // matches emit immediately. Bounded input + processAllAvailable =
     // complete output; the oracle is the same join as plain batch SQL.
+    //
+    // The equality key is (user_id, 24h time bucket), the same
+    // bucketization TemporalJoins.rangeJoin uses in batch: Spark's
+    // symmetric-hash join probes EVERY buffered row of the matching key,
+    // so keying on user_id alone scans each user's whole in-range history
+    // per probe row (measured r6 at sf0.1: ~8.5 s addBatch, ~8M value
+    // fetches, identical on HDFS and RocksDB providers — the probe loop,
+    // not store writes, was r5's unattributed 9.5 s). The left row
+    // explodes into {bucket-1, bucket} (the 24 h range spans at most two
+    // 24 h buckets); each (l, r) match satisfies exactly one bucket
+    // equality, so no output dedup is needed, and watermark eviction is
+    // per-row on event time, unaffected by the extra key column.
     m += "q_join_stream_stream" -> Q(
       (s, dir) => {
         GraftSession.prepare(s, dir)
@@ -429,6 +441,18 @@ object SparkEntry {
         // across watermark-advancing triggers so state evicts mid-run
         val provider = sys.env.getOrElse("SPARK_GRAFT_SSJ_PROVIDER", "hdfs")
         val maxFiles = sys.env.get("SPARK_GRAFT_SSJ_MAX_FILES").map(_.toInt)
+        // state partition count: a stream-stream join materializes 4 state
+        // stores per shuffle partition, and EVERY one pays a fixed
+        // commit/maintenance cost per trigger regardless of its row count
+        // (measured r6 at sf0.1: addBatch 8.6 s at 32 partitions vs 2.4 s
+        // at 4, same 59k state rows — 256 store-commits of ~65 ms fixed
+        // cost WAS r5's unattributed 9.5-vs-4.1 s swing, modulated by
+        // machine load). 8 partitions carry this workload's state volume
+        // with headroom; production sizes this to state volume / cluster
+        // cores, so the env knob stays.
+        val ssParts = sys.env.get("SPARK_GRAFT_SSJ_PARTS").map(_.toInt).getOrElse(8)
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", ssParts)
         if (provider == "rocksdb")
           s.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -443,8 +467,11 @@ object SparkEntry {
             .withColumn("ts", timestamp_millis(col("ts_ms")))
             .withWatermark("ts", "1 hour")
         }
-        val joined = side("l").as("l").join(side("r").as("r"),
-          expr("""l.user_id = r.user_id
+        val l = side("l").withColumn("bkt",
+          expr("explode(array(ts_ms DIV 86400000 - 1, ts_ms DIV 86400000))"))
+        val r = side("r").withColumn("bkt", expr("ts_ms DIV 86400000"))
+        val joined = l.as("l").join(r.as("r"),
+          expr("""l.user_id = r.user_id AND l.bkt = r.bkt
                   AND r.ts >= l.ts - INTERVAL 24 HOURS AND r.ts <= l.ts"""))
           .select(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
             col("l.ts_ms").as("ts_ms"), col("r.event_id").as("e_event_id"),
@@ -452,7 +479,10 @@ object SparkEntry {
         val q = joined.writeStream.outputMode("append").format("parquet")
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-        try q.processAllAvailable() finally q.stop()
+        try q.processAllAvailable() finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         // attribution: state rows/memory and per-trigger commit cost land in
         // stderr so bench runs record WHY the number is what it is
         val progs = q.recentProgress
@@ -464,6 +494,8 @@ object SparkEntry {
             s"stateRowsUpdated=${st.map(_.numRowsUpdated).sum} " +
             s"commitMsSum=${progs.map(p => Option(p.durationMs.get("commitOffsets")).map(_.longValue).getOrElse(0L)).sum} " +
             s"addBatchMsSum=${progs.map(p => Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)).sum}")
+        if (sys.env.contains("SPARK_GRAFT_SSJ_DEBUG"))
+          progs.foreach(p => System.err.println(s"[ssj-trigger] ${p.json}"))
         s.read.parquet(s"$root/out").orderBy("event_id", "e_event_id")
       },
       Some(s"""
@@ -975,7 +1007,7 @@ object SparkEntry {
                  (value > 10.0) AS big_b, event_type AS cate
           FROM events)
         SELECT ts_ms, key, CAST(value_c AS DOUBLE) / 100 AS value,
-               CASE WHEN big_b THEN 1.0 ELSE 0.0 END AS big, cate,
+               CAST(CASE WHEN big_b THEN 1.0 ELSE 0.0 END AS DOUBLE) AS big, cate,
                CAST(sum(CASE WHEN big_b THEN value_c END) OVER w AS DOUBLE) / 100 AS sum_w,
                count(CASE WHEN big_b THEN value_c END) OVER w AS cnt_w,
                CAST(min(CASE WHEN big_b THEN value_c END) OVER w AS DOUBLE) / 100 AS min_w,
@@ -1345,7 +1377,7 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
           flength(col("text")).as("n_chars2"))
         .orderBy("doc_id"),
-      s"""SELECT doc_id, $duckFp AS fp, length(text) AS n_chars2
+      s"""SELECT doc_id, $duckFp AS fp, CAST(length(text) AS INT) AS n_chars2
           FROM documents ORDER BY doc_id""")
 
     m += "q_dedup_exact" -> op(
@@ -1362,11 +1394,11 @@ object SparkEntry {
       (s, dir) => TextAnalysis.stats(GraftSession.table(s, dir, "documents"),
         "doc_id", "text").orderBy("doc_id"),
       """SELECT doc_id,
-               length(text) AS n_chars,
+               CAST(length(text) AS INT) AS n_chars,
                CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
                CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_subwords,
-               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
-               length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS n_punct,
                CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
                  CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
                    / len(regexp_extract_all(text, '\S+')) END AS mean_token_len,
@@ -1537,7 +1569,7 @@ object SparkEntry {
         .select(col("doc_id"), octet_length(col("payload")).as("n_bytes"),
           md5(col("payload")).as("digest"))
         .orderBy("doc_id"),
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS digest
          FROM documents ORDER BY doc_id""")
 
     // Driver-sortable projection: the raw feature array is re-scaled back

@@ -388,6 +388,23 @@ object WindowSql {
       case a: UnresolvedAttribute => Right(a.nameParts.last)
       case other => Left(s"$what must be a column, got $other")
     }
+
+    /** A PARTITION BY element: bare columns key the engine directly; any
+      * other expression derives a hidden column projected ahead of the
+      * engine (the reference keys windows on the physical plan's full
+      * partition EXPRESSION list — planner.rs:409-415). The same
+      * expression text across windows reuses one derived name, so
+      * setSharedKeys still sees a single stable key list. */
+    val partDerived = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def partCol(e: Expression): String = e match {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case other =>
+        partDerived.getOrElseUpdate(other.sql, {
+          val nm = s"__p$derivedIx"; derivedIx += 1
+          derived += nm -> other.sql
+          nm
+        })
+    }
     /** Frame bound in ms: numeric literal, or day-time INTERVAL literal
       * (the README flagship writes `INTERVAL '30 day' PRECEDING`). */
     def boundMs(e: Expression, what: String): Either[String, Long] = e match {
@@ -418,10 +435,11 @@ object WindowSql {
     def handleWindow(fn: UnresolvedFunction, spec: WindowSpecDefinition,
                      alias: String): Either[String, Unit] = {
       for {
-        k <- spec.partitionSpec.foldLeft[Either[String, Vector[String]]](Right(Vector.empty)) {
-          (acc, e) => acc.flatMap(v => attr(e, "PARTITION BY").map(v :+ _))
-        }.flatMap(v =>
-          if (v.isEmpty) Left("at least one PARTITION BY column required") else Right(v))
+        k <- {
+          val v = spec.partitionSpec.map(partCol).toVector
+          if (v.isEmpty) Left("at least one PARTITION BY column required")
+          else Right(v)
+        }: Either[String, Vector[String]]
         _ <- setSharedKeys(k).map(keyCols = _)
         t <- spec.orderSpec match {
           case Seq(SortOrder(o, Ascending, _, _)) =>

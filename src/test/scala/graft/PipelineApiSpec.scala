@@ -221,6 +221,45 @@ class PipelineApiSpec extends AnyFunSuite {
     assert(got == Set((7L, "click", 1.5), (8L, "view", 2.5)))
   }
 
+  test("Kafka decode end-to-end: STREAMING binary-value frame through the exact schema") {
+    // broker-free pin of the decode contract (the reference's integration
+    // tests need testcontainers — kafka/integration_tests.rs): a streaming
+    // frame with kafka's raw wire shape (binary value + metadata columns)
+    // runs through Kafka.decode inside a real streaming query; schema and
+    // values must round-trip. Config drift in the option map is pinned by
+    // the sibling test above; this pins the streaming decode path.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val mem = MemoryStream[(String, String)]
+    // kafka raw shape: key/value BINARY + topic/partition/offset metadata
+    val raw = mem.toDF().toDF("k", "v")
+      .selectExpr("CAST(k AS BINARY) AS key", "CAST(v AS BINARY) AS value",
+        "'events' AS topic", "0 AS partition", "CAST(0 AS BIGINT) AS offset")
+    val decoded = Kafka.decode(raw, schema)
+    assert(decoded.isStreaming, "decode must stay a streaming frame")
+    assert(decoded.schema == schema, s"decoded schema ${decoded.schema}")
+    val qname = s"kafka_${System.nanoTime()}"
+    val q = decoded.writeStream.outputMode("append").format("memory")
+      .queryName(qname).start()
+    try {
+      mem.addData(
+        ("u7", """{"user_id": 7, "event_type": "click", "value": 1.5}"""),
+        ("u8", """{"user_id": 8, "event_type": "view", "value": 2.5}"""),
+        ("u9", """not json at all"""))
+      q.processAllAvailable()
+      val got = spark.table(qname).collect()
+      // malformed records decode to an all-null row (PERMISSIVE mode), not
+      // a query failure — a poison message must not kill the pipeline
+      assert(got.length == 3)
+      val good = got.filter(!_.isNullAt(0))
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(good == Set((7L, "click", 1.5), (8L, "view", 2.5)))
+      assert(got.count(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)) == 1)
+    } finally q.stop()
+  }
+
   test("Request-mode pipeline: window block -> upsert store -> HTTP lookups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

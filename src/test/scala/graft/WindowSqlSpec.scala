@@ -236,6 +236,60 @@ class WindowSqlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PARTITION BY expressions derive hidden key columns, streaming == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.prepare(spark, null)
+    // the reference keys windows on the plan's full partition EXPRESSION
+    // list (planner.rs:409-415); non-attribute elements auto-derive hidden
+    // columns ahead of the engine — the same SQL runs through Catalyst
+    // (native expression partitioning) and the engine with equal results
+    val eSql = """
+      SELECT ts_ms, uid, etype, value,
+             sum(value) OVER w AS s10,
+             count(*) OVER w AS c10
+      FROM px_evt
+      WINDOW w AS (PARTITION BY uid % 10, etype ORDER BY ts_ms
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)"""
+    val rows = (0 until 300).map { i =>
+      (1704067200000L + 700L * i, (i % 30).toLong, Seq("A", "B")(i % 2),
+        (i * 3 % 21) / 4.0)
+    }
+    rows.toDF("ts_ms", "uid", "etype", "value").createOrReplaceTempView("px_evt")
+    val c = WindowSql.compile(spark, eSql).fold(e => fail(e), identity)
+    assert(c.keyCols.length == 2 && c.keyCols(1) == "etype" &&
+      c.keyCols(0).startsWith("__p"), s"derived key list: ${c.keyCols}")
+    assert(c.derived.exists(_._1 == c.keyCols(0)))
+    def shape(r: org.apache.spark.sql.Row, cntLong: Boolean) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        R.r6(r.getDouble(4)), if (cntLong) r.getLong(5).toDouble else r.getDouble(5))
+    val want = spark.sql(eSql).collect().map(shape(_, cntLong = true)).toSet
+    val gotBatch = c.run(spark.table("px_evt"), tileGranularityMs = 2000,
+        useBatchSweep = true)
+      .collect().map(shape(_, cntLong = false)).toSet
+    assert(gotBatch == want, "batch engine sweep (expression key)")
+
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val out = c.runWith(
+      Map("px_evt" -> mem.toDF().toDF("ts_ms", "uid", "etype", "value")),
+      tileGranularityMs = 2000)
+    val qname = s"px_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      rows.grouped(100).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // flush every (uid % 10, etype) composite: one far-future row per
+      // DISTINCT uid covers its bucket, etype pairs covered per uid
+      val keys = rows.map(r => (r._2, r._3)).distinct
+      mem.addData(keys.map { case (u, e) => (SlidingWindows.FLUSH_TS, u, e, 0.0) }: _*)
+      q.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, keys.head._1, keys.head._2, 0.0))
+      q.processAllAvailable()
+      val got = spark.table(qname).collect().map(shape(_, cntLong = false)).toSet
+      assert(got == want, "streaming == batch with expression key")
+    } finally q.stop()
+  }
+
   test("partition column doubling as an aggregate argument restores its source type") {
     import spark.implicits._
     GraftSession.prepare(spark, null)
