@@ -520,6 +520,98 @@ object SparkEntry {
       SELECT o_orderpriority AS label FROM orders WHERE o_totalprice > 300000
       ORDER BY label""")
 
+    // ---------------- ranking / navigation windows (batch OVER surface) ---
+    // row_number/rank/dense_rank: Spark returns INT, DuckDB BIGINT — cast
+    // in the shared SQL. One keyed sort serves all three (same window).
+    m += "q_rank" -> evQ("""
+      SELECT event_id, user_id,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(rank() OVER w AS BIGINT) AS rk,
+             CAST(dense_rank() OVER w AS BIGINT) AS drk
+      FROM __EV__
+      WINDOW w AS (PARTITION BY user_id ORDER BY value_c DESC, event_id)
+      ORDER BY user_id, rn""")
+
+    // lag/lead navigation + a delta feature (sessionization's building
+    // block); integer cents keep the delta exact in both engines.
+    m += "q_lag_lead" -> evQ("""
+      SELECT event_id, user_id, ts_ms,
+             lag(value_c) OVER w AS prev_c,
+             lead(value_c) OVER w AS next_c,
+             value_c - lag(value_c, 1, CAST(0 AS BIGINT)) OVER w AS delta_c
+      FROM __EV__
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      ORDER BY user_id, ts_ms, event_id""")
+
+    // Top-k per group — the curation primitive (keep the k best docs per
+    // domain/source): ONE hash shuffle on the group key, rank, filter.
+    // At scale Catalyst pushes the rank filter into WindowExec
+    // (WindowGroupLimit), so each partition keeps k rows, not all.
+    m += "q_topk_per_group" -> evQ("""
+      SELECT user_id, event_id, value_c FROM (
+        SELECT user_id, event_id, value_c,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY value_c DESC, event_id) AS rn
+        FROM __EV__) WHERE rn <= 3
+      ORDER BY user_id, value_c DESC, event_id""")
+
+    // PIVOT: long -> wide feature matrix (one column per event type).
+    // Spark runs its native PIVOT operator; the oracle is the equivalent
+    // conditional aggregation (DuckDB's PIVOT syntax differs). Missing
+    // cells stay NULL in both (no ELSE).
+    m += "q_pivot" -> split(
+      s"""SELECT user_id,
+                 CAST(click AS BIGINT) AS click_c, CAST(view AS BIGINT) AS view_c,
+                 CAST(purchase AS BIGINT) AS purchase_c, CAST(error AS BIGINT) AS error_c
+          FROM (SELECT user_id, event_type, value_c FROM $eventsMsSpark)
+          PIVOT (sum(value_c) FOR event_type IN ('click', 'view', 'purchase', 'error'))
+          ORDER BY user_id""",
+      s"""SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN value_c END) AS BIGINT) AS click_c,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN value_c END) AS BIGINT) AS view_c,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN value_c END) AS BIGINT) AS purchase_c,
+                 CAST(sum(CASE WHEN event_type = 'error' THEN value_c END) AS BIGINT) AS error_c
+          FROM $eventsMsDuck GROUP BY user_id ORDER BY user_id""")
+
+    // Histogram profiling: fixed-width value bins in one partial-aggregated
+    // pass (the distribution report a data-quality sweep emits). floor of
+    // an exact small-int division — identical doubles never reach output.
+    m += "q_histogram" -> evQ("""
+      SELECT CAST(floor(value_c / 500.0) AS BIGINT) AS bin,
+             count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_c
+      FROM __EV__ GROUP BY 1 ORDER BY bin""")
+
+    // Pearson correlation from exact integer sums: the six sums aggregate
+    // as BIGINTs and ONE shared arithmetic expression (same IEEE ops, same
+    // order) converts to double at the end — the engines' own corr() would
+    // differ at the ulp level from different accumulation orders.
+    m += "q_corr" -> evQ("""
+      SELECT user_id,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+      FROM (SELECT user_id, count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM (SELECT user_id, value_c AS x, ts_ms % 100000 AS y FROM __EV__)
+            GROUP BY user_id)
+      ORDER BY user_id""")
+
+    // Min-max feature scaling per key: unbounded-partition window min/max
+    // (one keyed shuffle, no per-row frame), integer subtraction, a single
+    // final division — exact in both engines.
+    m += "q_minmax_scale" -> evQ("""
+      SELECT event_id, user_id,
+             CASE WHEN mx > mn
+               THEN CAST(value_c - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) END AS scaled
+      FROM (SELECT event_id, user_id, value_c,
+                   min(value_c) OVER (PARTITION BY user_id) AS mn,
+                   max(value_c) OVER (PARTITION BY user_id) AS mx
+            FROM __EV__)
+      ORDER BY user_id, event_id""")
+
     // Z-order (Morton) clustering key — the layout operator behind
     // multi-dimensional data skipping (operators/Layout.scala; the spec
     // test proves row-group pruning on a box query). The z-value is a pure
