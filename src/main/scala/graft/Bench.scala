@@ -344,8 +344,11 @@ object Bench {
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(summary)
     // belt-and-braces: the whole summary also lands in a file that a
-    // truncated stdout capture can't damage
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // truncated stdout capture can't damage — in-repo, so the round
+    // tooling (which reliably grabs whole files but tails stdout) keeps
+    // the per-query record even when the tail window clips the line above
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_local.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), summary + "\n")
     catch { case _: Throwable => () }
     spark.stop()

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.functions.GraftFunctions
 
@@ -66,19 +68,65 @@ object GraftSession {
   def prepare(spark: SparkSession, dir: String): SparkSession = {
     val last = prepared.get(spark)
     if (last == null) {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native type
-      // for; read it as BIGINT nanos (queries derive ts_ms from it).
+      // When events.ts is TIMESTAMP(NANOS) parquet (no native Spark type)
+      // this flag loads it as BIGINT nanos directly; MICROS/MILLIS parquet
+      // ignores the flag and loads a timestamp type, which normalizeTs
+      // converts to the same BIGINT-nanos contract below.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       GraftFunctions.register(spark)
     }
     if (dir != null && dir != last) {
       tables.foreach { t =>
-        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+        val df = spark.read.parquet(s"$dir/$t.parquet")
+        val view = if (t == "events") normalizeTs(df, s"$dir/$t.parquet") else df
+        view.createOrReplaceTempView(t)
       }
       prepared.put(spark, dir)
     } else if (last == null) prepared.put(spark, "")
     spark
   }
+
+  /** The events-view contract: `ts` is BIGINT epoch NANOS regardless of the
+    * parquet physical type. Every downstream query derives `ts_ms` via
+    * `ts DIV 1000000` against this contract. TIMESTAMP(NANOS) parquet loads
+    * as LongType already (nanosAsLong flag); MICROS/MILLIS parquet loads as
+    * a timestamp type and is converted value-for-value (session TZ is UTC,
+    * so the NTZ->TIMESTAMP cast is instant-preserving). Anything else fails
+    * loudly, naming the file and the offending type, instead of surfacing
+    * as N confusing analysis errors downstream.
+    */
+  def normalizeTs(df: DataFrame, source: String): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+      case other =>
+        throw new IllegalStateException(
+          s"$source: events.ts loaded as $other; the graft load contract " +
+          "needs BIGINT nanos (TIMESTAMP(NANOS) parquet + nanosAsLong) or " +
+          "a TIMESTAMP/TIMESTAMP_NTZ column (MICROS/MILLIS parquet). " +
+          "Teach GraftSession.normalizeTs the new physical type.")
+    }
+
+  /** A bound on the RAW (pre-normalization) ts column equivalent to the
+    * nanos-contract predicate `ts >= loMs*1e6 AND ts < hiMsExcl*1e6`,
+    * expressed in the column's native type. The literals constant-fold, so
+    * the bound reaches the parquet scan as a PushedFilter (row-group
+    * pruning) — a filter on the DERIVED BIGINT `ts` of the normalized view
+    * would not push once the underlying column is a timestamp.
+    */
+  def tsRangeMs(raw: DataFrame, loMs: Long, hiMsExcl: Long): Column =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        col("ts") >= lit(loMs * 1000000L) && col("ts") < lit(hiMsExcl * 1000000L)
+      case t @ (TimestampType | TimestampNTZType) =>
+        val lo = timestamp_micros(lit(loMs * 1000L)).cast(t)
+        val hi = timestamp_micros(lit(hiMsExcl * 1000L)).cast(t)
+        col("ts") >= lo && col("ts") < hi
+      case other =>
+        throw new IllegalStateException(
+          s"tsRangeMs: unsupported raw ts type $other")
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

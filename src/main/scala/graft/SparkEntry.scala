@@ -1244,19 +1244,22 @@ object SparkEntry {
         val ev = s.sql(
           """SELECT ts DIV 1000000 AS ts_ms, user_id FROM events""")
         val atTs = ev.agg(fmax("ts_ms")).head().getLong(0) - 86400000L
-        // pre-filter on the RAW ts column so the bound reaches the parquet
-        // scan (PushedFilters / rowgroup pruning) — a filter on the derived
-        // ts_ms wouldn't push. ts is BIGINT nanos; the RANGE frame is
-        // INCLUSIVE [at-len, at] (reference plain_points.rs:107 start_ts =
-        // ts - len then seek_ts_ge), so ts_ms >= B <=> ts >= B*1e6.
-        val bounded = s.sql(
-          s"""SELECT ts DIV 1000000 AS ts_ms, user_id,
-                     CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS value_c,
-                     CAST(CASE WHEN value > 10.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS big,
-                     event_type AS cate
-              FROM events
-              WHERE ts >= ${(atTs - 259200000L) * 1000000L}
-                AND ts < ${(atTs + 1) * 1000000L}""")
+        // pre-filter on the RAW ts column (parquet-native type) so the
+        // bound reaches the scan as a PushedFilter / row-group pruning —
+        // a filter on the view's derived BIGINT ts wouldn't push when the
+        // file stores a timestamp. The RANGE frame is INCLUSIVE [at-len,
+        // at] (reference plain_points.rs:107 start_ts = ts - len then
+        // seek_ts_ge), so ts_ms >= B <=> raw ts >= B ms.
+        val raw = GraftSession.table(s, dir, "events")
+        val bounded = GraftSession
+          .normalizeTs(
+            raw.where(GraftSession.tsRangeMs(raw, atTs - 259200000L, atTs + 1L)),
+            s"$dir/events.parquet")
+          .selectExpr(
+            "ts DIV 1000000 AS ts_ms", "user_id",
+            "CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS value_c",
+            "CAST(CASE WHEN value > 10.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS big",
+            "event_type AS cate")
         // engine-based evaluation at the virtual point: EVERY aggregate
         // kind (the reference's plain_points/retractable_points), not just
         // the 5 conditional-aggregation-friendly ones
