@@ -282,6 +282,20 @@ object Bench {
     graft.operators.Dedup.minhashAccepted(
       spark.sql("SELECT doc_id, text FROM documents LIMIT 64"),
       "doc_id", "text").count()
+    // ...and the family's OTHER first-run shapes (r7 repeat-run
+    // measurement: each entry still paid a 1.5-3 s surcharge over its
+    // steady state even after minhashAccepted warmed — the 3-stage ngram
+    // screen and the iterative label-propagation loop compile distinct
+    // operator/codegen shapes)
+    graft.operators.Dedup.ngramJaccardDedup(
+      spark.sql("SELECT doc_id, text FROM documents LIMIT 64"),
+      "doc_id", "text", 5, 0.8).count()
+    locally {
+      import org.apache.spark.sql.functions.{col, lit}
+      val edges = spark.range(64).select(
+        col("id").as("src"), ((col("id") + 1) % lit(64)).as("dst"))
+      graft.operators.Dedup.connectedComponents(edges, "src", "dst").count()
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // deterministic (sorted) execution order: Map iteration order shifts

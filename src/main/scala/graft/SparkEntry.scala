@@ -1553,6 +1553,112 @@ object SparkEntry {
            FROM documents
          ) ORDER BY doc_id""")
 
+    // ---- training-data curation beyond the reference (r7) --------------
+    // Benchmark decontamination: flag training docs sharing any word
+    // 8-gram with an "eval set" (here doc_id % 29 = 0 stands in for the
+    // benchmark suite). Scale shape: grams are DISTINCT-ed per side before
+    // the join (one shuffle each), the eval side is tiny and broadcasts
+    // under AQE, and a stop-gram cap (grams in > 64 eval docs are dropped,
+    // the standard boilerplate guard) bounds the join's per-gram fan-out —
+    // so the probe is |train grams| x small, never all-pairs.
+    m += "q_decontaminate" -> split(
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id,
+                      explode(transform(sequence(1, size(t) - 7),
+                                        i -> concat_ws(' ', slice(t, i, 8)))) AS gram
+               FROM toks WHERE size(t) >= 8),
+         evf AS (SELECT gram, eval_id FROM (
+                   SELECT gram, eval_id, count(*) OVER (PARTITION BY gram) AS n_ev
+                   FROM (SELECT gram, doc_id AS eval_id FROM g
+                         WHERE doc_id % 29 = 0 GROUP BY 1, 2))
+                 WHERE n_ev <= 64),
+         tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 29 <> 0)
+         SELECT tr.doc_id, count(DISTINCT evf.eval_id) AS n_eval_docs,
+                count(*) AS n_gram_hits
+         FROM tr JOIN evf ON tr.gram = evf.gram
+         GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t) - 7),
+                                            i -> array_to_string(t[i:i+7], ' '))) AS gram
+               FROM toks WHERE len(t) >= 8),
+         evf AS (SELECT gram, eval_id FROM (
+                   SELECT gram, eval_id, count(*) OVER (PARTITION BY gram) AS n_ev
+                   FROM (SELECT gram, doc_id AS eval_id FROM g
+                         WHERE doc_id % 29 = 0 GROUP BY 1, 2))
+                 WHERE n_ev <= 64),
+         tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 29 <> 0)
+         SELECT tr.doc_id, count(DISTINCT evf.eval_id) AS n_eval_docs,
+                count(*) AS n_gram_hits
+         FROM tr JOIN evf ON tr.gram = evf.gram
+         GROUP BY tr.doc_id ORDER BY tr.doc_id""")
+
+    // Context chunking: fixed 64-token windows at stride 48 (16-token
+    // overlap) — the tokenize-and-pack front end of a training pipeline.
+    // Pure per-row explode: no shuffle except the output sort; at 100 TB
+    // this runs at scan parallelism. Chunk text rides as md5 so the
+    // compare carries content evidence without shipping the tokens.
+    m += "q_chunk" -> split(
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents)
+         SELECT doc_id, i AS chunk_idx,
+                CAST(size(slice(t, CAST(i * 48 + 1 AS INT), 64)) AS BIGINT) AS n_tokens,
+                md5(concat_ws(' ', slice(t, CAST(i * 48 + 1 AS INT), 64))) AS chunk_md5
+         FROM (SELECT doc_id, t,
+                      explode(sequence(CAST(0 AS BIGINT), (size(t) - 1) DIV 48)) AS i
+               FROM toks WHERE size(t) >= 1)
+         ORDER BY doc_id, chunk_idx""",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         SELECT doc_id, i AS chunk_idx,
+                len(t[(i*48+1):(i*48+64)]) AS n_tokens,
+                md5(array_to_string(t[(i*48+1):(i*48+64)], ' ')) AS chunk_md5
+         FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 48)) AS i
+               FROM toks WHERE len(t) >= 1)
+         ORDER BY doc_id, chunk_idx""")
+
+    // Repetition filter (Gopher-style): duplicate-token fraction per doc.
+    // Single scan, no shuffle; the one double division is shared
+    // verbatim by both engines so the ratio is bit-identical.
+    m += "q_repetition" -> split(
+      """SELECT doc_id, CAST(size(t) AS BIGINT) AS n_tokens,
+                CAST(size(array_distinct(t)) AS BIGINT) AS n_distinct,
+                CAST(size(t) - size(array_distinct(t)) AS DOUBLE) / size(t) AS dup_ratio
+         FROM (SELECT doc_id, split(text, ' ') AS t FROM documents)
+         WHERE size(t) > 0 ORDER BY doc_id""",
+      """SELECT doc_id, len(t) AS n_tokens,
+                len(list_distinct(t)) AS n_distinct,
+                CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_ratio
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         WHERE len(t) > 0 ORDER BY doc_id""")
+
+    // Winnowing fingerprints (the rolling-hash document-fingerprint
+    // scheme): 5-gram hashes, min over each 4-hash window, distinct per
+    // doc. Engine-portable 60-bit md5-prefix hashes (Dedup.hash60's
+    // contract) make the fingerprint SETS comparable value-for-value —
+    // a far stronger pin than a count. One window pass per doc partition.
+    m += "q_winnow" -> split(
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+                      CAST(conv(substring(md5(concat_ws(' ', slice(t, CAST(i AS INT), 5))), 1, 15), 16, 10) AS BIGINT) AS h
+               FROM (SELECT doc_id, t, explode(sequence(1, size(t) - 4)) AS i
+                     FROM toks WHERE size(t) >= 5)),
+         win AS (SELECT doc_id, pos,
+                        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+                 FROM g)
+         SELECT DISTINCT doc_id, fp FROM win WHERE pos >= 3
+         ORDER BY doc_id, fp""",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+                      ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
+               FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+                     FROM toks WHERE len(t) >= 5)),
+         win AS (SELECT doc_id, pos,
+                        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+                 FROM g)
+         SELECT DISTINCT doc_id, fp FROM win WHERE pos >= 3
+         ORDER BY doc_id, fp""")
+
     // Dedup catalog paths are the LSH-pruned scale paths; the DuckDB
     // oracles (DedupOracles) replay the full pipelines — portable
     // md5-prefix hashes make candidate generation engine-identical.

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant pins for the r7 curation entries (decontamination, chunking,
+  * repetition filter, winnowing) on the real sf0.001 documents — the
+  * driver's DuckDB oracle pins exact values; these pin the semantic
+  * invariants a refactor could silently break while still matching a
+  * co-refactored oracle.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def haveData = new java.io.File(dir).isDirectory
+
+  test("q_chunk covers every token exactly: stride tiling reconstructs doc lengths") {
+    assume(haveData)
+    val chunks = SparkEntry.queries("q_chunk")(spark, dir)
+    chunks.createOrReplaceTempView("chk")
+    // exact per-chunk law: a chunk at idx i holds least(64, n_tok - 48*i)
+    // tokens (the trailing <=2 chunks are short because stride 48 < width
+    // 64); chunk_idx is dense 0..(n_tok-1) DIV 48
+    val bad = spark.sql("""
+      WITH docs AS (SELECT doc_id, size(split(text, ' ')) AS n_tok
+                    FROM parquet.`/root/testdata/sf0.001/documents.parquet`),
+      per_chunk AS (
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens, d.n_tok
+        FROM chk c JOIN docs d ON c.doc_id = d.doc_id),
+      per_doc AS (
+        SELECT doc_id, count(*) AS n_chunks, min(chunk_idx) AS min_idx,
+               max(chunk_idx) AS max_idx, max(n_tok) AS n_tok
+        FROM per_chunk GROUP BY doc_id)
+      SELECT doc_id FROM per_chunk
+      WHERE n_tokens <> least(64, n_tok - 48 * chunk_idx)
+      UNION ALL
+      SELECT doc_id FROM per_doc
+      WHERE min_idx <> 0 OR max_idx <> n_chunks - 1
+         OR max_idx <> (n_tok - 1) DIV 48
+    """).count()
+    assert(bad == 0L)
+  }
+
+  test("q_repetition ratios are consistent and bounded") {
+    assume(haveData)
+    val rep = SparkEntry.queries("q_repetition")(spark, dir)
+    rep.createOrReplaceTempView("rep")
+    val bad = spark.sql("""
+      SELECT doc_id FROM rep
+      WHERE n_distinct > n_tokens OR n_distinct <= 0
+         OR dup_ratio < 0.0 OR dup_ratio >= 1.0
+         OR abs(dup_ratio - CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens) > 0
+    """).count()
+    assert(bad == 0L)
+    assert(rep.count() == GraftSession.table(spark, dir, "documents").count())
+  }
+
+  test("q_winnow fingerprints are a subset of the doc's 5-gram hashes, <= gram count") {
+    assume(haveData)
+    val fps = SparkEntry.queries("q_winnow")(spark, dir)
+    fps.createOrReplaceTempView("fps")
+    GraftSession.prepare(spark, dir)
+    // every selected fingerprint must be an actual 5-gram hash of the doc
+    val orphan = spark.sql("""
+      WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+      g AS (SELECT doc_id,
+                   CAST(conv(substring(md5(concat_ws(' ', slice(t, CAST(i AS INT), 5))), 1, 15), 16, 10) AS BIGINT) AS h
+            FROM (SELECT doc_id, t, explode(sequence(1, size(t) - 4)) AS i
+                  FROM toks WHERE size(t) >= 5))
+      SELECT f.doc_id FROM fps f LEFT ANTI JOIN g ON f.doc_id = g.doc_id AND f.fp = g.h
+    """).count()
+    assert(orphan == 0L)
+    // winnowing compresses: fingerprints per doc < grams per doc (w=4)
+    val over = spark.sql("""
+      WITH nf AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+      ng AS (SELECT doc_id, size(split(text, ' ')) - 4 AS n FROM documents
+             WHERE size(split(text, ' ')) >= 5)
+      SELECT nf.doc_id FROM nf JOIN ng ON nf.doc_id = ng.doc_id WHERE nf.n > ng.n
+    """).count()
+    assert(over == 0L)
+  }
+
+  test("q_decontaminate flags only training docs, with positive hit counts") {
+    assume(haveData)
+    val d = SparkEntry.queries("q_decontaminate")(spark, dir)
+    val rows = d.collect()
+    assert(rows.forall(r => r.getLong(0) % 29 != 0), "eval docs must not be flagged")
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1)),
+      "n_gram_hits >= n_eval_docs >= 1 per flagged doc")
+  }
+}
