@@ -1659,6 +1659,49 @@ object SparkEntry {
          SELECT DISTINCT doc_id, fp FROM win WHERE pos >= 3
          ORDER BY doc_id, fp""")
 
+    // Sequence packing: greedy first-fit of docs (in doc_id order) into
+    // 256-token context bins, per source — the batch-assembly step before
+    // training. Packing is inherently sequential PER STREAM, so the
+    // parallel unit is the source (at 100 TB: (source, deterministic
+    // shard)); the per-source fold runs over (doc_id, n_tokens) pairs
+    // only — token counts, never text, cross the shuffle — via the
+    // aggregate() higher-order function (codegen'd, no UDF). The oracle
+    // replays the same greedy recurrence as a recursive CTE. A doc larger
+    // than the bin gets its own bin (the `used = 0` arm) in both engines.
+    m += "q_pack" -> split(
+      """WITH d AS (SELECT source, doc_id, size(split(text, ' ')) AS n FROM documents),
+         arr AS (SELECT source,
+                        sort_array(collect_list(named_struct('doc_id', doc_id, 'n', n))) AS xs
+                 FROM d GROUP BY source),
+         packed AS (SELECT source,
+           aggregate(xs,
+             named_struct('bin', CAST(0 AS BIGINT), 'used', CAST(0 AS BIGINT),
+                          'out', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, bin: BIGINT>>)),
+             (acc, x) -> IF(acc.used + x.n <= 256 OR acc.used = 0,
+               named_struct('bin', acc.bin, 'used', acc.used + x.n,
+                 'out', array_append(acc.out, named_struct('doc_id', x.doc_id, 'bin', acc.bin))),
+               named_struct('bin', acc.bin + CAST(1 AS BIGINT), 'used', CAST(x.n AS BIGINT),
+                 'out', array_append(acc.out, named_struct('doc_id', x.doc_id,
+                                                           'bin', acc.bin + CAST(1 AS BIGINT))))),
+             acc -> acc.out) AS out
+           FROM arr)
+         SELECT source, p.doc_id AS doc_id, p.bin AS bin
+         FROM packed LATERAL VIEW explode(out) t AS p
+         ORDER BY source, doc_id""",
+      """WITH RECURSIVE d AS (
+           SELECT source, doc_id, len(string_split(text, ' ')) AS n,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents),
+         r AS (
+           SELECT source, doc_id, n, rn, 0::BIGINT AS bin, n::BIGINT AS used
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.source, d.doc_id, d.n, d.rn,
+                  CASE WHEN r.used + d.n <= 256 THEN r.bin ELSE r.bin + 1 END,
+                  CASE WHEN r.used + d.n <= 256 THEN r.used + d.n ELSE d.n::BIGINT END
+           FROM d JOIN r ON d.source = r.source AND d.rn = r.rn + 1)
+         SELECT source, doc_id, bin FROM r ORDER BY source, doc_id""")
+
     // Dedup catalog paths are the LSH-pruned scale paths; the DuckDB
     // oracles (DedupOracles) replay the full pipelines — portable
     // md5-prefix hashes make candidate generation engine-identical.

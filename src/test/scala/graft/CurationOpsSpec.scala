@@ -91,6 +91,44 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(over == 0L)
   }
 
+  test("q_pack is a greedy first-fit: bins dense, capacity respected, every doc placed once") {
+    assume(haveData)
+    val p = SparkEntry.queries("q_pack")(spark, dir)
+    p.createOrReplaceTempView("pk")
+    GraftSession.prepare(spark, dir)
+    val bad = spark.sql("""
+      WITH d AS (SELECT source, doc_id, size(split(text, ' ')) AS n FROM documents),
+      j AS (SELECT pk.source, pk.doc_id, pk.bin, d.n
+            FROM pk JOIN d ON pk.source = d.source AND pk.doc_id = d.doc_id),
+      bins AS (SELECT source, bin, sum(n) AS used, count(*) AS n_docs
+               FROM j GROUP BY source, bin)
+      -- a bin over capacity must be a single oversized doc; bin ids dense 0..max
+      SELECT source FROM bins WHERE used > 256 AND n_docs > 1
+      UNION ALL
+      SELECT source FROM bins GROUP BY source
+      HAVING min(bin) <> 0 OR max(bin) <> count(*) - 1
+    """).count()
+    assert(bad == 0L)
+    // every doc placed exactly once
+    assert(p.count() == GraftSession.table(spark, dir, "documents").count())
+    assert(p.select("doc_id").distinct().count() == p.count())
+    // greedy tightness: consecutive bins can't be merged — bin b's load plus
+    // bin b+1's FIRST doc must exceed capacity (else greedy would have
+    // continued filling b)
+    val loose = spark.sql("""
+      WITH d AS (SELECT source, doc_id, size(split(text, ' ')) AS n FROM documents),
+      j AS (SELECT pk.source, pk.doc_id, pk.bin, d.n
+            FROM pk JOIN d ON pk.source = d.source AND pk.doc_id = d.doc_id),
+      bins AS (SELECT source, bin, sum(n) AS used FROM j GROUP BY source, bin),
+      firsts AS (SELECT source, bin, min(doc_id) AS first_doc FROM j GROUP BY source, bin),
+      fn AS (SELECT f.source, f.bin, j.n AS first_n FROM firsts f
+             JOIN j ON j.source = f.source AND j.doc_id = f.first_doc)
+      SELECT b.source FROM bins b JOIN fn ON fn.source = b.source AND fn.bin = b.bin + 1
+      WHERE b.used + fn.first_n <= 256
+    """).count()
+    assert(loose == 0L, "greedy packing left mergeable adjacent bins")
+  }
+
   test("q_decontaminate flags only training docs, with positive hit counts") {
     assume(haveData)
     val d = SparkEntry.queries("q_decontaminate")(spark, dir)
