@@ -30,6 +30,9 @@ import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
   *   "sources": [ { "table_name": "events",
   *                  "schema_json": {"fields":[{"name":"v","type":{"name":"utf8"}}]},
   *                  "event_time_column": "ts",       // optional, streaming
+  *                  "keepalive_ms": 1000,            // optional: idle-source
+  *                                                   // watermark heartbeat
+  *                                                   // (streaming/Keepalive)
   *                  "source": { "Parquet": {"path": "..."} }
   *                           | { "Kafka": {"bootstrap_servers": "...", "topic": "...",
   *                                          "offset": "Earliest"} }
@@ -153,11 +156,23 @@ object Pipeline {
         val schema = opt(s, "schema_json").map(parseArrowSchema).orNull
         val df0 = loadSource(spark, s, schema, streamingMode, tables)
         // per-source watermark for streaming SQL (the reference places
-        // watermark assigners at sources — logical_graph.rs:184-247)
+        // watermark assigners at sources — logical_graph.rs:184-247);
+        // optional "keepalive_ms" ports its idle-upstream exclusion
+        // (watermark/manager.rs:29-75): heartbeat union BEFORE the
+        // watermark, marker drop after it (streaming/Keepalive), so the
+        // declared schema downstream is unchanged
         val etCol = opt(s, "event_time_column").map(_.asText())
         val df = etCol match {
           case Some(c) if streamingMode && mode == "Streaming" =>
-            df0.withWatermark(c, s"$oooMs milliseconds")
+            opt(s, "keepalive_ms").map(_.asLong()) match {
+              case Some(iv) =>
+                import graft.streaming.Keepalive
+                Keepalive.dropHeartbeats(
+                  Keepalive.withHeartbeat(df0, c, iv)
+                    .withWatermark(c, s"$oooMs milliseconds"), c)
+                  .drop(Keepalive.HB)
+              case None => df0.withWatermark(c, s"$oooMs milliseconds")
+            }
           case _ => df0
         }
         df.createOrReplaceTempView(name)

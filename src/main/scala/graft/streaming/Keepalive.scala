@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, lit, unix_millis}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Idle-source watermark keepalive — the port of the reference's
   * idle-upstream exclusion (src/runtime/watermark/manager.rs:29-75: an
@@ -37,15 +38,26 @@ object Keepalive {
     * sides with [[HB]]. Apply `withWatermark` AFTER this, then drop
     * marked rows once the watermark node has them.
     */
-  def withHeartbeat(data: DataFrame, tsMsCol: String, intervalMs: Long): DataFrame = {
+  def withHeartbeat(data: DataFrame, tsCol: String, intervalMs: Long): DataFrame = {
     require(intervalMs > 0, s"intervalMs must be positive: $intervalMs")
     val spark = data.sparkSession
+    // event time in the DATA's own representation: epoch ms for BIGINT
+    // columns (the engine contract), the rate timestamp itself for
+    // timestamp-typed columns — a naive cast of an epoch-ms long to
+    // TIMESTAMP would re-interpret it as SECONDS
+    val tsExpr = data.schema(tsCol).dataType match {
+      case LongType => unix_millis(col("timestamp"))
+      case TimestampType => col("timestamp")
+      case TimestampNTZType => col("timestamp").cast(TimestampNTZType)
+      case other => throw new IllegalArgumentException(
+        s"keepalive event-time column $tsCol has unsupported type $other")
+    }
     val hb = spark.readStream.format("rate")
       .option("rowsPerSecond", math.max(1L, 1000L / intervalMs).toString)
       .load()
-      .select(unix_millis(col("timestamp")).as(tsMsCol))
+      .select(tsExpr.as(tsCol))
     val padded = hb.select(data.schema.fields.map { f =>
-      if (f.name == tsMsCol) col(tsMsCol).cast(f.dataType).as(f.name)
+      if (f.name == tsCol) col(tsCol).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*).withColumn(HB, lit(true))
     data.withColumn(HB, lit(false)).unionByName(padded)

@@ -60,6 +60,38 @@ class KeepaliveSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pipeline spec keepalive_ms: idle source's append windows emit, schema unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (System.currentTimeMillis() / 10000) * 10000 - 60000
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val spec = """{
+      "execution_mode": "Streaming",
+      "sources": [ { "table_name": "ka_evt", "source": { "Memory": {} },
+                     "event_time_column": "ts", "keepalive_ms": 100 } ],
+      "sql": "SELECT key, window(ts, '10 seconds').start AS ws, sum(value) AS s FROM ka_evt GROUP BY key, window(ts, '10 seconds')",
+      "sink": { "Memory": {"table_name": "ka_out"} }
+    }"""
+    val handle = graft.api.Pipeline.runJson(spark, spec,
+      tables = Map("ka_evt" -> mem.toDF().toDF("ts", "key", "value")))
+    try {
+      mem.addData(
+        (new java.sql.Timestamp(base), "k", 1.0),
+        (new java.sql.Timestamp(base + 1000), "k", 2.0),
+        (new java.sql.Timestamp(base + 10000), "k", 4.0))
+      // source goes idle; no flush rows — only heartbeats advance the clock
+      val deadline = System.currentTimeMillis() + 15000
+      var n = 0L
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        n = spark.table("ka_out").count()
+      }
+      assert(n == 2L, "keepalive_ms did not close the idle source's windows via the spec path")
+      // the marker column must not leak into the declared output schema
+      assert(spark.table("ka_out").columns.toSet == Set("key", "ws", "s"))
+    } finally handle.stop()
+  }
+
   test("idle source: append windows hang without keepalive, emit with it") {
     // without heartbeats the watermark freezes at the last event time
     // (base+11s): window 1 (end base+10s) closes off the data itself, but
