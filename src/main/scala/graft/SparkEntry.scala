@@ -1702,6 +1702,36 @@ object SparkEntry {
            FROM d JOIN r ON d.source = r.source AND d.rn = r.rn + 1)
          SELECT source, doc_id, bin FROM r ORDER BY source, doc_id""")
 
+    // Symmetric int8 vector quantization (per-vector max-abs scale) —
+    // the 4x storage/bandwidth compression an ANN index applies before
+    // sharding vectors at 100 TB. Pure per-row transform at scan
+    // parallelism. Exactness: floats widen to double exactly, and both
+    // engines run the SAME IEEE expression floor(x*127/mx + 0.5)
+    // (explicit round-half-up — the engines' own round() differ at .5:
+    // Spark HALF_UP vs DuckDB HALF_EVEN).
+    // (qvec rides as a comma-joined string: the driver compare hashes
+    // values with arrow types, and list CHILD FIELD NAMES differ between
+    // engines — same convention as q_top)
+    m += "q_embed_quant" -> split(
+      """SELECT vec_id,
+                array_join(transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INT)), ',') AS qvec,
+                CAST(mx AS DOUBLE) AS scale
+         FROM (SELECT vec_id, embedding,
+                      greatest(array_max(transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))), 1e-30d) AS mx
+               FROM embeddings)
+         ORDER BY vec_id""",
+      """SELECT vec_id,
+                array_to_string(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INT)), ',') AS qvec,
+                CAST(mx AS DOUBLE) AS scale
+         FROM (SELECT vec_id, embedding,
+                      greatest(list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS mx
+               FROM embeddings)
+         ORDER BY vec_id""")
+
     // Dedup catalog paths are the LSH-pruned scale paths; the DuckDB
     // oracles (DedupOracles) replay the full pipelines — portable
     // md5-prefix hashes make candidate generation engine-identical.
