@@ -254,6 +254,114 @@ object Bench {
     (records, evalSec, evalUnboundedSec, qps, liveQps)
   }
 
+  /** Cold distinct-key serving load — every request hits a DIFFERENT key,
+    * so the per-(key, generation) memo never fires and each live lookup
+    * pays a real window evaluation. This is the load the reference's
+    * request coalescing exists for (request_source.rs:38-49): concurrent
+    * cold lookups drain into one evalBatch pass per burst instead of
+    * serializing behind the HTTP workers. Returns (store qps, live qps,
+    * mean/largest coalesced batch) under a 16-way concurrent client, one
+    * request per key.
+    */
+  private def coldRequestWorkload(spark: org.apache.spark.sql.SparkSession)
+      : (Double, Double, Double, Double, Long) = {
+    import graft.serving.{FeatureStore, RequestServer, RequestServing, ServingBuffer}
+    import graft.sources.Datagen
+    import graft.streaming.SlidingWindows.{AggSpec, RowsN}
+    import org.apache.spark.sql.functions.{col, lit}
+
+    val records = 200000L; val keys = 2000
+    val startMs = 1704067200000L; val stepMs = 5L
+    val specs = Seq(AggSpec("min_100", "min", RowsN(100)),
+        AggSpec("max_100", "max", RowsN(100)))
+    val input = Datagen.batch(spark, records, Map(
+        "ts_ms" -> Datagen.IncrementalTimestamp(startMs, stepMs),
+        "key" -> Datagen.Key(keys),
+        "value" -> Datagen.Uniform(0.0, 100.0)))
+      .select(col("ts_ms").cast("long"), col("key"), col("value"))
+    val atTs = startMs + records * stepMs
+    val store = new FeatureStore
+    FeatureStore.upsertBatch(store, "key", "ts_ms")(
+      RequestServing.pointInTime(input, "key", "ts_ms", "value", specs, atTs)
+        .withColumn("ts_ms", lit(atTs)), 0L)
+    require(store.size == keys)
+    val buffer = new ServingBuffer(specs)
+    ServingBuffer.feedBatch(buffer, "key", "ts_ms", Seq("value"), Nil)(input, 0L)
+
+    // one request per DISTINCT key, 16 concurrent client threads
+    def measure(server: RequestServer): Double = {
+      val port = server.start()
+      try {
+        val threads = 16
+        // untimed warm-up burst: the FIRST measured server otherwise
+        // bills JDK HTTP-stack class-load + JIT to its own qps (the
+        // store server looked 3x slower than live for exactly this)
+        locally {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+          val done = new java.util.concurrent.CountDownLatch(256)
+          (0 until 256).foreach { k =>
+            pool.execute { () =>
+              try {
+                ColdClients.get().send(
+                  java.net.http.HttpRequest.newBuilder(
+                      java.net.URI.create(s"http://localhost:$port/request"))
+                    // unknown keys (404 path): warms the HTTP/JSON stack
+                    // without memoizing any of the 2000 keys under test
+                    .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                      s"""{"key": "warmup_$k"}""")).build(),
+                  java.net.http.HttpResponse.BodyHandlers.ofString())
+              } catch { case _: Exception => () }
+              finally done.countDown()
+            }
+          }
+          done.await()
+          pool.shutdown()
+        }
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        val done = new java.util.concurrent.CountDownLatch(keys)
+        val failed = new java.util.concurrent.atomic.AtomicLong(0)
+        val t1 = System.nanoTime()
+        (0 until keys).foreach { k =>
+          pool.execute { () =>
+            try {
+              val client = ColdClients.get()
+              val resp = client.send(
+                java.net.http.HttpRequest.newBuilder(
+                    java.net.URI.create(s"http://localhost:$port/request"))
+                  .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                    s"""{"key": "key_$k"}""")).build(),
+                java.net.http.HttpResponse.BodyHandlers.ofString())
+              if (resp.statusCode() != 200) failed.incrementAndGet()
+            } catch { case _: Exception => failed.incrementAndGet() }
+            finally done.countDown()
+          }
+        }
+        done.await()
+        pool.shutdown()
+        require(failed.get == 0, s"${failed.get} cold lookups failed")
+        keys / ((System.nanoTime() - t1) / 1e9)
+      } finally server.stop()
+    }
+
+    val storeQps = measure(new RequestServer(store, 0, None, workers = 16))
+    // direct: each handler thread folds its own key (no coalescer) —
+    // the baseline that attributes the coalescer's dispatch cost/win
+    val directQps = measure(new RequestServer(store, 0, Some(buffer), workers = 16))
+    val liveServer = new RequestServer(store, 0, Some(buffer),
+      coalesce = true, workers = 16)
+    val liveQps = measure(liveServer)
+    val c = liveServer.coalescer.get
+    (storeQps, directQps, liveQps, c.meanBatch, c.largestBatch)
+  }
+
+  /** One HttpClient per client thread: a shared client funnels every
+    * request through one selector thread and serializes the burst. */
+  private object ColdClients {
+    private val tl = ThreadLocal.withInitial[java.net.http.HttpClient](() =>
+      java.net.http.HttpClient.newHttpClient())
+    def get(): java.net.http.HttpClient = tl.get()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -363,7 +471,8 @@ object Bench {
       if (only.isDefined) "null" else
       try {
         val (recs, sec, secU, qps, liveQps) = requestWorkload(spark)
-        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"live_lookup_qps":$liveQps%.1f}"""
+        val (coldQps, coldDirectQps, coldLiveQps, meanBatch, largestBatch) = coldRequestWorkload(spark)
+        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"live_lookup_qps":$liveQps%.1f,"cold_keys":2000,"cold_lookup_qps":$coldQps%.1f,"cold_live_direct_qps":$coldDirectQps%.1f,"cold_live_lookup_qps":$coldLiveQps%.1f,"coalesce_mean_batch":$meanBatch%.1f,"coalesce_largest_batch":$largestBatch}"""
       } catch { case e: Throwable =>
         errors("request_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"

@@ -26,10 +26,18 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * Jackson, which Spark already ships.
   */
 final class RequestServer(store: FeatureStore, port: Int = 0,
-                          live: Option[ServingBuffer] = None) {
+                          live: Option[ServingBuffer] = None,
+                          coalesce: Boolean = false,
+                          workers: Int = 8) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
+
+  /** Live-path micro-burst coalescer (reference request batching,
+    * request_source.rs:38-49); present only when `coalesce` and a live
+    * buffer are wired. Exposed for bench/spec observability. */
+  val coalescer: Option[RequestCoalescer] =
+    if (coalesce) live.map(new RequestCoalescer(_)) else None
 
   /** Starts the server; returns the actual bound port. */
   def start(): Int = {
@@ -43,12 +51,17 @@ final class RequestServer(store: FeatureStore, port: Int = 0,
       override def handle(ex: HttpExchange): Unit =
         try respond(ex) finally ex.close()
     })
+    server.createContext("/request_batch", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try respondBatch(ex) finally ex.close()
+    })
+    coalescer.foreach(_.start())
     // a small worker pool, not the dispatcher thread: lookups are
     // sub-millisecond map reads, but concurrent clients must not serialize
     // behind one socket loop (the reference's axum server is concurrent).
     // Daemon threads: a crash between start() and stop() must not keep the
     // JVM alive on a non-daemon pool.
-    pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    pool = java.util.concurrent.Executors.newFixedThreadPool(workers,
       (r: Runnable) => {
         val t = new Thread(r, "graft-request-server")
         t.setDaemon(true); t
@@ -62,6 +75,7 @@ final class RequestServer(store: FeatureStore, port: Int = 0,
 
   def stop(): Unit = {
     if (server != null) server.stop(0)
+    coalescer.foreach(_.stop())
     if (pool != null) {
       pool.shutdown()
       // let in-flight handlers finish writing their responses
@@ -83,8 +97,16 @@ final class RequestServer(store: FeatureStore, port: Int = 0,
     if (key == null) { send(ex, 400, errJson("body must be {\"key\": \"...\"}")); return }
     // live path: re-evaluate the window aggregates at the request's virtual
     // point from buffered rows (reference request semantics); fall back to
-    // the last upserted feature row for keys with no buffer
-    live.flatMap(_.eval(key, atTs)) match {
+    // the last upserted feature row for keys with no buffer. With a
+    // coalescer wired, concurrent lookups ride one evalBatch pass.
+    val liveResult =
+      coalescer match {
+        case Some(c) =>
+          try c.submit(key, atTs).join()
+          catch { case _: Exception => send(ex, 503, errJson("serving shutting down")); return }
+        case None => live.flatMap(_.eval(key, atTs))
+      }
+    liveResult match {
       case Some((at, feats)) =>
         send(ex, 200, featuresJson(key, at, feats, live = true))
       case None => store.get(key) match {
@@ -93,6 +115,52 @@ final class RequestServer(store: FeatureStore, port: Int = 0,
           send(ex, 200, featuresJson(key, entry.tsMs, entry.values.toSeq, live = false))
       }
     }
+  }
+
+  /** `POST /request_batch` body `{"requests": [{"key": "..."[, "ts_ms": N]}, ...]}`
+    * — the client-visible form of the reference's request batching: the
+    * whole array is evaluated as ONE [[ServingBuffer.evalBatch]] pass
+    * (request_source.rs:38-49 pushes all pending requests as one
+    * RecordBatch). Response `{"results": [...]}` positionally, each entry
+    * either the single-request success shape or `{"error": ...}`.
+    */
+  private def respondBatch(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") { send(ex, 405, errJson("POST only")); return }
+    val reqs: IndexedSeq[(String, Option[Long])] =
+      try {
+        val arr = mapper.readTree(ex.getRequestBody).get("requests")
+        if (arr == null || !arr.isArray) null
+        else (0 until arr.size()).map { i =>
+          val o = arr.get(i)
+          val k = o.get("key")
+          if (k == null || !k.isTextual) throw new IllegalArgumentException
+          val t = o.get("ts_ms")
+          (k.asText(), if (t != null && t.isNumber) Some(t.asLong()) else None)
+        }
+      } catch { case _: Exception => null }
+    if (reqs == null) {
+      send(ex, 400, errJson("body must be {\"requests\": [{\"key\": \"...\"}, ...]}")); return
+    }
+    val liveResults: IndexedSeq[Option[(Long, Seq[(String, Any)])]] =
+      live match {
+        case Some(buf) => buf.evalBatch(reqs)
+        case None      => reqs.map(_ => None)
+      }
+    val root = mapper.createObjectNode()
+    val out = root.putArray("results")
+    reqs.indices.foreach { i =>
+      val (key, _) = reqs(i)
+      val json = liveResults(i) match {
+        case Some((at, feats)) => featuresJson(key, at, feats, live = true)
+        case None => store.get(key) match {
+          case Some(entry) =>
+            featuresJson(key, entry.tsMs, entry.values.toSeq, live = false)
+          case None => errJson(s"no features for key $key")
+        }
+      }
+      out.add(mapper.readTree(json))
+    }
+    send(ex, 200, mapper.writeValueAsString(root))
   }
 
   /** One response shape for both the live and the store-fallback path. */

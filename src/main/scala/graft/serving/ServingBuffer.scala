@@ -92,6 +92,31 @@ final class ServingBuffer(val specs: Seq[AggSpec]) {
     }
   }
 
+  /** Evaluate a whole batch of requests in ONE pass — the serving-side
+    * analog of the reference coalescing all pending requests into one
+    * RecordBatch through the dataflow (request_source.rs:38-49). Distinct
+    * keys hold independent buffered state, so the shared work is the
+    * dispatch, not the fold: the batch fans out across the common pool
+    * (every core folds a different key) instead of serializing behind the
+    * HTTP worker count. Results are positional; each goes through the same
+    * per-(key, generation) memo as [[eval]].
+    */
+  def evalBatch(reqs: Seq[(String, Option[Long])])
+      : IndexedSeq[Option[(Long, Seq[(String, Any)])]] = {
+    val in = reqs.toIndexedSeq
+    val out = new Array[Option[(Long, Seq[(String, Any)])]](in.length)
+    // fork-join submission costs more than a handful of folds: stay
+    // serial for micro-batches, fan out only when the burst is real
+    if (in.length < 8) {
+      var i = 0
+      while (i < in.length) { out(i) = eval(in(i)._1, in(i)._2); i += 1 }
+    } else
+      java.util.stream.IntStream.range(0, in.length).parallel().forEach { i =>
+        out(i) = eval(in(i)._1, in(i)._2)
+      }
+    out.toIndexedSeq
+  }
+
   def bufferedKeys: Int = m.size
   def rowCount(key: String): Int = Option(m.get(key)).map(_.length).getOrElse(0)
 }
