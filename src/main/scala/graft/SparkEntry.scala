@@ -1732,6 +1732,126 @@ object SparkEntry {
                FROM embeddings)
          ORDER BY vec_id""")
 
+    // Tokenizer vocabulary build: top-V tokens by corpus frequency with
+    // exact cumulative-coverage rationals (cum_freq/total_freq — emitted
+    // as the two BIGINTs, never the float). Scale shape: one partial-agg
+    // shuffle on token, then a global top-V via ORDER BY+LIMIT
+    // (TakeOrderedAndProject: every partition forwards at most V rows);
+    // the rank/cumsum window runs over the V survivors only — a
+    // single-partition window over 100 rows, not the corpus.
+    m += "q_vocab" -> split(
+      """WITH cnt AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS freq
+                      FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+                      GROUP BY w),
+         top AS (SELECT token, freq FROM cnt ORDER BY freq DESC, token LIMIT 100)
+         SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rnk,
+                token, freq,
+                CAST(sum(freq) OVER (ORDER BY freq DESC, token
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq,
+                (SELECT CAST(sum(freq) AS BIGINT) FROM cnt) AS total_freq
+         FROM top ORDER BY rnk""",
+      """WITH cnt AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS freq
+                      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                      GROUP BY w),
+         top AS (SELECT token, freq FROM cnt ORDER BY freq DESC, token LIMIT 100)
+         SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rnk,
+                token, freq,
+                CAST(sum(freq) OVER (ORDER BY freq DESC, token
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq,
+                (SELECT CAST(sum(freq) AS BIGINT) FROM cnt) AS total_freq
+         FROM top ORDER BY rnk""")
+
+    // Per-doc out-of-vocabulary rate against the top-V vocab. The vocab
+    // collapses to ONE array row and broadcast-cross-joins onto the doc
+    // scan, so the scoring side is a single pass with NO token explosion
+    // and no shuffle — the shuffle budget is the vocab build alone.
+    // Integer (n_tokens, n_oov) only; the rate is theirs to divide.
+    m += "q_oov" -> split(
+      """WITH cnt AS (SELECT w AS token, count(*) AS freq
+                      FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+                      GROUP BY w),
+         v AS (SELECT collect_list(token) AS vocab
+               FROM (SELECT token FROM cnt ORDER BY freq DESC, token LIMIT 100)),
+         d AS (SELECT doc_id, split(text, ' ') AS t FROM documents)
+         SELECT doc_id, CAST(size(t) AS BIGINT) AS n_tokens,
+                CAST(size(filter(t, x -> NOT array_contains(vocab, x))) AS BIGINT) AS n_oov
+         FROM d CROSS JOIN v WHERE size(t) > 0
+         ORDER BY doc_id""",
+      """WITH cnt AS (SELECT w AS token, count(*) AS freq
+                      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                      GROUP BY w),
+         v AS (SELECT list(token) AS vocab
+               FROM (SELECT token FROM cnt ORDER BY freq DESC, token LIMIT 100)),
+         d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(t, x -> NOT list_contains(vocab, x))) AS BIGINT) AS n_oov
+         FROM d CROSS JOIN v WHERE len(t) > 0
+         ORDER BY doc_id""")
+
+    // Per-source cap sampling (the RefinedWeb-style per-domain cap that
+    // keeps one domain from dominating the corpus): keep at most 20 docs
+    // per source, chosen by DETERMINISTIC hash order (md5-prefix of
+    // doc_id — the hash60 contract), never by arrival order. The
+    // cap_rank <= 20 filter sits directly on the row_number, so Spark's
+    // WindowGroupLimit prunes to 20 rows per source MAP-SIDE before the
+    // window shuffle; per-source totals ride a separate partial-agg
+    // broadcast join.
+    m += "q_domain_cap" -> split(
+      """WITH ranked AS (
+           SELECT source, doc_id,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT),
+                             doc_id) AS BIGINT) AS cap_rank
+           FROM documents),
+         n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+               FROM documents GROUP BY source)
+         SELECT r.source AS source, doc_id, cap_rank, n_source
+         FROM ranked r JOIN n ON r.source = n.source
+         WHERE cap_rank <= 20
+         ORDER BY source, doc_id""",
+      """WITH ranked AS (
+           SELECT source, doc_id,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                             doc_id) AS BIGINT) AS cap_rank
+           FROM documents),
+         n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+               FROM documents GROUP BY source)
+         SELECT r.source AS source, doc_id, cap_rank, n_source
+         FROM ranked r JOIN n ON r.source = n.source
+         WHERE cap_rank <= 20
+         ORDER BY source, doc_id""")
+
+    // Bigram language-model counts: top-50 bigrams with their count and
+    // the prefix-token count — the conditional probability as the exact
+    // rational pair (c_bigram, c_prefix), no floats. Two partial-agg
+    // shuffles (bigram, then prefix roll-up of the ALREADY-aggregated
+    // bigram counts — never a second pass over raw tokens); top-50 via
+    // TakeOrderedAndProject on the total order (count DESC, w1, w2).
+    m += "q_bigram_lm" -> split(
+      """WITH toks AS (SELECT split(text, ' ') AS t FROM documents),
+         bg AS (SELECT element_at(t, i - 1) AS w1, element_at(t, i) AS w2
+                FROM (SELECT t, explode(sequence(2, size(t))) AS i
+                      FROM toks WHERE size(t) >= 2)),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+                 FROM bg GROUP BY w1, w2),
+         c1 AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_prefix
+                FROM c12 GROUP BY w1)
+         SELECT c12.w1 AS w1, w2, c_bigram, c_prefix
+         FROM c12 JOIN c1 ON c12.w1 = c1.w1
+         ORDER BY c_bigram DESC, w1, w2 LIMIT 50""",
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         bg AS (SELECT t[i - 1] AS w1, t[i] AS w2
+                FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+                      FROM toks WHERE len(t) >= 2)),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+                 FROM bg GROUP BY w1, w2),
+         c1 AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_prefix
+                FROM c12 GROUP BY w1)
+         SELECT c12.w1 AS w1, w2, c_bigram, c_prefix
+         FROM c12 JOIN c1 ON c12.w1 = c1.w1
+         ORDER BY c_bigram DESC, w1, w2 LIMIT 50""")
+
     // Dedup catalog paths are the LSH-pruned scale paths; the DuckDB
     // oracles (DedupOracles) replay the full pipelines — portable
     // md5-prefix hashes make candidate generation engine-identical.

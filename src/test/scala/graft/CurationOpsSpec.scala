@@ -137,4 +137,76 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1)),
       "n_gram_hits >= n_eval_docs >= 1 per flagged doc")
   }
+
+  test("q_vocab: ranks dense, counts monotone, coverage cumsum exact and bounded") {
+    assume(haveData)
+    val v = SparkEntry.queries("q_vocab")(spark, dir).collect()
+    assert(v.nonEmpty && v.length <= 100)
+    val ranks = v.map(_.getLong(0))
+    assert(ranks.toSeq == (1L to v.length).toSeq, "rnk must be dense 1..V in order")
+    val freqs = v.map(_.getLong(2))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, "freq non-increasing")
+    val cums = v.map(_.getLong(3))
+    assert(cums.toSeq == freqs.scanLeft(0L)(_ + _).tail.toSeq, "cum_freq = running sum")
+    val total = v.head.getLong(4)
+    assert(v.forall(_.getLong(4) == total) && cums.last <= total,
+      "one corpus total, coverage <= total")
+  }
+
+  test("q_oov: every doc scored, 0 <= n_oov <= n_tokens, vocab tokens never OOV") {
+    assume(haveData)
+    val o = SparkEntry.queries("q_oov")(spark, dir)
+    o.createOrReplaceTempView("oov")
+    assert(o.count() > 0)
+    val bad = spark.sql(
+      """SELECT * FROM oov
+         WHERE n_oov < 0 OR n_oov > n_tokens OR n_tokens <= 0""").count()
+    assert(bad == 0L)
+    // a doc of ONLY top-vocab tokens must score n_oov = 0: the most
+    // frequent token alone is in-vocab by construction
+    val top = SparkEntry.queries("q_vocab")(spark, dir).collect().head.getString(1)
+    spark.sql(
+      s"""SELECT doc_id FROM parquet.`$dir/documents.parquet`
+          WHERE NOT exists(split(text, ' '), x -> x != '$top')
+            AND size(split(text, ' ')) > 0""")
+      .collect().foreach { r =>
+        val row = o.where(s"doc_id = ${r.getLong(0)}").collect()
+        assert(row.forall(_.getLong(2) == 0L))
+      }
+  }
+
+  test("q_domain_cap keeps at most 20 docs per source, ranks dense from 1") {
+    assume(haveData)
+    val c = SparkEntry.queries("q_domain_cap")(spark, dir)
+    c.createOrReplaceTempView("cap")
+    val bad = spark.sql("""
+      WITH per AS (SELECT source, count(*) AS kept, min(cap_rank) AS lo,
+                          max(cap_rank) AS hi, max(n_source) AS n_source
+                   FROM cap GROUP BY source)
+      SELECT source FROM per
+      WHERE kept > 20 OR lo <> 1 OR hi <> kept OR kept <> least(20, n_source)
+    """).count()
+    assert(bad == 0L, "cap violated or ranks not dense")
+    // determinism: the kept set is a pure function of doc_id hashes —
+    // re-running yields the identical selection
+    val a = c.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = SparkEntry.queries("q_domain_cap")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("q_bigram_lm: c_prefix aggregates its bigrams, ordering total and deterministic") {
+    assume(haveData)
+    val rows = SparkEntry.queries("q_bigram_lm")(spark, dir).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(3) >= r.getLong(2),
+        "c_prefix >= c_bigram >= 1")
+    }
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // c_prefix is the SAME number for every bigram sharing w1
+    val byW1 = rows.groupBy(_.getString(0)).values
+    assert(byW1.forall(g => g.map(_.getLong(3)).distinct.length == 1))
+  }
 }
