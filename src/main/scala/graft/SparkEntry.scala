@@ -317,6 +317,18 @@ object SparkEntry {
       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
       ORDER BY c_custkey""")
 
+    // FULL OUTER: both sides pre-aggregated (partial-agg shuffles), so
+    // the join itself is tiny-on-tiny; nations missing a side surface as
+    // coalesced zeros rather than dropped rows.
+    m += "q_join_full" -> both("""
+      WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+           s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+      SELECT coalesce(c.nk, s.nk) AS nk,
+             CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+             CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+      FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      ORDER BY nk""")
+
     // ---------------- temporal joins (beyond reference §2.4) ---------------
     // Point-in-time as-of join — the feature-store backfill primitive: each
     // click attaches the user's latest purchase at-or-before it (48 h
@@ -520,6 +532,26 @@ object SparkEntry {
       SELECT o_orderpriority AS label FROM orders WHERE o_totalprice > 300000
       ORDER BY label""")
 
+    // INTERSECT/EXCEPT complete the set-op family (both plan as
+    // hash-aggregate + semi/anti join — one shuffle each side). On
+    // (user_id, day) pairs, which stay non-trivially split between the
+    // two branches at every sf (bare user_id sets fully overlap).
+    m += "q_intersect" -> evQ("""
+      SELECT user_id, CAST(floor(ts_ms / 86400000) AS BIGINT) AS day
+      FROM __EV__ WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id, CAST(floor(ts_ms / 86400000) AS BIGINT) AS day
+      FROM __EV__ WHERE event_type = 'view'
+      ORDER BY user_id, day""")
+
+    m += "q_except" -> evQ("""
+      SELECT user_id, CAST(floor(ts_ms / 86400000) AS BIGINT) AS day
+      FROM __EV__ WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id, CAST(floor(ts_ms / 86400000) AS BIGINT) AS day
+      FROM __EV__ WHERE event_type = 'view'
+      ORDER BY user_id, day""")
+
     // ---------------- ranking / navigation windows (batch OVER surface) ---
     // row_number/rank/dense_rank: Spark returns INT, DuckDB BIGINT — cast
     // in the shared SQL. One keyed sort serves all three (same window).
@@ -611,6 +643,56 @@ object SparkEntry {
                    max(value_c) OVER (PARTITION BY user_id) AS mx
             FROM __EV__)
       ORDER BY user_id, event_id""")
+
+    // Conversion funnel: per signed-up user, the first purchase within
+    // 24 h of their FIRST signup. Two partial-agg min() shuffles on
+    // user_id (never a per-event self-join fan-out: the purchase side
+    // joins the one-row-per-user signup frame) — the canonical product
+    // analytics primitive.
+    m += "q_funnel" -> evQ("""
+      WITH s AS (SELECT user_id, min(ts_ms) AS signup_ts
+                 FROM __EV__ WHERE event_type = 'signup' GROUP BY user_id),
+      p AS (SELECT s.user_id AS user_id, min(e.ts_ms) AS purchase_ts
+            FROM s JOIN __EV__ e ON e.user_id = s.user_id
+             AND e.event_type = 'purchase'
+             AND e.ts_ms >= s.signup_ts AND e.ts_ms < s.signup_ts + 86400000
+            GROUP BY s.user_id)
+      SELECT s.user_id AS user_id, signup_ts, purchase_ts
+      FROM s LEFT JOIN p ON s.user_id = p.user_id
+      ORDER BY user_id""")
+
+    // Cohort retention: users grouped by first-seen day, activity counted
+    // per day offset. The cohort frame is one row per user (partial-agg
+    // min), so the join back is thin; distinct-user counts shuffle once
+    // on (cohort_day, offset).
+    m += "q_retention" -> evQ("""
+      WITH e AS (SELECT user_id,
+                        CAST(floor(ts_ms / 86400000) AS BIGINT) AS day
+                 FROM __EV__),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      SELECT cohort_day, CAST(e.day - f.cohort_day AS BIGINT) AS day_offset,
+             count(DISTINCT e.user_id) AS n_active
+      FROM e JOIN f ON e.user_id = f.user_id
+      GROUP BY cohort_day, e.day - f.cohort_day
+      ORDER BY cohort_day, day_offset""")
+
+    // IQR outlier fences per event type (the data-cleaning robust-stat
+    // filter): percentile_disc picks ACTUAL cent values (exact in both
+    // engines — never interpolates), and the 1.5*IQR fences compare in
+    // doubled integers so no float touches the comparison.
+    m += "q_outlier_iqr" -> evQ("""
+      WITH q AS (SELECT event_type,
+                        CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY value_c) AS BIGINT) AS q1,
+                        CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY value_c) AS BIGINT) AS q3
+                 FROM __EV__ GROUP BY event_type)
+      SELECT e.event_type AS event_type, q1, q3,
+             CAST(sum(CASE WHEN 2 * value_c < 2 * q1 - 3 * (q3 - q1)
+                             OR 2 * value_c > 2 * q3 + 3 * (q3 - q1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             count(*) AS n
+      FROM __EV__ e JOIN q ON e.event_type = q.event_type
+      GROUP BY e.event_type, q1, q3
+      ORDER BY event_type""")
 
     // Z-order (Morton) clustering key — the layout operator behind
     // multi-dimensional data skipping (operators/Layout.scala; the spec
