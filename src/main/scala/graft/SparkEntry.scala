@@ -329,6 +329,30 @@ object SparkEntry {
       FROM c FULL OUTER JOIN s ON c.nk = s.nk
       ORDER BY nk""")
 
+    // Salted skew-spreading join (operators/Skew.saltedJoin): row-identical
+    // to the plain join — the oracle IS the plain join — while each key
+    // spreads over 8 shuffle buckets (the planned skew mitigation for the
+    // cases AQE's runtime skew-split can't touch). SkewSpec pins the
+    // hot-key spread and the (key, salt) partitioning.
+    m += "q_join_salted" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+        val dim = s.table("customer").select(
+          col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        graft.operators.Skew.saltedJoin(s.table("orders"), dim, "o_custkey", 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            (sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).cast("double") / 100)
+              .as("total"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+      SELECT c.c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
+
     // ---------------- temporal joins (beyond reference §2.4) ---------------
     // Point-in-time as-of join — the feature-store backfill primitive: each
     // click attaches the user's latest purchase at-or-before it (48 h
