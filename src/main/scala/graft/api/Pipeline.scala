@@ -440,7 +440,13 @@ object Pipeline {
     val bind = opt(spec, "request_source_sink")
       .map(r => text(r, "bind_address", "127.0.0.1:0")).getOrElse("127.0.0.1:0")
     val port0 = bind.split(':').last.toInt
-    val server = new RequestServer(store, port0, buffer)
+    // `request_source_sink.coalesce: true` turns on cold-key micro-burst
+    // coalescing (the reference drains all pending requests into one
+    // RecordBatch, request_source.rs:38-49); hot-key lookups are already
+    // amortized by the ServingBuffer memo either way
+    val coalesce = opt(spec, "request_source_sink")
+      .flatMap(r => opt(r, "coalesce")).exists(_.asBoolean(false))
+    val server = new RequestServer(store, port0, buffer, coalesce = coalesce)
     val port = server.start()
     Handle("Request", None, Some(q), Some(store), Some(server), Some(port),
       feeder, buffer)

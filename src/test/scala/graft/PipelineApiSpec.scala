@@ -271,7 +271,7 @@ class PipelineApiSpec extends AnyFunSuite {
                   "tile_granularity_ms": 2000,
                   "aggs": [ {"name": "sum_10s", "kind": "sum", "range_ms": 10000},
                              {"name": "cnt_10s", "kind": "count", "range_ms": 10000} ] },
-      "request_source_sink": { "bind_address": "127.0.0.1:0" }
+      "request_source_sink": { "bind_address": "127.0.0.1:0", "coalesce": true }
     }"""
     val handle = Pipeline.runJson(spark, spec,
       tables = Map("ev_req" -> mem.toDF().toDF("ts_ms", "key", "value")))
@@ -303,6 +303,10 @@ class PipelineApiSpec extends AnyFunSuite {
         assert(resp.statusCode() == 200, s"key $k")
         assert(resp.body().contains(s""""sum_10s":${want(k)}"""), s"key $k: ${resp.body()}")
       }
+      // the spec's coalesce flag reached the server: every live lookup
+      // above rode the coalescer queue
+      val co = handle.server.get.coalescer
+      assert(co.isDefined && co.get.requests == keys.length.toLong)
     } finally handle.stop()
   }
 
