@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Streaming MinHash near-dup detection — the batch LSH pipeline
+  * ([[Dedup.minhashLsh]]) reshaped for a document STREAM: an arriving doc
+  * is checked against everything that arrived before it, online, without
+  * re-scanning the corpus. The ingest-side half of a training-data
+  * pipeline's dedup (the reference is a streaming engine; its users run
+  * exactly this shape), complementing [[Dedup.exactStreaming]]'s
+  * first-arrival exact dedup.
+  *
+  * Same math as batch: identical shingle hashing ([[Dedup.hash31]]'s
+  * md5-prefix contract), identical LCG MinHash coefficients
+  * ([[Dedup.minhashCoeffs]], seed 42), identical band keys, identical
+  * signature-agreement threshold — so on the same data in id order the
+  * emitted pairs equal [[Dedup.minhashAccepted]]'s (StreamingDedupSpec
+  * pins the set equality on real testdata). Two deliberate deviations:
+  *
+  *  - The SIGNATURE is computed per row with higher-order functions (one
+  *    array_min per hash over the row's own shingle array) instead of the
+  *    batch explode + 128-column hash-aggregate: stateless, no shuffle,
+  *    no streaming-aggregation mode restrictions. Batch keeps the
+  *    explode+agg because it rebalances giant documents across cores;
+  *    a stream's unit of parallelism is already the document.
+  *  - The hot-bucket cap is ONLINE: a bucket's state holds its first
+  *    `maxBucket` arrivals, later arrivals in that bucket neither compare
+  *    nor join it. Batch [[Dedup.capBuckets]] can see a bucket's FINAL
+  *    membership and excludes over-cap buckets entirely; a stream cannot
+  *    know the future. First-`cap` is the online analogue (same O(cap²)
+  *    bound per bucket).
+  *
+  * State per bucket: up to `maxBucket` (id, signature) members —
+  * `maxBucket * (numHashes+1) * 8` bytes, RocksDB-backed and sharded by
+  * bucket key across executors at scale; the state IS the LSH index.
+  * Emitted rows are `(__lid, __rid)` with lid the earlier arrival; a pair
+  * may emit from several shared buckets — `.distinct()` downstream, the
+  * same dedup batch candidatePairs applies.
+  */
+object StreamingDedup {
+
+  private val P31 = Dedup.P31
+
+  /** The per-row MinHash signature as ONE codegen'd column (array of
+    * `numHashes` longs), bit-identical to the batch aggregate's: same
+    * shingle positions (`sequence(1, greatest(len-k+1, 1))`, short texts
+    * hash their whole tail), same md5-prefix shingle hash (incl. the
+    * mod-P fold), same LCG mins.
+    */
+  def signatureCol(textCol: String, k: Int, numHashes: Int): Column = {
+    val sh = s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+      s"i -> CAST(conv(substring(md5(substring($textCol, i, $k)), 1, 8), 16, 10) AS BIGINT) % $P31)"
+    val mins = Dedup.minhashCoeffs(numHashes).map { case (a, b) =>
+      s"array_min(transform(__graft_sh, x -> ($a * x + $b) % $P31))"
+    }
+    // two-step so the shingle array materializes once per row, not once
+    // per hash: transform binds it to a lambda variable
+    expr(s"transform(array($sh), __graft_sh -> array(${mins.mkString(", ")}))[0]")
+  }
+
+  /** Streaming near-dup PAIRS over a streaming frame with `idCol`
+    * (BIGINT, assumed monotone with arrival for batch-parity; any order
+    * runs, first-arrival-wins applies) and `textCol`. Output columns
+    * `(__lid, __rid)`.
+    */
+  def minhashStreamingPairs(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, numHashes: Int = 128, bands: Int = 16,
+                            threshold: Double = 0.8,
+                            maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rpb = numHashes / bands
+    val banded = df
+      .where(col(textCol).isNotNull)
+      .withColumn("__sig", signatureCol(textCol, k, numHashes))
+      .select(col(idCol).cast("long").as("__id"), col("__sig"),
+        explode(array((0 until bands).map { b =>
+          concat_ws(",", lit(b.toString) +: (0 until rpb).map(r =>
+            element_at(col("__sig"), b * rpb + r + 1).cast("string")): _*)
+        }: _*)).as("__bucket"))
+
+    import banded.sparkSession.implicits._
+    val fn = (_: String, rows: Iterator[(String, Long, Seq[Long])],
+              state: GroupState[Array[Byte]]) => {
+      var members = state.getOption.map(unpack(_, numHashes)).getOrElse(Vector.empty)
+      val out = Vector.newBuilder[(Long, Long)]
+      // ascending id within the batch: deterministic arrival order, and
+      // the order that matches the batch pipeline's lid < rid
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, sigSeq) =>
+        if (members.size < maxBucket && !members.exists(_._1 == id)) {
+          val sig = sigSeq.toArray
+          members.foreach { case (mid, msig) =>
+            var eq = 0; var i = 0
+            while (i < numHashes) { if (msig(i) == sig(i)) eq += 1; i += 1 }
+            if (eq.toDouble / numHashes >= threshold) out += ((mid, id))
+          }
+          members = members :+ (id -> sig)
+        }
+      }
+      state.update(pack(members, numHashes))
+      out.result().iterator
+    }
+    banded
+      .select(col("__bucket"), col("__id"), col("__sig"))
+      .as[(String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("__lid", "__rid")
+  }
+
+  /** Bucket state packed as longs: [n, id, sig..., id, sig...]. */
+  private def pack(members: Vector[(Long, Array[Long])], numHashes: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 * (1 + members.size * (numHashes + 1)))
+    buf.putLong(members.size.toLong)
+    members.foreach { case (id, sig) => buf.putLong(id); sig.foreach(buf.putLong) }
+    buf.array()
+  }
+
+  private def unpack(bytes: Array[Byte], numHashes: Int): Vector[(Long, Array[Long])] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getLong.toInt
+    Vector.fill(n) {
+      val id = buf.getLong
+      val sig = Array.fill(numHashes)(buf.getLong)
+      id -> sig
+    }
+  }
+}

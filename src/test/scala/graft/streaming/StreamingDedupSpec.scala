@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Streaming MinHash dedup pins: signature parity with the batch
+  * aggregate, pair-set parity with the batch LSH pipeline on real
+  * testdata fed in id order, first-arrival orientation across
+  * micro-batches, and the online bucket cap.
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(dir).isDirectory
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields", "256")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("per-row signature column == batch explode+aggregate signature") {
+    assume(haveData)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(200)
+    val perRow = docs.select(col("doc_id"),
+      StreamingDedup.signatureCol("text", 5, 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    // batch: same shingles through the 32-column min() hash-aggregate
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 5)
+    val agg = Dedup.minhashCoeffs(32).zipWithIndex.map { case ((a, b), i) =>
+      org.apache.spark.sql.functions.min(
+        (col("__x") * a + b) % Dedup.P31).as(s"m$i")
+    }
+    val batch = sh.groupBy("__id").agg(agg.head, agg.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 32).map(r.getLong).toVector).toMap
+    assert(perRow.keySet == batch.keySet)
+    perRow.foreach { case (id, sig) =>
+      assert(sig == batch(id), s"doc $id signature diverged")
+    }
+  }
+
+  test("streamed pairs == batch minhashAccepted on sf0.001 docs fed in id order") {
+    assume(haveData)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(300)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val expected = Dedup.minhashAccepted(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        k = 5, numHashes = 32, bands = 8, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingDedup.minhashStreamingPairs(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      k = 5, numHashes = 32, bands = 8, threshold = 0.8)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_pairs").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      docs.grouped(100).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("sdedup_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce at least one near-dup pair")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("pairs orient first-arrival across micro-batches; dup state survives batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingDedup.minhashStreamingPairs(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4, threshold = 0.9)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_arrival").trigger(Trigger.ProcessingTime(0)).start()
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    try {
+      mem.addData((10L, text)); q.processAllAvailable()
+      mem.addData((20L, text)); q.processAllAvailable() // later batch, same text
+      mem.addData((5L, text)); q.processAllAvailable()  // SMALLER id, LATER arrival
+    } finally q.stop()
+    val pairs = spark.table("sdedup_arrival")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 20 dups 10; 5 arrives last so it is the NEWER side of both pairs:
+    // first-arrival wins, not min-id
+    assert(pairs == Set((10L, 20L), (10L, 5L), (20L, 5L)), s"got $pairs")
+  }
+
+  test("online bucket cap: arrivals beyond maxBucket neither compare nor join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingDedup.minhashStreamingPairs(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4, threshold = 0.9, maxBucket = 2)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_cap").trigger(Trigger.ProcessingTime(0)).start()
+    val text = "identical boilerplate text shared by every doc in the bucket"
+    try {
+      mem.addData((1L, text), (2L, text), (3L, text), (4L, text))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("sdedup_cap")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // members 1,2 fill the bucket (cap 2): the only pair is (1,2); docs
+    // 3,4 hit the full bucket and are excluded from candidate generation
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+}
