@@ -2063,6 +2063,28 @@ object SparkEntry {
       },
       "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(true AS BOOLEAN) AS recall_ok")
 
+    // PQ compressed-scan ANN (asymmetric-distance shortlist + exact
+    // refine): same recall-invariant oracle pattern as q_ann_ivf — the
+    // k-means codebooks aren't SQL-replayable, the recall contract is.
+    m += "q_ann_pq" -> op(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{avg, coalesce, count, lit}
+        val emb = GraftSession.table(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+        val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+          m = 8, codesPerSub = 16, shortlist = 16)
+        val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        val hits = pq.join(bf.select(col("query_id"), col("nn_id")),
+            Seq("query_id", "nn_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        bf.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(coalesce(col("hits"), lit(0)).as("hits"))
+          .agg(count(lit(1)).cast("long").as("n_queries"),
+            (avg(col("hits")) / 5 >= 0.5).as("recall_ok"))
+      },
+      "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(true AS BOOLEAN) AS recall_ok")
+
     m += "q_multimodal" -> op(
       (s, dir) => GraftSession.table(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))

@@ -184,6 +184,140 @@ object Similarity {
     ivfSearch(ivfBuild(corpus, idCol, embCol, nlist, seed),
       queries, idCol, embCol, k, nprobe)
 
+  /** A built product-quantization index: per corpus vector, `m` small
+    * codes (one per subspace) replacing the full float vector in the scan
+    * — the FAISS-PQ memory layout. At 100 TB the raw embeddings cannot
+    * live in scan-hot storage: 64 floats (256 B) compress to `m` codes
+    * (`m` bytes at 256 centroids), a 32x scan-size reduction; the exact
+    * vectors stay cold and are read only for the final refine of a
+    * shortlist. `codebooks(mi)(j)` is subspace `mi`'s centroid `j` over
+    * L2-NORMALIZED vectors (PQ for cosine trains on the unit sphere, so
+    * the ADC dot approximates cosine directly).
+    */
+  final case class PqIndex(codes: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+                           subDim: Int)
+
+  /** L2-normalized double embedding (zero vectors stay zero). */
+  private def normalized(emb: Column): Column = {
+    val d = transform(emb, x => x.cast("double"))
+    val n2 = aggregate(d, lit(0.0), (a, x) => a + x * x)
+    transform(d, x => x / sqrt(greatest(n2, lit(1e-30))))
+  }
+
+  /** Index of the strictly-smallest element (first wins on ties —
+    * deterministic), as one codegen'd fold. */
+  private def argminIdx(dists: Column): Column =
+    aggregate(dists,
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("j"), lit(0).as("i")),
+      (acc, x) => struct(
+        least(x, acc.getField("d")).as("d"),
+        when(x < acc.getField("d"), acc.getField("i"))
+          .otherwise(acc.getField("j")).as("j"),
+        (acc.getField("i") + lit(1)).as("i")),
+      acc => acc.getField("j"))
+
+  /** Trains `m` per-subspace codebooks (MLlib KMeans on ONE shared
+    * sample, seeded per subspace) and encodes every corpus vector to its
+    * `m` nearest-centroid codes in a single map-side expression pass —
+    * the corpus is never shuffled. Exact quantized vectors ride along in
+    * the index frame for the refine stage ([[pqSearch]]); a production
+    * layout splits them to cold storage keyed by id.
+    */
+  def pqBuild(corpus: DataFrame, idCol: String, embCol: String,
+              m: Int = 8, codesPerSub: Int = 16, seed: Long = 13,
+              maxTrainRows: Long = 65536, maxIter: Int = 8): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val base = corpus.select(col(idCol).as("nn_id"),
+        quantize(col(embCol)).as("__cq"),
+        normalized(col(embCol)).as("__en"))
+      .withColumn("__cn2", norm2(col("__cq")))
+    val dim = base.select(size(col("__en"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+
+    val total = base.count()
+    val train = (if (total <= maxTrainRows) base
+      else base.sample(withReplacement = false,
+        math.min(1.0, maxTrainRows.toDouble * 1.05 / total), seed))
+      .select((0 until m).map(mi =>
+        array_to_vector(slice(col("__en"), mi * subDim + 1, subDim)).as(s"__f$mi")): _*)
+      .cache()
+    val codebooks =
+      try (0 until m).map { mi =>
+        new KMeans().setK(codesPerSub).setSeed(seed + mi).setMaxIter(maxIter)
+          .setFeaturesCol(s"__f$mi").setPredictionCol("__c")
+          .fit(train).clusterCenters.toSeq.map(_.toArray.toSeq)
+      } finally train.unpersist()
+
+    val codeCols = (0 until m).map { mi =>
+      val sub = slice(col("__en"), mi * subDim + 1, subDim)
+      argminIdx(transform(typedLit(codebooks(mi)), c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)))
+    }
+    PqIndex(base.withColumn("__codes", array(codeCols: _*)).drop("__en"),
+      codebooks, subDim)
+  }
+
+  /** Two-stage PQ search: (1) asymmetric-distance scan — each query
+    * precomputes its `m x codesPerSub` table of subspace dots (one tiny
+    * broadcast row per query) and every corpus vector scores as `m` table
+    * lookups over its CODES, never touching floats; (2) the per-query
+    * top `k * shortlist` candidates refine with the exact quantized
+    * cosine (a join back to the exact vectors by id — at scale the only
+    * rows read from cold storage). Output matches the other top-k ops:
+    * (query_id, rank, nn_id, cosine), exact-cosine ranked.
+    */
+  def pqSearch(index: PqIndex, queries: DataFrame, idCol: String,
+               embCol: String, k: Int, shortlist: Int = 8): DataFrame = {
+    val mSub = index.codebooks.length
+    val qtabCols = (0 until mSub).map { mi =>
+      val qsub = slice(col("__en"), mi * index.subDim + 1, index.subDim)
+      transform(typedLit(index.codebooks(mi)), c =>
+        aggregate(zip_with(qsub, c, (x, y) => x * y), lit(0.0), (a, x) => a + x))
+    }
+    val q = queries.select(col(idCol).as("query_id"),
+        quantize(col(embCol)).as("__qq"),
+        normalized(col(embCol)).as("__en"))
+      .withColumn("__qn2", norm2(col("__qq")))
+      .withColumn("__qtab", array(qtabCols: _*))
+      .drop("__en")
+
+    val approx = (0 until mSub).map { mi =>
+      element_at(element_at(col("__qtab"), mi + 1),
+        element_at(col("__codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    val shortlisted = index.codes.select("nn_id", "__codes")
+      .crossJoin(broadcast(q.select(col("query_id"), col("__qtab"))))
+      .where(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"), approx.as("__approx"))
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("__approx").desc, col("nn_id"))
+    val cand = shortlisted.withColumn("__rn", row_number().over(ws))
+      .where(col("__rn") <= k * shortlist).select("query_id", "nn_id")
+
+    // refine: exact cosine over ONLY the shortlist rows
+    val cos = dot(col("__qq"), col("__cq")).cast("double") /
+      (sqrt(col("__qn2").cast("double")) * sqrt(col("__cn2").cast("double")))
+    val exact = cand
+      .join(index.codes.select(col("nn_id"), col("__cq"), col("__cn2")), "nn_id")
+      .join(broadcast(q.select(col("query_id"), col("__qq"), col("__qn2"))), "query_id")
+      .select(col("query_id"), col("nn_id"), cos.as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cosine")
+  }
+
+  /** PQ build + search in one call. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, k: Int, m: Int = 8, codesPerSub: Int = 16,
+             shortlist: Int = 8, seed: Long = 13): DataFrame =
+    pqSearch(pqBuild(corpus, idCol, embCol, m, codesPerSub, seed),
+      queries, idCol, embCol, k, shortlist)
+
   /** Integer-quantized hyperplane bucket: bit i set iff dot(q, plane_i) >= 0. */
   private def bucketExpr(q: Column, planes: Seq[Seq[Long]]): Column =
     planes.zipWithIndex.map { case (w, i) =>
