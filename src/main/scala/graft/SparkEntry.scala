@@ -718,6 +718,60 @@ object SparkEntry {
       GROUP BY e.event_type, q1, q3
       ORDER BY event_type""")
 
+    // SCD2 interval build (the warehouse slowly-changing-dimension
+    // primitive): each per-user signup value gets its validity interval
+    // [valid_from, valid_to) from the NEXT change via lead() — one keyed
+    // window pass, no self-join. The last interval's open end is NULL.
+    // lead orders by (ts_ms, event_id) so duplicate timestamps cannot
+    // flake the intervals.
+    m += "q_scd2" -> evQ("""
+      SELECT user_id, value_c, ts_ms AS valid_from,
+             lead(ts_ms) OVER (PARTITION BY user_id
+                               ORDER BY ts_ms, event_id) AS valid_to
+      FROM __EV__ WHERE event_type = 'signup'
+      ORDER BY user_id, valid_from, value_c""")
+
+    // Daily gap-fill resample (time-series regularization): each user's
+    // [first, last] day span expands to a dense grid (sequence/
+    // generate_series), daily maxima attach, and gaps forward-fill from
+    // the last observed day. The grid explode is per-key and tiny
+    // relative to the events scan; the fill is one keyed window pass.
+    // Engine-split SQL: IGNORE NULLS syntax differs (Spark `last_value(x)
+    // IGNORE NULLS`, DuckDB `last_value(x IGNORE NULLS)`), series differ
+    // (sequence+explode vs generate_series+unnest).
+    m += "q_resample" -> split(
+      """WITH ev AS (SELECT * FROM (SELECT *, ts DIV 1000000 AS ts_ms,
+                     CAST(round(value * 100) AS BIGINT) AS value_c FROM events)),
+         span AS (SELECT user_id, CAST(floor(min(ts_ms) / 86400000) AS BIGINT) AS d0,
+                         CAST(floor(max(ts_ms) / 86400000) AS BIGINT) AS d1
+                  FROM ev GROUP BY user_id),
+         grid AS (SELECT user_id, explode(sequence(d0, d1)) AS day FROM span),
+         daily AS (SELECT user_id, CAST(floor(ts_ms / 86400000) AS BIGINT) AS day,
+                          max(value_c) AS day_max
+                   FROM ev GROUP BY user_id, CAST(floor(ts_ms / 86400000) AS BIGINT))
+         SELECT g.user_id AS user_id, g.day AS day, d.day_max AS day_max,
+                last_value(d.day_max) IGNORE NULLS OVER (
+                  PARTITION BY g.user_id ORDER BY g.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+         ORDER BY user_id, day""",
+      """WITH ev AS (SELECT * FROM (SELECT *, epoch_ms(ts) AS ts_ms,
+                     CAST(round(value * 100) AS BIGINT) AS value_c FROM events)),
+         span AS (SELECT user_id, CAST(floor(min(ts_ms) / 86400000) AS BIGINT) AS d0,
+                         CAST(floor(max(ts_ms) / 86400000) AS BIGINT) AS d1
+                  FROM ev GROUP BY user_id),
+         grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span),
+         daily AS (SELECT user_id, CAST(floor(ts_ms / 86400000) AS BIGINT) AS day,
+                          max(value_c) AS day_max
+                   FROM ev GROUP BY user_id, CAST(floor(ts_ms / 86400000) AS BIGINT)),
+         j AS (SELECT g.user_id AS user_id, g.day AS day, d.day_max AS day_max
+               FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+         SELECT user_id, day, day_max,
+                last_value(day_max IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM j ORDER BY user_id, day""")
+
     // Z-order (Morton) clustering key — the layout operator behind
     // multi-dimensional data skipping (operators/Layout.scala; the spec
     // test proves row-group pruning on a box query). The z-value is a pure
