@@ -244,12 +244,21 @@ object Similarity {
       .select((0 until m).map(mi =>
         array_to_vector(slice(col("__en"), mi * subDim + 1, subDim)).as(s"__f$mi")): _*)
       .cache()
+    // the m fits are independent tiny jobs dominated by per-job fixed
+    // cost; submit them concurrently and let Spark's scheduler interleave
+    // (sequential fits measured ~6s of pure overhead at m=8)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val codebooks =
-      try (0 until m).map { mi =>
-        new KMeans().setK(codesPerSub).setSeed(seed + mi).setMaxIter(maxIter)
-          .setFeaturesCol(s"__f$mi").setPredictionCol("__c")
-          .fit(train).clusterCenters.toSeq.map(_.toArray.toSeq)
-      } finally train.unpersist()
+      try Await.result(Future.sequence((0 until m).map { mi =>
+        Future {
+          new KMeans().setK(codesPerSub).setSeed(seed + mi).setMaxIter(maxIter)
+            .setFeaturesCol(s"__f$mi").setPredictionCol("__c")
+            .fit(train).clusterCenters.toSeq.map(_.toArray.toSeq)
+        }
+      }), Duration.Inf)
+      finally train.unpersist()
 
     val codeCols = (0 until m).map { mi =>
       val sub = slice(col("__en"), mi * subDim + 1, subDim)
