@@ -718,6 +718,24 @@ object SparkEntry {
       GROUP BY e.event_type, q1, q3
       ORDER BY event_type""")
 
+    // k-anonymity suppression audit (the privacy-governance gate a
+    // training corpus passes before release): docs whose quasi-identifier
+    // combination (lang, source, length bucket) appears fewer than k=5
+    // times are re-identifiable and flagged for suppression. One
+    // partial-agg shuffle on the combo; the flag join is agg-side tiny.
+    m += "q_kanon" -> both("""
+      WITH qi AS (SELECT doc_id, lang, source,
+                         CAST(floor(n_chars / 64) AS BIGINT) AS len_bucket
+                  FROM documents),
+      g AS (SELECT lang, source, len_bucket, CAST(count(*) AS BIGINT) AS grp_n
+            FROM qi GROUP BY lang, source, len_bucket)
+      SELECT q.doc_id AS doc_id, q.lang AS lang, q.source AS source,
+             q.len_bucket AS len_bucket, g.grp_n AS grp_n
+      FROM qi q JOIN g ON q.lang = g.lang AND q.source = g.source
+                      AND q.len_bucket = g.len_bucket
+      WHERE g.grp_n < 5
+      ORDER BY doc_id""")
+
     // SCD2 interval build (the warehouse slowly-changing-dimension
     // primitive): each per-user signup value gets its validity interval
     // [valid_from, valid_to) from the NEXT change via lead() — one keyed
