@@ -67,12 +67,27 @@ final class RequestCoalescer(buffer: ServingBuffer, maxBatch: Int = 1024,
     }
   }
 
-  /** Enqueue one lookup; the future completes when its burst evaluates. */
+  /** Submit one lookup; the future completes when its burst evaluates.
+    * ADAPTIVE: with no backlog and a free drainer, the lookup evaluates
+    * inline on the calling thread — the queue hop (enqueue, drainer
+    * wake-up, completion wake-up) costs more than a cheap fold, so an
+    * unsaturated server serves at direct-path throughput; once drainers
+    * saturate and a backlog forms, arrivals queue and coalesce, which is
+    * where batching pays. Before [[start]] everything queues (the
+    * deterministic pre-accumulation mode the spec pins).
+    */
   def submit(key: String, atTs: Option[Long]): CompletableFuture[Result] = {
     val f = new CompletableFuture[Result]()
-    queue.put((key, atTs, f))
+    if (running && queue.isEmpty && busy.get() < pool.size) {
+      nInline.incrementAndGet()
+      try f.complete(buffer.eval(key, atTs))
+      catch { case e: Exception => f.completeExceptionally(e) }
+    } else queue.put((key, atTs, f))
     f
   }
+
+  private val busy = new AtomicLong(0)
+  private val nInline = new AtomicLong(0)
 
   private def drainLoop(): Unit = {
     val batch = new java.util.ArrayList[(String, Option[Long], CompletableFuture[Result])](maxBatch)
@@ -83,6 +98,7 @@ final class RequestCoalescer(buffer: ServingBuffer, maxBatch: Int = 1024,
         try queue.poll(1, TimeUnit.SECONDS)
         catch { case _: InterruptedException => null }
       if (head != null) {
+        busy.incrementAndGet()
         batch.add(head)
         queue.drainTo(batch, maxBatch - 1)
         val n = batch.size
@@ -102,12 +118,15 @@ final class RequestCoalescer(buffer: ServingBuffer, maxBatch: Int = 1024,
           }
           i += 1
         }
+        busy.decrementAndGet()
       }
     }
   }
 
   def batches: Long = nBatches.get
-  def requests: Long = nRequests.get
+  /** Total lookups served (queued batches + inline fast path). */
+  def requests: Long = nRequests.get + nInline.get
+  def inlineRequests: Long = nInline.get
   def largestBatch: Long = largest.get
   def meanBatch: Double =
     if (nBatches.get == 0) 0.0 else nRequests.get.toDouble / nBatches.get

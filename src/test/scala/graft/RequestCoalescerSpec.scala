@@ -85,12 +85,13 @@ class RequestCoalescerSpec extends AnyFunSuite {
           s"k$k response ${bodies.get(k)} missing sum_10s=$sum")
         assert(bodies.get(k).contains(""""live":true"""))
       }
-      // every request rode the coalescer (batch sizes are timing-dependent
-      // with a drainer pool — the deterministic coalescing pin is the
+      // every request rode the coalescer's adaptive path (inline when
+      // idle, queued+batched under pressure — the split is
+      // timing-dependent; the deterministic coalescing pin is the
       // pre-accumulated-burst test above)
       val c = server.coalescer.get
-      assert(c.requests == nKeys.toLong)
-      assert(c.batches >= 1 && c.batches <= nKeys.toLong)
+      assert(c.requests == nKeys.toLong,
+        s"queued=${c.requests - c.inlineRequests} inline=${c.inlineRequests}")
     } finally server.stop()
   }
 
