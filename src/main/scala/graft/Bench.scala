@@ -293,11 +293,16 @@ object Bench {
       val port = server.start()
       try {
         val threads = 16
+        // ONE pool for warm-up AND measurement: ColdClients holds one
+        // HttpClient per thread, so the warm-up must run on the same
+        // threads (and therefore the same clients/connections) the timed
+        // loop uses, or it warms only class-load/JIT and the measured
+        // threads still pay connection setup
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
         // untimed warm-up burst: the FIRST measured server otherwise
         // bills JDK HTTP-stack class-load + JIT to its own qps (the
         // store server looked 3x slower than live for exactly this)
         locally {
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
           val done = new java.util.concurrent.CountDownLatch(256)
           (0 until 256).foreach { k =>
             pool.execute { () =>
@@ -315,9 +320,7 @@ object Bench {
             }
           }
           done.await()
-          pool.shutdown()
         }
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
         val done = new java.util.concurrent.CountDownLatch(keys)
         val failed = new java.util.concurrent.atomic.AtomicLong(0)
         val t1 = System.nanoTime()

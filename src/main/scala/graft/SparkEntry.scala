@@ -747,7 +747,7 @@ object SparkEntry {
              lead(ts_ms) OVER (PARTITION BY user_id
                                ORDER BY ts_ms, event_id) AS valid_to
       FROM __EV__ WHERE event_type = 'signup'
-      ORDER BY user_id, valid_from, value_c""")
+      ORDER BY user_id, valid_from, value_c, valid_to""")
 
     // Daily gap-fill resample (time-series regularization): each user's
     // [first, last] day span expands to a dense grid (sequence/

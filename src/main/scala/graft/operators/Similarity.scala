@@ -195,7 +195,12 @@ object Similarity {
     * the ADC dot approximates cosine directly).
     */
   final case class PqIndex(codes: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
-                           subDim: Int)
+                           subDim: Int) {
+    /** Release the cached encoding ([[Similarity.pqBuild]] persists it so
+      * repeated searches — and the two uses inside one search (compressed
+      * scan + refine) — never re-encode the corpus). */
+    def free(): Unit = codes.unpersist()
+  }
 
   /** L2-normalized double embedding (zero vectors stay zero). */
   private def normalized(emb: Column): Column = {
@@ -266,7 +271,11 @@ object Similarity {
         aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
           lit(0.0), (a, x) => a + x)))
     }
-    PqIndex(base.withColumn("__codes", array(codeCols: _*)).drop("__en"),
+    // persist the artifact: one search already reads it twice (ADC scan +
+    // refine join), and build-once/search-many is the index's contract —
+    // without this every action re-runs normalize+encode over the corpus
+    PqIndex(base.withColumn("__codes", array(codeCols: _*)).drop("__en")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       codebooks, subDim)
   }
 

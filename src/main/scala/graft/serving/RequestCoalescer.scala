@@ -35,6 +35,7 @@ final class RequestCoalescer(buffer: ServingBuffer, maxBatch: Int = 1024,
   private val largest = new AtomicLong(0)
 
   @volatile private var running = false
+  @volatile private var stopped = false
   // several drainers, one shared queue: a lone drainer caps live
   // throughput at its dispatch rate when folds are cheap (each cycle's
   // queue-poll + future-completion overhead serializes); a small pool
@@ -58,35 +59,60 @@ final class RequestCoalescer(buffer: ServingBuffer, maxBatch: Int = 1024,
 
   def stop(): Unit = synchronized {
     running = false
+    stopped = true
     pool.foreach(_.interrupt())
-    // fail pending requests loudly rather than hanging their clients
+    failPending()
+  }
+
+  /** Fail queued requests loudly rather than hanging their clients.
+    * Idempotent; also called by a submit() that raced stop() and enqueued
+    * after the drainers exited. */
+  private def failPending(): Unit = {
     val rest = new java.util.ArrayList[(String, Option[Long], CompletableFuture[Result])]()
     queue.drainTo(rest)
     rest.forEach { case (_, _, f) =>
-      f.completeExceptionally(new IllegalStateException("coalescer stopped"))
+      f.completeExceptionally(CoalescerStopped)
     }
   }
 
+  private val CoalescerStopped = new IllegalStateException("coalescer stopped")
+
   /** Submit one lookup; the future completes when its burst evaluates.
-    * ADAPTIVE: with no backlog and a free drainer, the lookup evaluates
-    * inline on the calling thread — the queue hop (enqueue, drainer
-    * wake-up, completion wake-up) costs more than a cheap fold, so an
-    * unsaturated server serves at direct-path throughput; once drainers
-    * saturate and a backlog forms, arrivals queue and coalesce, which is
-    * where batching pays. Before [[start]] everything queues (the
-    * deterministic pre-accumulation mode the spec pins).
+    * ADAPTIVE: at low concurrency the lookup evaluates inline on the
+    * calling thread — the queue hop (enqueue, drainer wake-up, completion
+    * wake-up) costs more than a cheap fold, so an unsaturated server
+    * serves at direct-path throughput. The saturation signal counts
+    * EVERYTHING in flight (inline evals AND busy drainers — inline-only
+    * pressure must flip the gate too, or nothing would ever queue and the
+    * batch path would be dead code); past `inlineLimit`, or with a
+    * backlog already formed, arrivals queue and coalesce, which is where
+    * batching pays. Before [[start]] everything queues (the deterministic
+    * pre-accumulation mode the spec pins).
     */
   def submit(key: String, atTs: Option[Long]): CompletableFuture[Result] = {
     val f = new CompletableFuture[Result]()
-    if (running && queue.isEmpty && busy.get() < pool.size) {
+    var inline = false
+    if (running && queue.isEmpty) {
+      if (inFlight.incrementAndGet() <= inlineLimit) inline = true
+      else inFlight.decrementAndGet()
+    }
+    if (inline) {
       nInline.incrementAndGet()
       try f.complete(buffer.eval(key, atTs))
       catch { case e: Exception => f.completeExceptionally(e) }
-    } else queue.put((key, atTs, f))
+      finally inFlight.decrementAndGet()
+    } else {
+      queue.put((key, atTs, f))
+      // a submit racing stop() can enqueue after the drainers exited and
+      // the queue was failed — re-fail so the future can never hang
+      if (stopped) failPending()
+    }
     f
   }
 
-  private val busy = new AtomicLong(0)
+  private val inlineLimit: Int =
+    math.max(drainers, Runtime.getRuntime.availableProcessors() / 4)
+  private val inFlight = new AtomicLong(0)
   private val nInline = new AtomicLong(0)
 
   private def drainLoop(): Unit = {
@@ -98,7 +124,7 @@ final class RequestCoalescer(buffer: ServingBuffer, maxBatch: Int = 1024,
         try queue.poll(1, TimeUnit.SECONDS)
         catch { case _: InterruptedException => null }
       if (head != null) {
-        busy.incrementAndGet()
+        inFlight.incrementAndGet()
         batch.add(head)
         queue.drainTo(batch, maxBatch - 1)
         val n = batch.size
@@ -118,7 +144,7 @@ final class RequestCoalescer(buffer: ServingBuffer, maxBatch: Int = 1024,
           }
           i += 1
         }
-        busy.decrementAndGet()
+        inFlight.decrementAndGet()
       }
     }
   }

@@ -103,7 +103,15 @@ final class RequestServer(store: FeatureStore, port: Int = 0,
       coalescer match {
         case Some(c) =>
           try c.submit(key, atTs).join()
-          catch { case _: Exception => send(ex, 503, errJson("serving shutting down")); return }
+          catch {
+            // only a torn-down coalescer is a 503; an evaluation error is
+            // the server's bug and must surface as such, exactly like the
+            // non-coalesced path would
+            case e: Exception if rootCause(e).getMessage == "coalescer stopped" =>
+              send(ex, 503, errJson("serving shutting down")); return
+            case e: Exception =>
+              send(ex, 500, errJson(s"evaluation failed: ${rootCause(e).getMessage}")); return
+          }
         case None => live.flatMap(_.eval(key, atTs))
       }
     liveResult match {
@@ -150,29 +158,32 @@ final class RequestServer(store: FeatureStore, port: Int = 0,
     val out = root.putArray("results")
     reqs.indices.foreach { i =>
       val (key, _) = reqs(i)
-      val json = liveResults(i) match {
-        case Some((at, feats)) => featuresJson(key, at, feats, live = true)
+      out.add(liveResults(i) match {
+        case Some((at, feats)) => featuresNode(key, at, feats, live = true)
         case None => store.get(key) match {
           case Some(entry) =>
-            featuresJson(key, entry.tsMs, entry.values.toSeq, live = false)
-          case None => errJson(s"no features for key $key")
+            featuresNode(key, entry.tsMs, entry.values.toSeq, live = false)
+          case None => errNode(s"no features for key $key")
         }
-      }
-      out.add(mapper.readTree(json))
+      })
     }
     send(ex, 200, mapper.writeValueAsString(root))
   }
 
   /** One response shape for both the live and the store-fallback path. */
   private def featuresJson(key: String, tsMs: Long,
-                           feats: Seq[(String, Any)], live: Boolean): String = {
+                           feats: Seq[(String, Any)], live: Boolean): String =
+    mapper.writeValueAsString(featuresNode(key, tsMs, feats, live))
+
+  private def featuresNode(key: String, tsMs: Long,
+                           feats: Seq[(String, Any)], live: Boolean): ObjectNode = {
     val root = mapper.createObjectNode()
     root.put("key", key)
     root.put("ts_ms", tsMs)
     if (live) root.put("live", true)
     val fo = root.putObject("features")
     feats.sortBy(_._1).foreach { case (n, v) => putAny(fo, n, v) }
-    mapper.writeValueAsString(root)
+    root
   }
 
   private def putAny(o: ObjectNode, n: String, v: Any): Unit = v match {
@@ -185,10 +196,16 @@ final class RequestServer(store: FeatureStore, port: Int = 0,
     case s                    => o.put(n, String.valueOf(s))
   }
 
-  private def errJson(msg: String): String = {
+  private def rootCause(e: Throwable): Throwable =
+    if (e.getCause != null && e.getCause != e) rootCause(e.getCause) else e
+
+  private def errJson(msg: String): String =
+    mapper.writeValueAsString(errNode(msg))
+
+  private def errNode(msg: String): ObjectNode = {
     val root = mapper.createObjectNode()
     root.put("error", msg)
-    mapper.writeValueAsString(root)
+    root
   }
 
   private def send(ex: HttpExchange, code: Int, body: String): Unit = {

@@ -36,6 +36,8 @@ class BucketingSpec extends AnyFunSuite {
     // above only applies when this suite creates the session; table names
     // are suite-unique either way and dropped at the end.
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val abtWas = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val aabtWas = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val facts = (0 until 20000).map(i => (i.toLong % 500, i.toLong, (i % 97).toDouble))
       .toDF("user_id", "event_seq", "amount")
@@ -91,9 +93,13 @@ class BucketingSpec extends AnyFunSuite {
       }.length
       assert(totalEx == 0, "group-by on the bucket key must reuse the layout")
     } finally {
+      // restore EVERY conf this test touched to its pre-test value — a
+      // shared getOrCreate session must leave no trace for later suites
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "8388608")
+      abtWas.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      aabtWas.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
       Seq("b_facts", "b_dim", "p_facts", "p_dim")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }

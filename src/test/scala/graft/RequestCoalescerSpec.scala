@@ -95,6 +95,37 @@ class RequestCoalescerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("saturation flips the adaptive gate: slow concurrent folds queue and batch") {
+    // expensive evals: deep per-key buffers (each fold covers ~50k rows,
+    // ~ms) and a DISTINCT atTs per request so the memo can't shortcut
+    val specs = Seq(AggSpec("s", "sum", RowsN(50000)))
+    val buf = new ServingBuffer(specs)
+    val base = 1704067200000L
+    (0 until 16).foreach { k =>
+      buf.append(s"k$k", (0 until 50000).map(i =>
+        (base + i, Array(1.0), Array.empty[String])))
+    }
+    val c = new RequestCoalescer(buf, drainers = 2).start()
+    val pool = Executors.newFixedThreadPool(32)
+    val futures = (0 until 64).map { r =>
+      val p = new java.util.concurrent.CompletableFuture[c.Result]()
+      pool.execute { () =>
+        try p.complete(c.submit(s"k${r % 16}", Some(base + 49000 + r))
+          .get(60, TimeUnit.SECONDS))
+        catch { case e: Exception => p.completeExceptionally(e) }
+      }
+      p
+    }
+    val results = futures.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown(); c.stop()
+    assert(results.forall(_.isDefined))
+    // with 32 concurrent multi-ms folds against inlineLimit << 32, some
+    // requests MUST have queued and drained as batches
+    assert(c.requests == 64L)
+    assert(c.batches >= 1 && c.requests - c.inlineRequests >= 1,
+      s"gate never flipped: inline=${c.inlineRequests} batches=${c.batches}")
+  }
+
   test("/request_batch evaluates the array in one pass, store-falls-back, 404s unknowns") {
     val buf = filledBuffer()
     val store = new FeatureStore
