@@ -2073,6 +2073,61 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id"),
       DedupOracles.embeddingLsh(0.99))
 
+    // SemDeDup-style cluster-scoped semantic dedup (arXiv:2303.09540):
+    // assign each vector to the nearest of 8 deterministic seed exemplars
+    // (exact integer dots — the kmeans stand-in the oracle CAN replay),
+    // then prune cosine>=0.35 pairs WITHIN a cluster only. The clustering
+    // is what makes 100 TB feasible: pair comparison cost drops from
+    // O(n^2) to k blocks of O((n/k)^2), and the only shuffle is the hash
+    // partition on cluster id. The oracle replays seeds, assignment,
+    // cap rank and pair pruning bit-for-bit in SQL.
+    m += "q_semdedup" -> op(
+      (s, dir) => graft.operators.SemDedup.semanticDedup(
+          GraftSession.table(s, dir, "embeddings"), "vec_id", "embedding",
+          numSeeds = 8, threshold = 0.35)
+        .orderBy("vec_id"),
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings),
+         flat AS (
+           SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS v FROM q),
+         n AS (SELECT vec_id, sum(v*v) AS n2 FROM flat GROUP BY vec_id),
+         seeds AS (
+           SELECT f.vec_id AS sid, f.i, f.v FROM flat f
+           WHERE f.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+         dots AS (
+           SELECT f.vec_id, s.sid, sum(f.v * s.v) AS d
+           FROM flat f JOIN seeds s USING (i) GROUP BY 1, 2),
+         assign AS (
+           SELECT vec_id, sid AS cluster FROM (
+             SELECT vec_id, sid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, sid) AS rn
+             FROM dots) WHERE rn = 1),
+         part AS (
+           SELECT a.vec_id, a.cluster, n.n2,
+                  row_number() OVER (PARTITION BY a.cluster
+                    ORDER BY ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                             a.vec_id) AS cr
+           FROM assign a JOIN n USING (vec_id)),
+         pairs AS (
+           SELECT a.vec_id AS lid, b.vec_id AS rid, a.n2 AS ln2, b.n2 AS rn2
+           FROM part a JOIN part b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE a.cr <= 10000 AND b.cr <= 10000),
+         pdot AS (
+           SELECT p.lid, p.rid, p.ln2, p.rn2, sum(fa.v * fb.v) AS d
+           FROM pairs p
+           JOIN flat fa ON fa.vec_id = p.lid
+           JOIN flat fb ON fb.vec_id = p.rid AND fb.i = fa.i
+           GROUP BY 1, 2, 3, 4),
+         losers AS (
+           SELECT DISTINCT rid FROM pdot
+           WHERE CAST(d AS DOUBLE) /
+                 (sqrt(CAST(ln2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) >= 0.35)
+         SELECT a.vec_id, a.cluster FROM assign a
+         WHERE a.vec_id NOT IN (SELECT rid FROM losers)
+         ORDER BY a.vec_id""")
+
     m += "q_simsearch" -> op(
       (s, dir) => {
         val emb = GraftSession.table(s, dir, "embeddings")
