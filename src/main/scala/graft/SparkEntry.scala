@@ -1704,6 +1704,48 @@ object SparkEntry {
            FROM documents
          ) ORDER BY doc_id""")
 
+    // PII scrubbing (emails / IPv4 / phones masked before a corpus ships).
+    // The synthetic docs carry no PII, so the entry PLANTS a deterministic
+    // payload per doc_id in both engines — every mask and count is real
+    // signal, and the md5 of the redacted text pins replacement positions
+    // exactly. Patterns live in the Java-regex/RE2 common subset so both
+    // engines match identically.
+    m += "q_pii_redact" -> op(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{expr, md5 => fmd5}
+        val aug = GraftSession.table(s, dir, "documents").withColumn("text", expr(
+          """concat(text, ' contact user', doc_id, '@mail.example.com from 10.',
+             doc_id % 256, '.0.', doc_id % 100,
+             CASE WHEN doc_id % 3 = 0
+                  THEN concat(' cc admin', doc_id, '@example.org') ELSE '' END,
+             CASE WHEN doc_id % 4 = 0 THEN ''
+                  ELSE concat(' tel +1-555-',
+                              lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) END)"""))
+        graft.operators.Pii.redact(aug, "text")
+          .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+            fmd5(col("redacted")).as("digest"))
+          .orderBy("doc_id")
+      },
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || ' contact user' || doc_id || '@mail.example.com from 10.' ||
+                  (doc_id % 256) || '.0.' || (doc_id % 100) ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN ' cc admin' || doc_id || '@example.org' ELSE '' END ||
+                  CASE WHEN doc_id % 4 = 0 THEN ''
+                       ELSE ' tel +1-555-' ||
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END AS text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(text, '\+1-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(regexp_replace(regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                      '\+1-\d{3}-\d{4}', '[PHONE]', 'g')) AS digest
+         FROM aug ORDER BY doc_id""")
+
     m += "q_lang_id" -> op(
       (s, dir) => GraftSession.table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
@@ -2029,6 +2071,77 @@ object SparkEntry {
          SELECT c12.w1 AS w1, w2, c_bigram, c_prefix
          FROM c12 JOIN c1 ON c12.w1 = c1.w1
          ORDER BY c_bigram DESC, w1, w2 LIMIT 50""")
+
+    // Temperature-sampled domain mixing (the LLaMA/Pile-style alpha=0.5
+    // epoch weighting): per-source token totals -> sqrt-damped share ->
+    // integer token budget per source out of a 1M-token target. All
+    // arithmetic is engine-exact: token counts are integers, IEEE sqrt is
+    // correctly rounded (identical in any engine), floor pins the damped
+    // weight to an integer, and the budget split is integer division.
+    // Scale shape: one partial-agg shuffle on source (5 groups), then a
+    // single-row broadcast of the normalizer.
+    m += "q_mixture_weights" -> split(
+      """WITH tok AS (SELECT source, CAST(sum(size(split(text, ' '))) AS BIGINT) AS n_tokens
+                      FROM documents GROUP BY source),
+         s AS (SELECT source, n_tokens,
+                      CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s_alpha
+               FROM tok),
+         t AS (SELECT CAST(sum(s_alpha) AS BIGINT) AS sum_s FROM s)
+         SELECT source, n_tokens, s_alpha,
+                CAST((1000000 * s_alpha) DIV sum_s AS BIGINT) AS target_tokens
+         FROM s CROSS JOIN t ORDER BY source""",
+      """WITH tok AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                      FROM documents GROUP BY source),
+         s AS (SELECT source, n_tokens,
+                      CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s_alpha
+               FROM tok),
+         t AS (SELECT CAST(sum(s_alpha) AS BIGINT) AS sum_s FROM s)
+         SELECT source, n_tokens, s_alpha,
+                CAST((1000000 * s_alpha) // sum_s AS BIGINT) AS target_tokens
+         FROM s CROSS JOIN t ORDER BY source""")
+
+    // SCD1 MERGE / CDC upsert: apply a change set onto a base table —
+    // inserts (new keys), updates (both sides), keeps (base only) — as
+    // ONE full-outer join, the shuffle-minimal MERGE INTO rendition when
+    // no transactional table format is in play. Base/changes are the
+    // first/second halves of the events timeline split at the midpoint.
+    m += "q_merge_upsert" -> evQ(
+      """WITH e AS (SELECT user_id, ts_ms, value_c FROM __EV__),
+         b AS (SELECT CAST(floor((min(ts_ms) + max(ts_ms)) / 2.0) AS BIGINT) AS mid FROM e),
+         base AS (SELECT user_id, CAST(sum(value_c) AS BIGINT) AS v, count(*) AS n
+                  FROM e CROSS JOIN b WHERE ts_ms < mid GROUP BY user_id),
+         chg AS (SELECT user_id, CAST(sum(value_c) AS BIGINT) AS v, count(*) AS n
+                 FROM e CROSS JOIN b WHERE ts_ms >= mid GROUP BY user_id)
+         SELECT coalesce(base.user_id, chg.user_id) AS user_id,
+                CASE WHEN base.user_id IS NULL THEN 'insert'
+                     WHEN chg.user_id IS NULL THEN 'keep'
+                     ELSE 'update' END AS op,
+                CAST(coalesce(base.v, 0) + coalesce(chg.v, 0) AS BIGINT) AS value_c_total,
+                CAST(coalesce(base.n, 0) + coalesce(chg.n, 0) AS BIGINT) AS n_events
+         FROM base FULL OUTER JOIN chg ON base.user_id = chg.user_id
+         ORDER BY user_id""")
+
+    // Inverted index build (the retrieval-side artifact BM25 scores
+    // against): token -> document frequency + the sorted posting list.
+    // Postings ride as a comma-joined string (driver compare can't hash
+    // engine-variant list field names — the q_top convention). One
+    // explode + one partial-agg shuffle on token; top-50 terms via
+    // TakeOrderedAndProject, so every partition forwards 50 rows.
+    m += "q_inverted_index" -> split(
+      """WITH post AS (SELECT w AS token, doc_id
+                       FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents)
+                       GROUP BY w, doc_id)
+         SELECT token, CAST(count(*) AS BIGINT) AS df,
+                array_join(sort_array(collect_list(doc_id)), ',') AS postings
+         FROM post GROUP BY token
+         ORDER BY df DESC, token LIMIT 50""",
+      """WITH post AS (SELECT w AS token, doc_id
+                       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                       GROUP BY w, doc_id)
+         SELECT token, CAST(count(*) AS BIGINT) AS df,
+                array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+         FROM post GROUP BY token
+         ORDER BY df DESC, token LIMIT 50""")
 
     // Dedup catalog paths are the LSH-pruned scale paths; the DuckDB
     // oracles (DedupOracles) replay the full pipelines — portable
