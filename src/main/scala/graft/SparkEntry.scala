@@ -2143,6 +2143,33 @@ object SparkEntry {
          FROM post GROUP BY token
          ORDER BY df DESC, token LIMIT 50""")
 
+    // Deterministic train/val/test split (80/10/10): assignment is a pure
+    // function of the PORTABLE md5-prefix hash of the id — reproducible
+    // row-for-row across runs, engines and cluster sizes, never sampled
+    // by arrival order. Zero extra shuffle: the split label is a scan-time
+    // projection; the audit roll-up is one partial-agg shuffle.
+    m += "q_split_assign" -> split(
+      """WITH a AS (
+           SELECT doc_id, source, size(split(text, ' ')) AS nt,
+                  CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100 AS h
+           FROM documents)
+         SELECT source,
+                CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+         FROM a GROUP BY 1, 2 ORDER BY source, split""",
+      """WITH a AS (
+           SELECT doc_id, source, len(string_split(text, ' ')) AS nt,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h
+           FROM documents)
+         SELECT source,
+                CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+         FROM a GROUP BY 1, 2 ORDER BY source, split""")
+
     // Dedup catalog paths are the LSH-pruned scale paths; the DuckDB
     // oracles (DedupOracles) replay the full pipelines — portable
     // md5-prefix hashes make candidate generation engine-identical.
