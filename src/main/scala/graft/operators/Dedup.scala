@@ -487,22 +487,45 @@ object Dedup {
                         threshold: Double = 0.99, planes: Int = 16,
                         dim: Int = 64,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val hp = planeCoeffs(planes, dim, seed = 7)
+    val losers = embeddingLshAccepted(df, idCol, embCol, threshold, planes, dim, maxBucket)
+      .select(col("__rid").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** The accepted near-dup PAIRS `(__lid, __rid)` (lid < rid) behind
+    * [[embeddingDedupLsh]]: same-bucket candidates verified by exact
+    * quantized cosine. Factored out so the streaming variant
+    * ([[graft.streaming.StreamingDedup.embeddingStreamingPairs]]) can
+    * pin pair-set parity against it.
+    */
+  def embeddingLshAccepted(df: DataFrame, idCol: String, embCol: String,
+                           threshold: Double = 0.99, planes: Int = 16,
+                           dim: Int = 64,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val q = spread(df.select(col(idCol).as("__id"), quantize(col(embCol)).as("__q")))
-    val bucket = hp.zipWithIndex.map { case (w, i) =>
-      when(dotL(col("__q"), array(w.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
     val withB = capBuckets(
       q.select(col("__id"), col("__q"), norm2(col("__q")).as("__n2"),
-        bucket.as("__bucket")),
+        embeddingBucket(col("__q"), planes, dim).as("__bucket")),
       Seq("__bucket"), maxBucket, "embedding")
     val l = withB.select(col("__bucket"), col("__id").as("__lid"), col("__q").as("__lq"), col("__n2").as("__ln2"))
     val r = withB.select(col("__bucket"), col("__id").as("__rid"), col("__q").as("__rq"), col("__n2").as("__rn2"))
     val cos = dotL(col("__lq"), col("__rq")).cast("double") /
       (sqrt(col("__ln2").cast("double")) * sqrt(col("__rn2").cast("double")))
-    val losers = l.join(r, Seq("__bucket")).where(col("__lid") < col("__rid"))
+    l.join(r, Seq("__bucket")).where(col("__lid") < col("__rid"))
       .where(cos >= threshold)
-      .select(col("__rid").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
+      .select(col("__lid"), col("__rid"))
   }
+
+  /** The sign-bit hyperplane bucket of a quantized embedding — the ONE
+    * hash shared by the batch and streaming embedding-dedup paths. */
+  def embeddingBucket(qvec: Column, planes: Int, dim: Int): Column = {
+    val hp = planeCoeffs(planes, dim, seed = 7)
+    hp.zipWithIndex.map { case (w, i) =>
+      when(dotL(qvec, array(w.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Integer quantization of a float embedding (round(x*10000)) — the
+    * cross-engine exactness contract shared with [[Similarity]]. */
+  def quantizeEmbedding(emb: Column): Column = quantize(emb)
 }

@@ -113,6 +113,81 @@ object StreamingDedup {
       .toDF("__lid", "__rid")
   }
 
+  /** Streaming embedding near-dup PAIRS — [[Dedup.embeddingLshAccepted]]
+    * reshaped for a vector stream: an arriving embedding is checked
+    * against every earlier arrival in its hyperplane bucket, online.
+    * Identical math to batch: same integer quantization
+    * ([[Dedup.quantizeEmbedding]]), same sign-bit bucket
+    * ([[Dedup.embeddingBucket]] — seed-7 planes), same exact quantized
+    * cosine in the same IEEE expression — so on in-order data the pair
+    * set equals the batch pipeline's (StreamingDedupSpec pins it). The
+    * online first-`maxBucket` cap deviation is the same as
+    * [[minhashStreamingPairs]]'s. State per bucket: up to `maxBucket`
+    * (id, norm2, qvec) members = `maxBucket * (dim+2) * 8` bytes; the
+    * state IS the LSH index, sharded by bucket across executors.
+    */
+  def embeddingStreamingPairs(df: DataFrame, idCol: String, embCol: String,
+                              threshold: Double = 0.99, planes: Int = 16,
+                              dim: Int = 64,
+                              maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val q = df
+      .where(col(embCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        Dedup.quantizeEmbedding(col(embCol)).as("__q"))
+      .withColumn("__bucket", Dedup.embeddingBucket(col("__q"), planes, dim))
+
+    import q.sparkSession.implicits._
+    val fn = (_: Long, rows: Iterator[(Long, Long, Seq[Long])],
+              state: GroupState[Array[Byte]]) => {
+      var members = state.getOption.map(unpackVec(_, dim)).getOrElse(Vector.empty)
+      val out = Vector.newBuilder[(Long, Long)]
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, qvSeq) =>
+        if (members.size < maxBucket && !members.exists(_._1 == id)) {
+          val qv = qvSeq.toArray
+          var n2 = 0L; var i = 0
+          while (i < dim) { n2 += qv(i) * qv(i); i += 1 }
+          members.foreach { case (mid, mn2, mqv) =>
+            var dot = 0L; var j = 0
+            while (j < dim) { dot += mqv(j) * qv(j); j += 1 }
+            // the batch verifier's expression verbatim: exact integer
+            // dot/norms widened to double, one sqrt each — IEEE-identical
+            if (dot.toDouble / (math.sqrt(mn2.toDouble) * math.sqrt(n2.toDouble))
+                >= threshold) out += ((mid, id))
+          }
+          members = members :+ ((id, n2, qv))
+        }
+      }
+      state.update(packVec(members, dim))
+      out.result().iterator
+    }
+    q.select(col("__bucket"), col("__id"), col("__q"))
+      .as[(Long, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("__lid", "__rid")
+  }
+
+  /** Bucket state packed as longs: [n, (id, n2, qvec...)...]. */
+  private def packVec(members: Vector[(Long, Long, Array[Long])], dim: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 * (1 + members.size * (dim + 2)))
+    buf.putLong(members.size.toLong)
+    members.foreach { case (id, n2, qv) =>
+      buf.putLong(id); buf.putLong(n2); qv.foreach(buf.putLong)
+    }
+    buf.array()
+  }
+
+  private def unpackVec(bytes: Array[Byte], dim: Int): Vector[(Long, Long, Array[Long])] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getLong.toInt
+    Vector.fill(n) {
+      val id = buf.getLong
+      val n2 = buf.getLong
+      val qv = Array.fill(dim)(buf.getLong)
+      (id, n2, qv)
+    }
+  }
+
   /** Bucket state packed as longs: [n, id, sig..., id, sig...]. */
   private def pack(members: Vector[(Long, Array[Long])], numHashes: Int): Array[Byte] = {
     val buf = ByteBuffer.allocate(8 * (1 + members.size * (numHashes + 1)))

@@ -121,4 +121,57 @@ class StreamingDedupSpec extends AnyFunSuite {
     // 3,4 hit the full bucket and are excluded from candidate generation
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("streamed embedding pairs == batch embeddingLshAccepted on sf0.001 vectors in id order") {
+    assume(haveData)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // tau low enough for real signal: the driver embeddings are random
+    // unit vectors (max pairwise cos ~0.5); planes=8 coarsens buckets so
+    // same-bucket candidates exist
+    val tau = 0.25
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val expected = Dedup.embeddingLshAccepted(
+        emb.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = tau, planes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = StreamingDedup.embeddingStreamingPairs(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = tau, planes = 8, dim = 64)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_emb").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      emb.grouped(100).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("sdedup_emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce at least one near-dup pair")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("embedding stream: first-arrival orientation and online cap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = StreamingDedup.embeddingStreamingPairs(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.95, planes = 4, dim = 4, maxBucket = 2)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_emb_cap").trigger(Trigger.ProcessingTime(0)).start()
+    val v = Seq(1f, 0f, 0f, 0f)
+    try {
+      mem.addData((10L, v)); q.processAllAvailable()
+      mem.addData((5L, v)); q.processAllAvailable()  // smaller id, later arrival
+      mem.addData((7L, v)); q.processAllAvailable()  // beyond cap: no compare
+    } finally q.stop()
+    val pairs = spark.table("sdedup_emb_cap")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 5L)), s"got $pairs")
+  }
 }
