@@ -14,15 +14,20 @@ import graft.functions.ArrayMath
   * tens of thousands each block is small enough for one executor, and the
   * only shuffle is the hash-partition on cluster id.
   *
-  * Determinism contract (the driver hash-compares against a DuckDB
-  * replay): instead of k-means (whose float iteration order is not
-  * engine-reproducible) the coarse clustering assigns each vector to the
-  * nearest of `numSeeds` FIXED seed exemplars — the lowest-id vectors —
-  * by exact integer-quantized dot product (round(x*10000), the same
-  * contract as [[Similarity]]/[[Dedup]]). Ties break to the lowest seed
-  * id. For production use the seed frame can be swapped for trained
-  * centroids ([[Similarity.trainQuantizer]]); the pair-pruning stage is
-  * identical.
+  * Two coarse-clustering front-ends over ONE shared pruning stage:
+  *
+  *  - [[semanticDedup]] — nearest-of-`numSeeds` FIXED seed exemplars (the
+  *    lowest-id vectors) by exact integer-quantized dot product
+  *    (round(x*10000), the [[Similarity]]/[[Dedup]] contract), ties to
+  *    the lowest seed id. Fully deterministic and SQL-replayable — the
+  *    driver hash-compares it against a DuckDB replay.
+  *  - [[semanticDedupKmeans]] — the paper's actual shape: a trained
+  *    coarse quantizer ([[Similarity.ivfBuild]]'s seeded MLlib KMeans,
+  *    training-set capped). Reuses the index's cell assignment outright,
+  *    so a corpus with a built IVF index gets semantic dedup for free on
+  *    top of it. Run-to-run deterministic (seeded), but float-iteration
+  *    order isn't ENGINE-portable, so this path is spec-tested rather
+  *    than oracle-hashed (the q_ann_ivf precedent).
   *
   * Per-cluster work is bounded: only the first `maxCluster` members per
   * cluster (deterministic md5-hash order, never arrival order)
@@ -75,7 +80,34 @@ object SemDedup {
     val assigned = q.select(col("__id"), col("__q"),
         ArrayMath.norm2Long(col("__q")).as("__n2"),
         (-best.getField("ns")).as("cluster"))
+    pruneWithinClusters(assigned, idCol, threshold, maxCluster)
+  }
 
+  /** The SemDeDup paper's clustering front-end: a seeded KMeans coarse
+    * quantizer via [[Similarity.ivfBuild]] (training capped at
+    * `maxTrainRows`; the corpus-side assignment is a map-side transform,
+    * never a shuffle). `(idCol, cluster)` survivors as [[semanticDedup]].
+    */
+  def semanticDedupKmeans(df: DataFrame, idCol: String, embCol: String,
+                          nlist: Int = 64, threshold: Double = 0.35,
+                          maxCluster: Int = 10000, seed: Long = 13,
+                          maxTrainRows: Long = 262144): DataFrame = {
+    val idx = Similarity.ivfBuild(df, idCol, embCol, nlist = nlist,
+      seed = seed, maxTrainRows = maxTrainRows)
+    val assigned = idx.assigned.select(col("nn_id").as("__id"),
+      col("__cq").as("__q"), col("__cn2").as("__n2"),
+      col("__cell").cast("long").as("cluster"))
+    pruneWithinClusters(assigned, idCol, threshold, maxCluster)
+  }
+
+  /** Shared pruning stage over an assigned frame
+    * `(__id, __q, __n2, cluster)`: md5-rank participant cap, one
+    * cluster-keyed self-join (the ranking exchange is planned once and
+    * reused for both sides), exact quantized-cosine verify, anti-join of
+    * the higher-id pair members (AQE broadcasts the loser set).
+    */
+  private def pruneWithinClusters(assigned: DataFrame, idCol: String,
+                                  threshold: Double, maxCluster: Int): DataFrame = {
     val ranked = assigned.withColumn("__cr",
       row_number().over(Window.partitionBy(col("cluster"))
         .orderBy(hashKey(col("__id")), col("__id"))))

@@ -83,6 +83,18 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out == Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L))
   }
 
+  test("kmeans variant drops planted near-dups, keeps distinct vectors") {
+    val out = SemDedup.semanticDedupKmeans(vecs, "vec_id", "embedding",
+        nlist = 4, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // whatever the trained cells look like, 10/11 share a cell with 0 or
+    // each other (cos ~1 vectors always co-assign under nearest-centroid)
+    // and must lose to a lower id; 12 likewise; distinct vectors survive
+    assert(!out.contains(10L) && !out.contains(11L) && !out.contains(12L))
+    assert(out.contains(0L) && out.contains(1L) && out.contains(2L) &&
+      out.contains(3L) && out.contains(20L))
+  }
+
   test("matches a brute-force within-cluster replay on real sf0.001 embeddings") {
     val dir = new java.io.File("/root/testdata/sf0.001")
     assume(dir.exists())
