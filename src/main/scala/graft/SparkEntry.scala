@@ -599,6 +599,47 @@ object SparkEntry {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
       ORDER BY user_id, ts_ms, event_id""")
 
+    // ntile + distribution windows: equal-height bucketing (the batch
+    // shard assigner / percentile-band feature). percent_rank/cume_dist
+    // are exact integer ratios evaluated with one IEEE division — engine
+    // identical. One hash shuffle on the partition key.
+    m += "q_ntile" -> evQ("""
+      SELECT event_id, user_id,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM __EV__
+      WINDOW w AS (PARTITION BY user_id ORDER BY value_c, event_id)
+      ORDER BY user_id, value_c, event_id""")
+
+    // first/last/nth navigation over a running frame (the "entry price /
+    // latest state / second touch" features): frame-dependent last_value
+    // pinned to the running frame in both engines.
+    m += "q_first_last" -> evQ("""
+      SELECT event_id, user_id, ts_ms,
+             first_value(value_c) OVER w AS first_c,
+             last_value(value_c) OVER w AS running_last_c,
+             nth_value(value_c, 2) OVER w AS second_c
+      FROM __EV__
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_ms, event_id""")
+
+    // Correlated EXISTS / NOT EXISTS — planned as left-semi/anti joins
+    // (one shuffle each, never a per-row subquery loop): view counts of
+    // users who clicked but never made a >100 purchase (the threshold
+    // splits the 150 users 30/120 — both branches carry real signal).
+    m += "q_exists" -> both("""
+      SELECT user_id, count(*) AS n_views
+      FROM events v
+      WHERE event_type = 'view'
+        AND EXISTS (SELECT 1 FROM events c
+                    WHERE c.user_id = v.user_id AND c.event_type = 'click')
+        AND NOT EXISTS (SELECT 1 FROM events p
+                        WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+                          AND p.value > 100.0)
+      GROUP BY user_id ORDER BY user_id""")
+
     // Top-k per group — the curation primitive (keep the k best docs per
     // domain/source): ONE hash shuffle on the group key, rank, filter.
     // At scale Catalyst pushes the rank filter into WindowExec
