@@ -599,6 +599,27 @@ object SparkEntry {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
       ORDER BY user_id, ts_ms, event_id""")
 
+    // Calendar/time feature derivation the scale-robust way: pure integer
+    // arithmetic on the epoch-ms contract (epoch day 0 = Thursday, so
+    // dow = (day+4) % 7 with 0=Sunday) — codegen'd, engine-exact, no
+    // session-timezone or calendar-library coupling. DIV vs // is the
+    // only engine split.
+    m += "q_time_features" -> split(
+      s"""SELECT event_id, user_id,
+                 ts_ms DIV 86400000 AS epoch_day,
+                 (ts_ms DIV 3600000) % 24 AS hour_utc,
+                 ((ts_ms DIV 86400000) + 4) % 7 AS day_of_week,
+                 CASE WHEN ((ts_ms DIV 86400000) + 4) % 7 IN (0, 6)
+                      THEN true ELSE false END AS is_weekend
+          FROM $eventsMsSpark ORDER BY event_id""",
+      s"""SELECT event_id, user_id,
+                 ts_ms // 86400000 AS epoch_day,
+                 (ts_ms // 3600000) % 24 AS hour_utc,
+                 ((ts_ms // 86400000) + 4) % 7 AS day_of_week,
+                 CASE WHEN ((ts_ms // 86400000) + 4) % 7 IN (0, 6)
+                      THEN true ELSE false END AS is_weekend
+          FROM $eventsMsDuck ORDER BY event_id""")
+
     // ntile + distribution windows: equal-height bucketing (the batch
     // shard assigner / percentile-band feature). percent_rank/cume_dist
     // are exact integer ratios evaluated with one IEEE division — engine
@@ -2308,6 +2329,32 @@ object SparkEntry {
          SELECT a.vec_id, a.cluster FROM assign a
          WHERE a.vec_id NOT IN (SELECT rid FROM losers)
          ORDER BY a.vec_id""")
+
+    // The trained-KMeans SemDeDup path as a driver row: cell assignments
+    // aren't DuckDB-replayable (the q_ann_ivf precedent), so the query
+    // emits facts the oracle CAN predict: the corpus size and the
+    // mathematically-guaranteed containment that every survivor of the
+    // EXACT all-pairs dedup also survives the cluster-scoped variant
+    // (clustering only REMOVES comparisons, so it can only drop fewer).
+    m += "q_semdedup_kmeans" -> op(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{count, lit}
+        val emb = GraftSession.table(s, dir, "embeddings")
+        val km = graft.operators.SemDedup.semanticDedupKmeans(
+          emb, "vec_id", "embedding", nlist = 16, threshold = 0.35)
+        val exact = Dedup.embeddingDedupExact(emb, "vec_id", "embedding", 0.35)
+          .select(col("vec_id"))
+        val missing = exact.join(km.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        emb.agg(count(lit(1)).cast("long").as("n_vectors"))
+          .crossJoin(missing.agg((count(lit(1)) === 0).as("containment_ok")))
+          .crossJoin(km.agg(count(lit(1)).cast("long").as("__n_surv")))
+          .select(col("n_vectors"), col("containment_ok"),
+            (col("__n_surv") <= col("n_vectors")).as("bounded_ok"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                CAST(true AS BOOLEAN) AS containment_ok,
+                CAST(true AS BOOLEAN) AS bounded_ok
+         FROM embeddings""")
 
     m += "q_simsearch" -> op(
       (s, dir) => {
