@@ -2275,6 +2275,47 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id"),
       DedupOracles.embeddingLsh(0.99))
 
+    // The STREAMING dedup paths as driver rows: the corpus replays
+    // through a real streaming query (file source -> FMGWS bucket state
+    // -> parquet sink), survivors = corpus minus emitted pair losers.
+    // One file = one micro-batch and the state fn orders arrivals by id,
+    // so the pair set equals the batch pipeline's (StreamingDedupSpec
+    // pins the equality) and the BATCH oracle verifies the STREAM.
+    def streamingDedupEntry(pairs: DataFrame => DataFrame, table: String,
+                            idColName: String, oracle: String): Q = Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        val src = GraftSession.table(s, dir, table)
+        val root = java.nio.file.Files.createTempDirectory("graft_sdd_").toString
+        src.coalesce(1).write.parquet(s"$root/in")
+        val stream = s.readStream.schema(src.schema).parquet(s"$root/in")
+        val q = pairs(stream).writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+        try q.processAllAvailable() finally q.stop()
+        val losers = (try s.read.parquet(s"$root/out")
+          catch { case _: Exception => s.emptyDataFrame.select() })
+        val loserIds =
+          if (losers.columns.contains("__rid"))
+            losers.select(col("__rid").as(idColName)).distinct()
+          else src.select(col(idColName)).limit(0)
+        src.join(loserIds, Seq(idColName), "left_anti")
+          .select(idColName).orderBy(idColName)
+      },
+      Some(oracle))
+
+    m += "q_dedup_minhash_streaming" -> streamingDedupEntry(
+      st => graft.streaming.StreamingDedup.minhashStreamingPairs(
+        st, "doc_id", "text"),
+      "documents", "doc_id",
+      DedupOracles.minhash())
+
+    m += "q_dedup_embedding_streaming" -> streamingDedupEntry(
+      st => graft.streaming.StreamingDedup.embeddingStreamingPairs(
+        st, "vec_id", "embedding", threshold = 0.99),
+      "embeddings", "vec_id",
+      DedupOracles.embeddingLsh(0.99))
+
     // SemDeDup-style cluster-scoped semantic dedup (arXiv:2303.09540):
     // assign each vector to the nearest of 8 deterministic seed exemplars
     // (exact integer dots — the kmeans stand-in the oracle CAN replay),
