@@ -122,6 +122,49 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("dedup state survives kill + restart: combined pairs exactly-once equal batch") {
+    assume(haveData)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val expected = Dedup.minhashAccepted(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        k = 5, numHashes = 32, bands = 8, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(expected.nonEmpty)
+
+    // one run killed mid-stream + restarted, one run uninterrupted; a
+    // pair legitimately emits once per SHARED BAND BUCKET, so the
+    // exactly-once pin is multiset equality between the two runs (a
+    // restart that replays or drops state changes occurrence counts)
+    def runStream(kill: Boolean): Seq[(Long, Long)] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_sdd_ckpt_").toString
+      val mem = MemoryStream[(Long, String)]
+      val out = StreamingDedup.minhashStreamingPairs(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        k = 5, numHashes = 32, bands = 8, threshold = 0.8)
+      def start() = out.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val (h1, h2) = docs.splitAt(100)
+      val q1 = start()
+      try { mem.addData(h1.toSeq: _*); q1.processAllAvailable() } finally if (kill) q1.stop()
+      val q2 = if (kill) start() else q1
+      try { mem.addData(h2.toSeq: _*); q2.processAllAvailable() } finally q2.stop()
+      spark.read.parquet(s"$root/out").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val killed = runStream(kill = true)
+    val continuous = runStream(kill = false)
+    assert(killed.toSet == expected,
+      s"missing=${(expected -- killed.toSet).take(5)} extra=${(killed.toSet -- expected).take(5)}")
+    assert(killed.groupBy(identity).view.mapValues(_.size).toMap ==
+      continuous.groupBy(identity).view.mapValues(_.size).toMap,
+      "restart changed pair occurrence counts (state lost or replayed)")
+  }
+
   test("streamed embedding pairs == batch embeddingLshAccepted on sf0.001 vectors in id order") {
     assume(haveData)
     implicit val sqlCtx = spark.sqlContext
