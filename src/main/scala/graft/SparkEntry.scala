@@ -2205,6 +2205,48 @@ object SparkEntry {
          FROM post GROUP BY token
          ORDER BY df DESC, token LIMIT 50""")
 
+    // Count-min sketch heavy hitters: the mergeable fixed-size frequency
+    // sketch (depth 4 x width 16 here — width deliberately small so the
+    // collision/min math is exercised: 17 of 31 tokens overcount and the
+    // min-across-rows bound recovers the rest). At scale the sketch is
+    // O(d*w) state per partition merged by cell-wise sum — heavy-hitter
+    // estimates without a full-vocab shuffle; KMV's counterpart for
+    // frequency. Portable md5 row-hashes make every cell engine-exact;
+    // est >= true by construction rides as a checked column.
+    m += "q_heavy_hitters_cms" -> split(
+      """WITH tok AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS cnt
+                      FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+                      GROUP BY w),
+         rows_h AS (
+           SELECT token, cnt, i,
+                  CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', token)), 1, 15), 16, 10) AS BIGINT) % 16 AS bucket
+           FROM tok CROSS JOIN (SELECT explode(sequence(0, 3)) AS i)),
+         cms AS (SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+                 FROM rows_h GROUP BY i, bucket),
+         est AS (SELECT r.token, min(c.cell) AS est_cnt
+                 FROM rows_h r JOIN cms c ON r.i = c.i AND r.bucket = c.bucket
+                 GROUP BY r.token)
+         SELECT t.token, t.cnt AS true_cnt, e.est_cnt,
+                CAST(e.est_cnt >= t.cnt AS BOOLEAN) AS no_undercount
+         FROM tok t JOIN est e ON t.token = e.token
+         ORDER BY t.cnt DESC, t.token LIMIT 20""",
+      """WITH tok AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS cnt
+                      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                      GROUP BY w),
+         rows_h AS (
+           SELECT token, cnt, i,
+                  (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || token), 1, 15))::BIGINT) % 16 AS bucket
+           FROM tok CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+         cms AS (SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+                 FROM rows_h GROUP BY i, bucket),
+         est AS (SELECT r.token, min(c.cell) AS est_cnt
+                 FROM rows_h r JOIN cms c ON r.i = c.i AND r.bucket = c.bucket
+                 GROUP BY r.token)
+         SELECT t.token, t.cnt AS true_cnt, e.est_cnt,
+                CAST(e.est_cnt >= t.cnt AS BOOLEAN) AS no_undercount
+         FROM tok t JOIN est e ON t.token = e.token
+         ORDER BY t.cnt DESC, t.token LIMIT 20""")
+
     // Deterministic train/val/test split (80/10/10): assignment is a pure
     // function of the PORTABLE md5-prefix hash of the id — reproducible
     // row-for-row across runs, engines and cluster sizes, never sampled

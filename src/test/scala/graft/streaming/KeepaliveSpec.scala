@@ -29,7 +29,8 @@ class KeepaliveSpec extends AnyFunSuite {
     * the deadline. Event times are wall-clock-anchored so heartbeat
     * times (wall clock) are AHEAD of the data — the idle-unstick case.
     */
-  private def runIdle(heartbeat: Boolean, deadlineMs: Long): Long = {
+  private def runIdle(heartbeat: Boolean, want: Long, deadlineMs: Long,
+                      graceMs: Long = 0L): Long = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val base = (System.currentTimeMillis() / 10000) * 10000 - 60000
@@ -50,12 +51,16 @@ class KeepaliveSpec extends AnyFunSuite {
         (base, "k", 1.0), (base + 1000, "k", 2.0), (base + 2000, "k", 3.0),
         (base + 10000, "k", 4.0), (base + 11000, "k", 5.0))
       // ...and then the source goes idle: no more addData, no flush row.
+      // poll until the EXPECTED count lands (deadline generous: the box
+      // is shared and a micro-batch can take seconds under load), then
+      // hold a grace period to catch over-emission
       val deadline = System.currentTimeMillis() + deadlineMs
       var n = 0L
-      while (n < 2 && System.currentTimeMillis() < deadline) {
+      while (n < want && System.currentTimeMillis() < deadline) {
         Thread.sleep(100)
         n = spark.table(qname).count()
       }
+      if (graceMs > 0) { Thread.sleep(graceMs); n = spark.table(qname).count() }
       n
     } finally q.stop()
   }
@@ -95,12 +100,15 @@ class KeepaliveSpec extends AnyFunSuite {
   test("idle source: append windows hang without keepalive, emit with it") {
     // without heartbeats the watermark freezes at the last event time
     // (base+11s): window 1 (end base+10s) closes off the data itself, but
-    // window 2 (end base+20s) hangs forever — the idle-source stall
-    assert(runIdle(heartbeat = false, deadlineMs = 3000) == 1L,
+    // window 2 (end base+20s) hangs forever — the idle-source stall.
+    // Poll until window 1 lands (generous deadline: shared box), then
+    // hold 2 s to confirm window 2 stays open.
+    assert(runIdle(heartbeat = false, want = 1, deadlineMs = 20000,
+        graceMs = 2000) == 1L,
       "expected exactly the first window without a watermark advance")
     // with heartbeats, wall clock is ahead of both window ends, so both
     // windows close within a heartbeat + trigger
-    assert(runIdle(heartbeat = true, deadlineMs = 15000) == 2L,
+    assert(runIdle(heartbeat = true, want = 2, deadlineMs = 20000) == 2L,
       "keepalive did not close the idle source's windows")
   }
 }
