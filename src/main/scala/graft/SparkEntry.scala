@@ -2206,44 +2206,38 @@ object SparkEntry {
          ORDER BY df DESC, token LIMIT 50""")
 
     // Fuzzy join / record linkage: match rows of TWO tables on character
-    // 3-gram Jaccard similarity (entity resolution against a reference
-    // registry). The registry side (supplier, 100 rows) BROADCASTS; the
-    // probe side streams through one codegen'd set-intersection pass —
-    // no shuffle at all, which is the right plan whenever the reference
-    // registry is dimension-sized. (Banded-LSH blocking — the Dedup
-    // machinery — is the path when BOTH sides are huge.) The threshold
-    // is the exact rational inter*3 >= uni (J >= 1/3), so the match set
-    // is engine-exact; (inter, uni) ride as the score's rational pair.
-    m += "q_fuzzy_join" -> split(
-      """WITH c AS (SELECT c_custkey,
-                           array_distinct(transform(sequence(1, length(c_name) - 2),
-                             i -> substring(c_name, i, 3))) AS cg
-                    FROM customer),
-         s AS (SELECT s_suppkey,
-                      array_distinct(transform(sequence(1, length(s_name) - 2),
-                        i -> substring(s_name, i, 3))) AS sg
-               FROM supplier)
-         SELECT /*+ BROADCAST(s) */ c_custkey, s_suppkey,
-                CAST(size(array_intersect(cg, sg)) AS BIGINT) AS inter,
-                CAST(size(cg) + size(sg) - size(array_intersect(cg, sg)) AS BIGINT) AS uni
-         FROM c CROSS JOIN s
-         WHERE size(array_intersect(cg, sg)) * 3 >=
-               size(cg) + size(sg) - size(array_intersect(cg, sg))
-         ORDER BY c_custkey, s_suppkey""",
+    // 3-gram Jaccard similarity (entity resolution). The Spark side is
+    // operators/FuzzyJoin: PREFIX-FILTERED set-similarity join (PPJoin's
+    // lossless pruning) — candidates come from an equi-join on each
+    // record's rarest grams only, never an all-pairs scan (the first cut
+    // was a brute-force BroadcastNestedLoopJoin: 56 s at sf0.1; prefix
+    // filtering returns the identical result, which is why the oracle
+    // can stay a plain cross-join replay in DuckDB, where sf0.01 is
+    // sub-second). Exact rational threshold inter*3 >= uni (J >= 1/3).
+    m += "q_fuzzy_join" -> op(
+      (s, dir) => graft.operators.FuzzyJoin.jaccardJoin(
+          GraftSession.table(s, dir, "customer"), "c_custkey", "c_name",
+          GraftSession.table(s, dir, "supplier"), "s_suppkey", "s_name",
+          num = 1, den = 3)
+        .orderBy("c_custkey", "s_suppkey"),
       """WITH c AS (SELECT c_custkey,
                            list_distinct(list_transform(range(1, length(c_name) - 1),
-                             i -> substr(c_name, CAST(i AS INT), 3))) AS cg
+                             i -> ascii(substr(c_name, CAST(i AS INT), 1)) * 65536 +
+                                  ascii(substr(c_name, CAST(i AS INT) + 1, 1)) * 256 +
+                                  ascii(substr(c_name, CAST(i AS INT) + 2, 1)))) AS cg
                     FROM customer),
          s AS (SELECT s_suppkey,
                       list_distinct(list_transform(range(1, length(s_name) - 1),
-                        i -> substr(s_name, CAST(i AS INT), 3))) AS sg
-               FROM supplier)
-         SELECT c_custkey, s_suppkey,
-                CAST(len(list_intersect(cg, sg)) AS BIGINT) AS inter,
-                CAST(len(cg) + len(sg) - len(list_intersect(cg, sg)) AS BIGINT) AS uni
-         FROM c CROSS JOIN s
-         WHERE len(list_intersect(cg, sg)) * 3 >=
-               len(cg) + len(sg) - len(list_intersect(cg, sg))
+                        i -> ascii(substr(s_name, CAST(i AS INT), 1)) * 65536 +
+                             ascii(substr(s_name, CAST(i AS INT) + 1, 1)) * 256 +
+                             ascii(substr(s_name, CAST(i AS INT) + 2, 1)))) AS sg
+               FROM supplier),
+         j AS (SELECT c_custkey, s_suppkey,
+                      CAST(len(list_intersect(cg, sg)) AS BIGINT) AS inter,
+                      CAST(len(cg) AS BIGINT) AS nc, CAST(len(sg) AS BIGINT) AS ns
+               FROM c CROSS JOIN s)
+         SELECT c_custkey, s_suppkey, inter, nc + ns - inter AS uni
+         FROM j WHERE inter * 3 >= nc + ns - inter
          ORDER BY c_custkey, s_suppkey""")
 
     // Count-min sketch heavy hitters: the mergeable fixed-size frequency

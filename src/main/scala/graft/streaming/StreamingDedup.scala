@@ -51,17 +51,17 @@ object StreamingDedup {
     * `numHashes` longs), bit-identical to the batch aggregate's: same
     * shingle positions (`sequence(1, greatest(len-k+1, 1))`, short texts
     * hash their whole tail), same md5-prefix shingle hash (incl. the
-    * mod-P fold), same LCG mins.
+    * mod-P fold), same LCG mins. The mins come from ONE generated
+    * shingles-x-hashes loop ([[graft.functions.ArrayMath.minhashSig]]) —
+    * the earlier `numHashes` separate `array_min(transform(...))`
+    * columns re-walked the shingle array per hash through interpreted
+    * lambda dispatch and dominated the streaming replay's cost.
     */
   def signatureCol(textCol: String, k: Int, numHashes: Int): Column = {
-    val sh = s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
-      s"i -> CAST(conv(substring(md5(substring($textCol, i, $k)), 1, 8), 16, 10) AS BIGINT) % $P31)"
-    val mins = Dedup.minhashCoeffs(numHashes).map { case (a, b) =>
-      s"array_min(transform(__graft_sh, x -> ($a * x + $b) % $P31))"
-    }
-    // two-step so the shingle array materializes once per row, not once
-    // per hash: transform binds it to a lambda variable
-    expr(s"transform(array($sh), __graft_sh -> array(${mins.mkString(", ")}))[0]")
+    val sh = expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+      s"i -> CAST(conv(substring(md5(substring($textCol, i, $k)), 1, 8), 16, 10) AS BIGINT) % $P31)")
+    val coeffs = Dedup.minhashCoeffs(numHashes)
+    graft.functions.ArrayMath.minhashSig(sh, coeffs.map(_._1), coeffs.map(_._2), P31)
   }
 
   /** Streaming near-dup PAIRS over a streaming frame with `idCol`
