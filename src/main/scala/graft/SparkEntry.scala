@@ -2222,14 +2222,14 @@ object SparkEntry {
         .orderBy("c_custkey", "s_suppkey"),
       """WITH c AS (SELECT c_custkey,
                            list_distinct(list_transform(range(1, length(c_name) - 1),
-                             i -> ascii(substr(c_name, CAST(i AS INT), 1)) * 65536 +
-                                  ascii(substr(c_name, CAST(i AS INT) + 1, 1)) * 256 +
+                             i -> ascii(substr(c_name, CAST(i AS INT), 1)) * 4398046511104 +
+                                  ascii(substr(c_name, CAST(i AS INT) + 1, 1)) * 2097152 +
                                   ascii(substr(c_name, CAST(i AS INT) + 2, 1)))) AS cg
                     FROM customer),
          s AS (SELECT s_suppkey,
                       list_distinct(list_transform(range(1, length(s_name) - 1),
-                        i -> ascii(substr(s_name, CAST(i AS INT), 1)) * 65536 +
-                             ascii(substr(s_name, CAST(i AS INT) + 1, 1)) * 256 +
+                        i -> ascii(substr(s_name, CAST(i AS INT), 1)) * 4398046511104 +
+                             ascii(substr(s_name, CAST(i AS INT) + 1, 1)) * 2097152 +
                              ascii(substr(s_name, CAST(i AS INT) + 2, 1)))) AS sg
                FROM supplier),
          j AS (SELECT c_custkey, s_suppkey,

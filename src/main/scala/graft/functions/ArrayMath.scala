@@ -71,13 +71,23 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
   * expression; coefficients and hashes are < 2^31 so a*x can't overflow
   * a long).
   */
-case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long)
+case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // Seq (not Array) coefficients: case-class equality on Array is
+  // reference identity, which would break semanticEquals/canonicalization
+  // and silently defeat subexpression elimination and exchange reuse for
+  // any plan containing the signature twice.
 
   require(a.length == b.length && a.nonEmpty, "coefficient arrays must match")
 
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      // element nulls are callers' contract (same as DotLong): the
+      // shingle-hash expression never produces them; a null slot read
+      // through getLong would fold b(j)%p into every min
       case ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -88,14 +98,14 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long
 
   override protected def nullSafeEval(input: Any): Any = {
     val sh = input.asInstanceOf[ArrayData]
-    val h = a.length
+    val h = aArr.length
     val mins = Array.fill(h)(Long.MaxValue)
     var i = 0
     while (i < sh.numElements()) {
       val x = sh.getLong(i)
       var j = 0
       while (j < h) {
-        val v = (a(j) * x + b(j)) % p
+        val v = (aArr(j) * x + bArr(j)) % p
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -105,8 +115,8 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
-    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
     nullSafeCodeGen(ctx, ev, sh => {
       val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
       val j = ctx.freshName("j"); val x = ctx.freshName("x"); val v = ctx.freshName("v")
@@ -140,5 +150,5 @@ object ArrayMath {
   /** All MinHash mins of an array<long> shingle-hash column in one
     * codegen'd pass. */
   def minhashSig(sh: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
-    ColumnBridge.column(MinHashSig(ColumnBridge.expression(sh), a.toArray, b.toArray, p))
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(sh), a.toIndexedSeq, b.toIndexedSeq, p))
 }

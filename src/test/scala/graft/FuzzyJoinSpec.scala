@@ -22,23 +22,29 @@ class FuzzyJoinSpec extends AnyFunSuite {
     s
   }
 
+  /** Independent brute-force oracle in plain Scala: grams via
+    * String.sliding(3) and explicit code-point packing — shares NO code
+    * with FuzzyJoin.grams3, so gram-construction bugs can't self-verify.
+    */
   private def brute(l: org.apache.spark.sql.DataFrame, lid: String, ln: String,
                     r: org.apache.spark.sql.DataFrame, rid: String, rn: String,
                     num: Int, den: Int): Set[(Long, Long, Long, Long)] = {
-    def g(c: org.apache.spark.sql.Column) =
-      array_distinct(transform(sequence(lit(1), length(c) - 2),
-        i => ascii(substring(c, i, lit(1))) * 65536 +
-             ascii(substring(c, i + lit(1), lit(1))) * 256 +
-             ascii(substring(c, i + lit(2), lit(1)))))
-    val lc = l.select(col(lid).as("lid"), g(col(ln)).as("lg"))
-    val rc = r.select(col(rid).as("rid"), g(col(rn)).as("rg"))
-    lc.crossJoin(rc)
-      .withColumn("inter", size(array_intersect(col("lg"), col("rg"))).cast("long"))
-      .withColumn("uni", (size(col("lg")) + size(col("rg"))).cast("long") - col("inter"))
-      .where(col("inter") * den >= col("uni") * num)
-      .select("lid", "rid", "inter", "uni")
-      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    def grams(s: String): Set[Long] =
+      if (s.length < 3) Set.empty
+      else s.sliding(3).map { g =>
+        (g.charAt(0).toLong << 42) | (g.charAt(1).toLong << 21) | g.charAt(2).toLong
+      }.toSet
+    val ls = l.select(lid, ln).collect().map(x => (x.getLong(0), grams(x.getString(1))))
+    val rs = r.select(rid, rn).collect().map(x => (x.getLong(0), grams(x.getString(1))))
+    (for {
+      (li, lg) <- ls; (ri, rg) <- rs
+      if lg.nonEmpty && rg.nonEmpty
+      inter = (lg & rg).size.toLong
+      uni = lg.size + rg.size - inter
+      if inter * den >= uni * num
+    } yield (li, ri, inter, uni)).toSet
   }
+
 
   test("prefix-filtered join == brute force on sf0.001 customer x supplier") {
     val dir = new java.io.File("/root/testdata/sf0.001")
@@ -60,9 +66,13 @@ class FuzzyJoinSpec extends AnyFunSuite {
     import spark.implicits._
     // every name shares the '#0000' stop-tail; only the letter heads
     // discriminate. J(abcdef#0000, abcdxy#0000) etc.
-    val l = Seq((1L, "abcdef#0000"), (2L, "ghijkl#0000"), (3L, "abcdxy#0000"))
-      .toDF("lid", "lname")
-    val r = Seq((10L, "abcdef#0000"), (20L, "zzzzzz#0000")).toDF("rid", "rname")
+    // 4/40 and 30 are sub-3-char names: zero grams, silently dropped on
+    // both sides (a naive sequence(1, len-2) would fabricate phantom
+    // grams from descending indices and match them to each other)
+    val l = Seq((1L, "abcdef#0000"), (2L, "ghijkl#0000"), (3L, "abcdxy#0000"),
+      (4L, "ab"), (30L, "")).toDF("lid", "lname")
+    val r = Seq((10L, "abcdef#0000"), (20L, "zzzzzz#0000"), (40L, "ab"))
+      .toDF("rid", "rname")
     val got = FuzzyJoin.jaccardJoin(l, "lid", "lname", r, "rid", "rname",
         num = 1, den = 2)
       .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet

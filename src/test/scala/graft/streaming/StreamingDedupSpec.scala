@@ -151,9 +151,17 @@ class StreamingDedupSpec extends AnyFunSuite {
         .trigger(Trigger.ProcessingTime(0)).start()
       val (h1, h2) = docs.splitAt(100)
       val q1 = start()
-      try { mem.addData(h1.toSeq: _*); q1.processAllAvailable() } finally if (kill) q1.stop()
-      val q2 = if (kill) start() else q1
-      try { mem.addData(h2.toSeq: _*); q2.processAllAvailable() } finally q2.stop()
+      var q2: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        mem.addData(h1.toSeq: _*); q1.processAllAvailable()
+        if (kill) { q1.stop(); q2 = start() } else q2 = q1
+        mem.addData(h2.toSeq: _*); q2.processAllAvailable()
+      } finally {
+        // stop BOTH on any path — an exception before q2 starts must not
+        // leak the running q1 into the rest of the suite
+        if (q2 != null && q2.isActive) q2.stop()
+        if (q1.isActive) q1.stop()
+      }
       spark.read.parquet(s"$root/out").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     }
     val killed = runStream(kill = true)
