@@ -279,6 +279,39 @@ object Similarity {
       codebooks, subDim)
   }
 
+  /** Persist a PQ index: the coded corpus (codes + exact quantized
+    * vectors for the refine stage; a production layout splits the exact
+    * vectors to cold storage) plus the codebooks and subspace geometry.
+    * Same build-once/search-many contract as [[saveIndex]] for IVF — the
+    * KMeans training and corpus encoding are the expensive parts and
+    * must not be re-paid per search session.
+    */
+  def savePqIndex(index: PqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    index.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (cent, j) => (mi, j, cent) }
+    }.toDF("mi", "j", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq(index.subDim).toDF("sub_dim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a PQ index saved by [[savePqIndex]]. The coded corpus is
+    * re-persisted (one search reads it twice); `free()` releases it. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toIndexedSeq }
+    val subDim = spark.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+    PqIndex(spark.read.parquet(s"$dir/codes")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      codebooks, subDim)
+  }
+
   /** Two-stage PQ search: (1) asymmetric-distance scan — each query
     * precomputes its `m x codesPerSub` table of subspace dots (one tiny
     * broadcast row per query) and every corpus vector scores as `m` table

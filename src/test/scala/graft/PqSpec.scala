@@ -57,6 +57,27 @@ class PqSpec extends AnyFunSuite {
     assert(again == rows, "same corpus + same seed must encode identically")
   }
 
+  test("save/load roundtrip: searching a loaded index equals searching the built one") {
+    assume(haveData)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.where("vec_id < 10")
+    val built = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, codesPerSub = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_idx_").toString
+    try {
+      Similarity.savePqIndex(built, root)
+      val loaded = Similarity.loadPqIndex(spark, root)
+      try {
+        assert(loaded.subDim == built.subDim)
+        assert(loaded.codebooks == built.codebooks, "codebooks must roundtrip exactly")
+        val a = Similarity.pqSearch(built, queries, "vec_id", "embedding", 5)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        val b = Similarity.pqSearch(loaded, queries, "vec_id", "embedding", 5)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        assert(a == b, "loaded-index search diverged from built-index search")
+      } finally loaded.free()
+    } finally built.free()
+  }
+
   test("refine stage is exact: PQ output cosines equal brute-force cosines pairwise") {
     assume(haveData)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
