@@ -386,6 +386,45 @@ object SparkEntry {
         ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
       ORDER BY l.event_id"""))
 
+    // Multi-table point-in-time feature retrieval — the feature-store
+    // query: a label frame (signups) backfills features from SEVERAL
+    // feature tables, each as-of the label timestamp with no leakage.
+    // Composed as two chained as-of joins; each is the one-keyed-window
+    // union shape (no nested loop), and the label frame stays partitioned
+    // by user between them — at scale the second join reuses the first's
+    // hash partitioning instead of re-shuffling.
+    m += "q_pit_multi" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        val ev = s.sql(s"SELECT * FROM $eventsMsSpark")
+        val labels = ev.where("event_type = 'signup'")
+          .select("event_id", "user_id", "ts_ms")
+        val withPurchase = graft.operators.TemporalJoins.asofJoin(
+          labels, ev.where("event_type = 'purchase'"),
+          keyCols = Seq("user_id"), leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+          rightCols = Seq("value_c"), rightPrefix = "p_")
+        val withClick = graft.operators.TemporalJoins.asofJoin(
+          withPurchase, ev.where("event_type = 'click'"),
+          keyCols = Seq("user_id"), leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+          rightCols = Seq("value_c"), rightPrefix = "c_")
+        withClick.orderBy("event_id")
+      },
+      Some(s"""
+      SELECT l.event_id, l.user_id, l.ts_ms,
+             p.ts_ms AS p_ts_ms, p.value_c AS p_value_c,
+             c.ts_ms AS c_ts_ms, c.value_c AS c_value_c
+      FROM (SELECT event_id, user_id, ts_ms FROM $eventsMsDuck
+            WHERE event_type = 'signup') l
+      ASOF LEFT JOIN (SELECT user_id, ts_ms, max(value_c) AS value_c
+                      FROM $eventsMsDuck WHERE event_type = 'purchase'
+                      GROUP BY user_id, ts_ms) p
+        ON l.user_id = p.user_id AND l.ts_ms >= p.ts_ms
+      ASOF LEFT JOIN (SELECT user_id, ts_ms, max(value_c) AS value_c
+                      FROM $eventsMsDuck WHERE event_type = 'click'
+                      GROUP BY user_id, ts_ms) c
+        ON l.user_id = c.user_id AND l.ts_ms >= c.ts_ms
+      ORDER BY l.event_id"""))
+
     // Forward as-of: each click attaches the user's NEXT signup at-or-after
     // it (the "time-to-conversion" backfill shape). DuckDB ASOF only does
     // backward, so the oracle negates both timestamps — greatest negated
