@@ -390,9 +390,9 @@ object SparkEntry {
     // query: a label frame (signups) backfills features from SEVERAL
     // feature tables, each as-of the label timestamp with no leakage.
     // Composed as two chained as-of joins; each is the one-keyed-window
-    // union shape (no nested loop), and the label frame stays partitioned
-    // by user between them — at scale the second join reuses the first's
-    // hash partitioning instead of re-shuffling.
+    // union shape (no nested loop). Plan: exactly one hash exchange per
+    // joined feature table (plan-checked) — the minimum, since each new
+    // table's rows must co-locate with the labels.
     m += "q_pit_multi" -> Q(
       (s, dir) => {
         GraftSession.prepare(s, dir)
