@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression net over the catalog: the properties that make
+  * queries scale are PLAN facts (pushdown reached the scan, rank filters
+  * prune map-side, no accidental cartesian/nested-loop joins), and a
+  * code edit can silently lose them while every value-level oracle stays
+  * green — the fuzzy join's first cut shipped a CartesianProduct that
+  * way. Each assertion reads the physical plan string of the real
+  * catalog entry on real testdata.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(dir).isDirectory
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields", "256")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "8388608")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter predicates reach the parquet scan as PushedFilters") {
+    assume(haveData)
+    for (q <- Seq("q_filter", "q_where_between", "q_where_in")) {
+      val p = plan(q)
+      assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+        s"$q lost scan pushdown")
+    }
+  }
+
+  test("top-k-per-group and domain-cap prune map-side via WindowGroupLimit") {
+    assume(haveData)
+    for (q <- Seq("q_topk_per_group", "q_domain_cap")) {
+      assert(plan(q).contains("WindowGroupLimit"), s"$q lost the rank-limit pushdown")
+    }
+  }
+
+  test("no accidental all-pairs joins in the scale-path entries") {
+    assume(haveData)
+    // brute-force baselines (q_simsearch) legitimately broadcast-nested-
+    // loop; these entries must never
+    for (q <- Seq("q_fuzzy_join", "q_semdedup", "q_dedup_minhash",
+                  "q_join_inner", "q_join_multi", "q_pit_multi")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("global sorts stay TakeOrderedAndProject where a LIMIT bounds them") {
+    assume(haveData)
+    // top-V / top-50 entries must forward k rows per partition, not
+    // globally sort the corpus
+    for (q <- Seq("q_vocab", "q_inverted_index", "q_bigram_lm")) {
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q lost TakeOrderedAndProject (global sort instead)")
+    }
+  }
+}
