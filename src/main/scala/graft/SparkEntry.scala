@@ -386,6 +386,44 @@ object SparkEntry {
         ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
       ORDER BY l.event_id"""))
 
+    // TPC-H Q3 (shipping priority): the canonical 3-way join + agg +
+    // top-k. Revenue aggregates in exact integer cent-percent units
+    // (price cents x (100 - discount percent) — both exact in this data)
+    // so the hash compare never sees float sum ordering; TakeOrdered
+    // forwards 10 rows per partition. Date filters compare DATE-cast
+    // values — identical calendar semantics in both engines.
+    m += "q_tpch_q3" -> both("""
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cp,
+             CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+        AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+      GROUP BY l_orderkey, 3, o_orderpriority
+      ORDER BY revenue_cp DESC, l_orderkey LIMIT 10""")
+
+    // TPC-H Q5 (local supplier volume): the 6-way snowflake join with the
+    // c_nationkey = s_nationkey cross-dimension constraint. Dimension
+    // chain (region->nation->supplier) broadcasts under AQE's measured
+    // threshold; the fact-side shuffles stay on the join keys.
+    m += "q_tpch_q5" -> both("""
+      SELECT n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cp
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      GROUP BY n_name ORDER BY revenue_cp DESC, n_name""")
+
     // Multi-table point-in-time feature retrieval — the feature-store
     // query: a label frame (signups) backfills features from SEVERAL
     // feature tables, each as-of the label timestamp with no leakage.
