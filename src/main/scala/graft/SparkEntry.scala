@@ -2359,6 +2359,62 @@ object SparkEntry {
          FROM tok t JOIN est e ON t.token = e.token
          ORDER BY t.cnt DESC, t.token LIMIT 20""")
 
+    // The CMS as STREAMING state: the d x w cell matrix is a perfect
+    // streaming aggregate — bounded state (64 cells) no matter the
+    // vocabulary, complete-mode emission, cell-wise-sum mergeable across
+    // partitions AND micro-batches. The corpus replays through a real
+    // streaming query; estimates derive from the final cells and the
+    // BATCH oracle verifies them (bounded input -> identical sketch).
+    m += "q_heavy_hitters_streaming" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{count => fcount, explode => fexplode, expr => fexpr, lit => flit, split => fsplit, sum => fsum}
+        val docs = GraftSession.table(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files.createTempDirectory("graft_cms_").toString
+        docs.coalesce(1).write.parquet(s"$root/in")
+        val bucketOf = "CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', token)), 1, 15), 16, 10) AS BIGINT) % 16"
+        val cells = s.readStream.schema(docs.schema).parquet(s"$root/in")
+          .select(fexplode(fsplit(col("text"), " ")).as("token"))
+          .select(col("token"), fexplode(fexpr("sequence(0, 3)")).as("i"))
+          .select(col("i"), fexpr(bucketOf).as("bucket"))
+          .groupBy("i", "bucket").agg(fcount(flit(1)).as("cell"))
+        val q = cells.writeStream.outputMode("complete").format("memory")
+          .queryName("cms_cells")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+        try q.processAllAvailable() finally q.stop()
+        // estimates from the STREAMED cells; true counts batch-side
+        s.table("cms_cells").createOrReplaceTempView("cms_stream")
+        s.sql(s"""
+          WITH tok AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS cnt
+                       FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+                       GROUP BY w),
+          rows_h AS (SELECT token, cnt, i, $bucketOf AS bucket
+                     FROM tok CROSS JOIN (SELECT explode(sequence(0, 3)) AS i)),
+          est AS (SELECT r.token, min(c.cell) AS est_cnt
+                  FROM rows_h r JOIN cms_stream c ON r.i = c.i AND r.bucket = c.bucket
+                  GROUP BY r.token)
+          SELECT t.token, t.cnt AS true_cnt, e.est_cnt,
+                 CAST(e.est_cnt >= t.cnt AS BOOLEAN) AS no_undercount
+          FROM tok t JOIN est e ON t.token = e.token
+          ORDER BY t.cnt DESC, t.token LIMIT 20""")
+      },
+      Some("""WITH tok AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS cnt
+                      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                      GROUP BY w),
+         rows_h AS (
+           SELECT token, cnt, i,
+                  (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || token), 1, 15))::BIGINT) % 16 AS bucket
+           FROM tok CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+         cms AS (SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+                 FROM rows_h GROUP BY i, bucket),
+         est AS (SELECT r.token, min(c.cell) AS est_cnt
+                 FROM rows_h r JOIN cms c ON r.i = c.i AND r.bucket = c.bucket
+                 GROUP BY r.token)
+         SELECT t.token, t.cnt AS true_cnt, e.est_cnt,
+                CAST(e.est_cnt >= t.cnt AS BOOLEAN) AS no_undercount
+         FROM tok t JOIN est e ON t.token = e.token
+         ORDER BY t.cnt DESC, t.token LIMIT 20"""))
+
     // Deterministic train/val/test split (80/10/10): assignment is a pure
     // function of the PORTABLE md5-prefix hash of the id — reproducible
     // row-for-row across runs, engines and cluster sizes, never sampled
