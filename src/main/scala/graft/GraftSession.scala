@@ -75,7 +75,15 @@ object GraftSession {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       GraftFunctions.register(spark)
     }
-    if (dir != null && dir != last) {
+    // A shared session can have a testdata view overwritten between
+    // prepare calls (the reference-README test fixtures register their
+    // own `orders`/`users` views): before trusting the per-(session, dir)
+    // memo, spot-check a canary column — if the `orders` view no longer
+    // looks like the testdata table, re-register everything.
+    def viewsIntact: Boolean =
+      try spark.table("orders").schema.fieldNames.contains("o_orderkey")
+      catch { case _: Exception => false }
+    if (dir != null && (dir != last || !viewsIntact)) {
       tables.foreach { t =>
         val df = spark.read.parquet(s"$dir/$t.parquet")
         val view = if (t == "events") normalizeTs(df, s"$dir/$t.parquet") else df
