@@ -386,6 +386,29 @@ object SparkEntry {
         ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
       ORDER BY l.event_id"""))
 
+    // Correlated scalar subquery — Catalyst de-correlates it into an
+    // aggregate + join (one shuffle), never a per-row re-execution:
+    // each customer's orders at that customer's own maximum price.
+    m += "q_scalar_subquery" -> both("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+
+    // LATERAL correlated subquery (the per-row top-N dependent join):
+    // each nation's 2 highest-balance suppliers. Catalyst rewrites the
+    // LATERAL LIMIT into a ranked window under a join — same
+    // WindowGroupLimit pruning as q_topk_per_group, expressed in the
+    // SQL-standard dependent-join form.
+    m += "q_lateral" -> both("""
+      SELECT n_name, s.s_suppkey, s.s_acctbal
+      FROM nation, LATERAL (
+        SELECT s_suppkey, s_acctbal FROM supplier
+        WHERE s_nationkey = n_nationkey
+        ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) s
+      ORDER BY n_name, s.s_acctbal DESC, s.s_suppkey""")
+
     // TPC-H Q3 (shipping priority): the canonical 3-way join + agg +
     // top-k. Revenue aggregates in exact integer cent-percent units
     // (price cents x (100 - discount percent) — both exact in this data)
