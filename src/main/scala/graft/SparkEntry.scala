@@ -386,6 +386,49 @@ object SparkEntry {
         ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
       ORDER BY l.event_id"""))
 
+    // Time-series similarity search (the streaming-data similarity-search
+    // shape, EDBT 2019): each user's event stream folds to an 8-slot
+    // integer activity profile (value cents per day-of-cycle), and the
+    // query user's nearest neighbors rank by exact-integer cosine. The
+    // profile build is one partial-agg shuffle; the scoring joins the
+    // ONE query profile against per-user profiles on the slot index —
+    // never a user x user cross join.
+    m += "q_ts_profile_sim" -> split(
+      s"""WITH prof AS (SELECT user_id, (ts_ms DIV 86400000) % 8 AS b,
+                               CAST(sum(value_c) AS BIGINT) AS v
+                        FROM $eventsMsSpark GROUP BY user_id, 2),
+         n AS (SELECT user_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM prof GROUP BY user_id),
+         qid AS (SELECT min(user_id) AS qu FROM prof),
+         dots AS (SELECT p.user_id AS nn_id, CAST(sum(p.v * q.v) AS BIGINT) AS dot
+                  FROM prof p JOIN prof q ON p.b = q.b
+                  JOIN qid ON q.user_id = qid.qu
+                  WHERE p.user_id <> qid.qu GROUP BY p.user_id)
+         SELECT d.nn_id,
+                CAST(d.dot AS DOUBLE) /
+                (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
+         FROM dots d
+         JOIN qid ON 1 = 1
+         JOIN n nq ON nq.user_id = qid.qu
+         JOIN n nn ON nn.user_id = d.nn_id
+         ORDER BY cosine DESC, d.nn_id LIMIT 5""",
+      s"""WITH prof AS (SELECT user_id, (ts_ms // 86400000) % 8 AS b,
+                               CAST(sum(value_c) AS BIGINT) AS v
+                        FROM $eventsMsDuck GROUP BY user_id, 2),
+         n AS (SELECT user_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM prof GROUP BY user_id),
+         qid AS (SELECT min(user_id) AS qu FROM prof),
+         dots AS (SELECT p.user_id AS nn_id, CAST(sum(p.v * q.v) AS BIGINT) AS dot
+                  FROM prof p JOIN prof q ON p.b = q.b
+                  JOIN qid ON q.user_id = qid.qu
+                  WHERE p.user_id <> qid.qu GROUP BY p.user_id)
+         SELECT d.nn_id,
+                CAST(d.dot AS DOUBLE) /
+                (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
+         FROM dots d
+         JOIN qid ON 1 = 1
+         JOIN n nq ON nq.user_id = qid.qu
+         JOIN n nn ON nn.user_id = d.nn_id
+         ORDER BY cosine DESC, d.nn_id LIMIT 5""")
+
     // Correlated scalar subquery — Catalyst de-correlates it into an
     // aggregate + join (one shuffle), never a per-row re-execution:
     // each customer's orders at that customer's own maximum price.
