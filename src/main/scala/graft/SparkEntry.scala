@@ -386,6 +386,25 @@ object SparkEntry {
         ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
       ORDER BY l.event_id"""))
 
+    // Event-sequence pattern detection (CEP-lite, the MATCH_RECOGNIZE
+    // shape a funnel can't express): STRICTLY CONSECUTIVE
+    // view -> click -> purchase triples per user completing within 24 h.
+    // One keyed window pass (two lags share one sort), no self-joins —
+    // the n-way event self-join formulation explodes at scale.
+    m += "q_pattern_seq" -> evQ("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 2) OVER w AS t2,
+               lag(event_type, 1) OVER w AS t1,
+               ts_ms - lag(ts_ms, 2) OVER w AS span_ms
+        FROM __EV__
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_patterns
+      FROM seq
+      WHERE t2 = 'view' AND t1 = 'click' AND event_type = 'purchase'
+        AND span_ms <= 86400000
+      GROUP BY user_id ORDER BY user_id""")
+
     // Time-series similarity search (the streaming-data similarity-search
     // shape, EDBT 2019): each user's event stream folds to an 8-slot
     // integer activity profile (value cents per day-of-cycle), and the
