@@ -42,11 +42,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("top-k-per-group and domain-cap prune map-side via WindowGroupLimit") {
+  test("top-k-per-group, domain-cap and LATERAL limit prune map-side via WindowGroupLimit") {
     assume(haveData)
-    for (q <- Seq("q_topk_per_group", "q_domain_cap")) {
+    for (q <- Seq("q_topk_per_group", "q_domain_cap", "q_lateral")) {
       assert(plan(q).contains("WindowGroupLimit"), s"$q lost the rank-limit pushdown")
     }
+  }
+
+  test("correlated scalar subquery de-correlates to aggregate + join") {
+    assume(haveData)
+    val p = plan("q_scalar_subquery")
+    assert(p.contains("HashAggregate"), "de-correlation lost: no aggregate in the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "subquery fell back to a per-row/all-pairs evaluation")
   }
 
   test("no accidental all-pairs joins in the scale-path entries") {
