@@ -509,6 +509,54 @@ object SparkEntry {
         AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
       GROUP BY n_name ORDER BY revenue_cp DESC, n_name""")
 
+    // TPC-H Q18 (large-volume customer): agg-of-agg — an IN subquery whose
+    // HAVING re-aggregates the same fact table, then a 3-way join + final
+    // group + top-k. Catalyst plans the IN as a left-semi hash join on
+    // l_orderkey (both aggregations map-side partial), and the LIMIT 100
+    // becomes TakeOrderedAndProject — no global sort materializes. Quantity
+    // sums in exact BIGINT units, price in cents, so the hash compare never
+    // sees float ordering. Reference flagship join/agg workload:
+    // /root/reference/README.md:105-146.
+    m += "q_tpch_q18" -> both("""
+      SELECT c_name, c_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+      GROUP BY c_name, c_custkey, o_orderkey, 4, 5
+      ORDER BY totalprice_c DESC, o_orderkey LIMIT 100""")
+
+    // TPC-H Q21 (suppliers who kept orders waiting): the multi-anti/semi-
+    // join chain — the one join physics no other catalog entry exercises:
+    // a correlated EXISTS (left-semi on l_orderkey with a suppkey
+    // inequality residual) stacked on a correlated NOT EXISTS (left-anti,
+    // same key, extra residual). This testdata has no receipt/commit dates,
+    // so "late" is expressed as l_returnflag = 'R' — the join topology
+    // (fact->semi(fact)->anti(fact)->dims) is identical to the canonical
+    // form. Both EXISTS probes shuffle on l_orderkey, the same key as the
+    // orders join, so AQE coalesces them into one exchange reuse.
+    m += "q_tpch_q21" -> both("""
+      SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_13'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name LIMIT 100""")
+
     // Multi-table point-in-time feature retrieval — the feature-store
     // query: a label frame (signups) backfills features from SEVERAL
     // feature tables, each as-of the label timestamp with no leakage.

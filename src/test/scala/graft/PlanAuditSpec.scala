@@ -78,4 +78,18 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q lost TakeOrderedAndProject (global sort instead)")
     }
   }
+
+  test("TPC-H Q18/Q21 keep the semi/anti hash-join shapes") {
+    assume(haveData)
+    val p18 = plan("q_tpch_q18")
+    assert(p18.contains("LeftSemi"), "Q18's IN subquery lost the left-semi join rewrite")
+    assert(p18.contains("TakeOrderedAndProject"), "Q18's LIMIT lost TakeOrdered")
+    val p21 = plan("q_tpch_q21")
+    assert(p21.contains("LeftSemi"), "Q21's EXISTS lost the left-semi join")
+    assert(p21.contains("LeftAnti"), "Q21's NOT EXISTS lost the left-anti join")
+    for (p <- Seq(p18, p21)) {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "TPC-H entry fell back to an all-pairs join")
+    }
+  }
 }
