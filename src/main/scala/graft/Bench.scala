@@ -29,7 +29,7 @@ object Bench {
 
     val records = 20000L
     val startMs = 1704067200000L; val stepMs = 25L
-    val root = java.nio.file.Files.createTempDirectory("graft_bench_stream_eb_").toString
+    val root = GraftSession.tempDir("graft_bench_stream_eb_")
     val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
     val input = Datagen.batch(spark, records, Map(
         "ts_ms" -> Datagen.IncrementalTimestamp(startMs, stepMs),
@@ -82,7 +82,7 @@ object Bench {
     val records = 20000L
     val batchRecords = 1000L
     val startMs = 1704067200000L; val stepMs = 25L
-    val root = java.nio.file.Files.createTempDirectory("graft_bench_stream_").toString
+    val root = GraftSession.tempDir("graft_bench_stream_")
     val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
     val input = Datagen.batch(spark, records, Map(
         "ts_ms" -> Datagen.IncrementalTimestamp(startMs, stepMs),
@@ -149,7 +149,7 @@ object Bench {
     import org.apache.spark.sql.streaming.Trigger
 
     val records = 100000L; val dictSize = 1000
-    val root = java.nio.file.Files.createTempDirectory("graft_bench_wc_").toString
+    val root = GraftSession.tempDir("graft_bench_wc_")
     val inDir = s"$root/in"
     Datagen.batch(spark, records, Map("word" -> Datagen.Key(dictSize)))
       .repartition(10).write.parquet(inDir)

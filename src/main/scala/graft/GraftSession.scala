@@ -20,6 +20,31 @@ object GraftSession {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
+  /** Temp workspace (streaming-entry corpus copies, sinks, checkpoints)
+    * that is actually reclaimed: every dir created here is deleted
+    * recursively when the JVM exits, so repeated Verify/Bench runs do not
+    * accumulate per-query corpus copies in /tmp. One shutdown hook for
+    * all of them (registered lazily on first use).
+    */
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val tempHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempRoots.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(p =>
+              try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+        } catch { case _: Exception => () }
+      }))
+  }
+  def tempDir(prefix: String): String = {
+    tempHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.add(p)
+    p.toString
+  }
+
   def builder(master: String = "local[32]"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -78,11 +103,22 @@ object GraftSession {
     // A shared session can have a testdata view overwritten between
     // prepare calls (the reference-README test fixtures register their
     // own `orders`/`users` views): before trusting the per-(session, dir)
-    // memo, spot-check a canary column — if the `orders` view no longer
-    // looks like the testdata table, re-register everything.
+    // memo, spot-check a canary column on EVERY registered view — a
+    // fixture can replace `events` or `documents` without touching
+    // `orders`. The check reads the session's temp-view map directly
+    // (already-analyzed plans, one hash lookup per table), so the hot
+    // memoized path pays ~10 map probes, not 10 catalog analyses.
+    val canaryCol = Map(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "events" -> "ts",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
     def viewsIntact: Boolean =
-      try spark.table("orders").schema.fieldNames.contains("o_orderkey")
-      catch { case _: Exception => false }
+      try tables.forall { t =>
+        spark.sessionState.catalog.getTempView(t)
+          .exists(_.output.exists(_.name == canaryCol(t)))
+      } catch { case _: Exception => false }
     if (dir != null && (dir != last || !viewsIntact)) {
       tables.foreach { t =>
         val df = spark.read.parquet(s"$dir/$t.parquet")

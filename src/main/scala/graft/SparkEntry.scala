@@ -677,7 +677,7 @@ object SparkEntry {
         GraftSession.prepare(s, dir)
         import org.apache.spark.sql.functions.{col, expr, timestamp_millis}
         val ev = s.sql(s"SELECT * FROM $eventsMsSpark")
-        val root = java.nio.file.Files.createTempDirectory("graft_ssj_").toString
+        val root = GraftSession.tempDir("graft_ssj_")
         ev.where("event_type = 'click'").select("event_id", "user_id", "ts_ms")
           .write.parquet(s"$root/l")
         ev.where("event_type = 'error'").select("event_id", "user_id", "ts_ms", "value_c")
@@ -1123,18 +1123,8 @@ object SparkEntry {
         GraftSession.prepare(s, dir)
         import org.apache.spark.sql.functions.{col, count, expr, lit, max => fmax, min => fmin, session_window, timestamp_millis}
         val ev = s.sql(s"SELECT user_id, event_id, ts_ms FROM $eventsMsSpark")
-        val expected = s.sql(
-          s"""SELECT count(*) FROM (SELECT DISTINCT user_id, session_id FROM (
-                SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                  ROWS UNBOUNDED PRECEDING) AS session_id
-                FROM (SELECT user_id, event_id, ts_ms,
-                        CASE WHEN lag(ts_ms) OVER w IS NULL
-                             OR ts_ms - lag(ts_ms) OVER w > 14400000 THEN 1 ELSE 0 END AS new_sess
-                      FROM $eventsMsSpark
-                      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))))""")
-          .collect()(0).getLong(0)
         val flushTs = 4102444800000L // 2100-01-01: past any event, closes every session
-        val root = java.nio.file.Files.createTempDirectory("graft_sw_").toString
+        val root = GraftSession.tempDir("graft_sw_")
         ev.write.parquet(s"$root/in")
         val flush = ev.select("user_id").distinct()
           .select(col("user_id"), lit(-1L).as("event_id"), lit(flushTs).as("ts_ms"))
@@ -1154,9 +1144,15 @@ object SparkEntry {
           try s.read.parquet(s"$root/out").count() catch { case _: Exception => -1L }
         try {
           q.processAllAvailable()
-          var i = 0
-          while (i < 6 && landed < expected) {
-            flush.write.mode("append").parquet(s"$root/in"); q.processAllAvailable(); i += 1
+          // Loop until the landed count is STABLE across a flush round
+          // (at least two rounds: one to advance the watermark past every
+          // event, one to commit what that advancement released). No
+          // batch pre-count — the timed entry bills only stream + flush
+          // work, so its bench number is comparable round over round.
+          var prev = -1L; var cur = landed; var i = 0
+          while (i < 6 && (cur != prev || i < 2)) {
+            flush.write.mode("append").parquet(s"$root/in"); q.processAllAvailable()
+            prev = cur; cur = landed; i += 1
           }
         } finally q.stop()
         s.read.parquet(s"$root/out")
@@ -2008,15 +2004,22 @@ object SparkEntry {
                        ELSE ' tel +1-555-' ||
                             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END AS text
            FROM documents)
+         , staged AS (
+           SELECT doc_id, text,
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS after_email
+           FROM aug),
+         staged2 AS (
+           SELECT doc_id, text, after_email,
+                  regexp_replace(after_email,
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS after_ip
+           FROM staged)
          SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-                CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-                CAST(len(regexp_extract_all(text, '\+1-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
-                md5(regexp_replace(regexp_replace(regexp_replace(text,
-                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
-                      '\+1-\d{3}-\d{4}', '[PHONE]', 'g')) AS digest
-         FROM aug ORDER BY doc_id""")
+                CAST(len(regexp_extract_all(after_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(after_ip, '\+1-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(after_ip, '\+1-\d{3}-\d{4}', '[PHONE]', 'g')) AS digest
+         FROM staged2 ORDER BY doc_id""")
 
     m += "q_lang_id" -> op(
       (s, dir) => GraftSession.table(s, dir, "documents")
@@ -2448,6 +2451,7 @@ object SparkEntry {
                FROM c CROSS JOIN s)
          SELECT c_custkey, s_suppkey, inter, nc + ns - inter AS uni
          FROM j WHERE inter * 3 >= nc + ns - inter
+           AND nc > 0 AND ns > 0
          ORDER BY c_custkey, s_suppkey""")
 
     // Count-min sketch heavy hitters: the mergeable fixed-size frequency
@@ -2503,7 +2507,7 @@ object SparkEntry {
         GraftSession.prepare(s, dir)
         import org.apache.spark.sql.functions.{count => fcount, explode => fexplode, expr => fexpr, lit => flit, split => fsplit, sum => fsum}
         val docs = GraftSession.table(s, dir, "documents").select("doc_id", "text")
-        val root = java.nio.file.Files.createTempDirectory("graft_cms_").toString
+        val root = GraftSession.tempDir("graft_cms_")
         docs.coalesce(1).write.parquet(s"$root/in")
         val bucketOf = "CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', token)), 1, 15), 16, 10) AS BIGINT) % 16"
         val cells = s.readStream.schema(docs.schema).parquet(s"$root/in")
@@ -2629,7 +2633,7 @@ object SparkEntry {
       (s, dir) => {
         GraftSession.prepare(s, dir)
         val src = GraftSession.table(s, dir, table)
-        val root = java.nio.file.Files.createTempDirectory("graft_sdd_").toString
+        val root = GraftSession.tempDir("graft_sdd_")
         src.coalesce(1).write.parquet(s"$root/in")
         val stream = s.readStream.schema(src.schema).parquet(s"$root/in")
         val q = pairs(stream).writeStream.outputMode("append").format("parquet")
@@ -2638,6 +2642,16 @@ object SparkEntry {
         try q.processAllAvailable() finally q.stop()
         val losers = (try s.read.parquet(s"$root/out")
           catch { case _: Exception => s.emptyDataFrame.select() })
+        // the batch oracle is only valid while no LSH bucket overflowed
+        // the online cap — the state fn emits a marker row when one does,
+        // and that must fail HERE, loudly, not as an opaque hash mismatch
+        if (losers.columns.contains("__lid") &&
+            !losers.where(col("__lid") === graft.streaming.StreamingDedup
+              .OverflowMarker).isEmpty)
+          throw new IllegalStateException(
+            s"$table streaming dedup: an LSH bucket exceeded the online " +
+            "cap — the batch oracle no longer matches this stream's " +
+            "first-cap semantics; raise maxBucket or re-derive the oracle")
         val loserIds =
           if (losers.columns.contains("__rid"))
             losers.select(col("__rid").as(idColName)).distinct()

@@ -22,17 +22,21 @@ object Pii {
   /** Adds `n_emails`/`n_ips`/`n_phones` match counts and `redacted`
     * (emails -> [EMAIL], IPv4 -> [IP], phones -> [PHONE]; email masking
     * runs first so an address's digit runs can't half-match as numbers).
+    *
+    * Counts are applied-mask counts, not raw-text detections: each stage
+    * counts on the text the PREVIOUS stage already redacted, so a
+    * digit-dotted email local part (1.2.3.4@x.com) that an IP scan over
+    * the raw text would double-count is swallowed by [EMAIL] and counted
+    * once — `n_*` always equals the number of `[*]` masks visible in
+    * `redacted`.
     */
   def redact(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "[IP]")
     df.withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("long"))
-      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)).cast("long"))
-      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("long"))
-      .withColumn("redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, EmailRe, "[EMAIL]"),
-            Ipv4Re, "[IP]"),
-          PhoneRe, "[PHONE]"))
+      .withColumn("n_ips", regexp_count(afterEmail, lit(Ipv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(afterIp, lit(PhoneRe)).cast("long"))
+      .withColumn("redacted", regexp_replace(afterIp, PhoneRe, "[PHONE]"))
   }
 }

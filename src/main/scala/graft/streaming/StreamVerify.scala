@@ -49,7 +49,7 @@ object StreamVerify {
                     latenessMs: Long = 0, tileGranularityMs: Long = 60000L,
                     statePartitions: Int = 8,
                     engine: String = "tws"): DataFrame = {
-    val root = Files.createTempDirectory("graft_stream_sql_").toString
+    val root = graft.GraftSession.tempDir("graft_stream_sql_")
     val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
     input.write.parquet(inDir)
     val expected = spark.read.parquet(inDir).count()
@@ -98,7 +98,7 @@ object StreamVerify {
                       checkpointDir: String = null,
                       statePartitions: Int = 8,
                       useTws: Boolean = false): DataFrame = {
-    val root = Files.createTempDirectory("graft_stream_").toString
+    val root = graft.GraftSession.tempDir("graft_stream_")
     val inDir = s"$root/in"; val outDir = s"$root/out"
     val ckpt = if (checkpointDir == null) s"$root/ckpt" else checkpointDir
 

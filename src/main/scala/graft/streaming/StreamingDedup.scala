@@ -47,6 +47,14 @@ object StreamingDedup {
 
   private val P31 = Dedup.P31
 
+  /** `__lid` sentinel emitted when a bucket is already at `maxBucket` and
+    * turns an arrival away: past this point the stream's first-cap
+    * semantics diverge from batch [[Dedup.capBuckets]] (which drops the
+    * whole over-cap bucket), so any batch-oracle comparison is invalid.
+    * Never collides with a real id (ids are non-negative in every source).
+    */
+  val OverflowMarker: Long = Long.MinValue
+
   /** The per-row MinHash signature as ONE codegen'd column (array of
     * `numHashes` longs), bit-identical to the batch aggregate's: same
     * shingle positions (`sequence(1, greatest(len-k+1, 1))`, short texts
@@ -92,7 +100,14 @@ object StreamingDedup {
       // ascending id within the batch: deterministic arrival order, and
       // the order that matches the batch pipeline's lid < rid
       rows.toSeq.sortBy(_._2).foreach { case (_, id, sigSeq) =>
-        if (members.size < maxBucket && !members.exists(_._1 == id)) {
+        if (members.size >= maxBucket) {
+          // hot-bucket overflow marker (lid = OverflowMarker): the online
+          // first-cap deviates from batch capBuckets beyond this point, so
+          // the batch oracle is no longer valid — consumers comparing
+          // against a batch replay must fail loudly instead of surfacing
+          // an opaque hash mismatch
+          out += ((OverflowMarker, id))
+        } else if (!members.exists(_._1 == id)) {
           val sig = sigSeq.toArray
           members.foreach { case (mid, msig) =>
             var eq = 0; var i = 0
@@ -142,7 +157,9 @@ object StreamingDedup {
       var members = state.getOption.map(unpackVec(_, dim)).getOrElse(Vector.empty)
       val out = Vector.newBuilder[(Long, Long)]
       rows.toSeq.sortBy(_._2).foreach { case (_, id, qvSeq) =>
-        if (members.size < maxBucket && !members.exists(_._1 == id)) {
+        if (members.size >= maxBucket) {
+          out += ((OverflowMarker, id)) // see minhashStreamingPairs
+        } else if (!members.exists(_._1 == id)) {
           val qv = qvSeq.toArray
           var n2 = 0L; var i = 0
           while (i < dim) { n2 += qv(i) * qv(i); i += 1 }

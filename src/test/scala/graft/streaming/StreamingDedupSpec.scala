@@ -117,9 +117,13 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
     val pairs = spark.table("sdedup_cap")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // members 1,2 fill the bucket (cap 2): the only pair is (1,2); docs
-    // 3,4 hit the full bucket and are excluded from candidate generation
-    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // members 1,2 fill the bucket (cap 2): the only REAL pair is (1,2);
+    // docs 3,4 hit the full bucket, are excluded from candidate
+    // generation, and each surfaces as a loud overflow marker so a
+    // batch-oracle consumer can refuse the comparison instead of
+    // hash-mismatching
+    val M = StreamingDedup.OverflowMarker
+    assert(pairs == Set((1L, 2L), (M, 3L), (M, 4L)), s"got $pairs")
   }
 
   test("dedup state survives kill + restart: combined pairs exactly-once equal batch") {
@@ -223,6 +227,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
     val pairs = spark.table("sdedup_emb_cap")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((10L, 5L)), s"got $pairs")
+    // 7 overflowed the cap-2 bucket: no compare, loud marker instead
+    assert(pairs == Set((10L, 5L), (StreamingDedup.OverflowMarker, 7L)),
+      s"got $pairs")
   }
 }
