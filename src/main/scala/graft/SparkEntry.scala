@@ -733,13 +733,16 @@ object SparkEntry {
         // stderr so bench runs record WHY the number is what it is
         val progs = q.recentProgress
         val st = progs.flatMap(_.stateOperators).toSeq
-        System.err.println(
+        val ssjLine =
           s"[ssj] provider=$provider maxFiles=${maxFiles.getOrElse(-1)} " +
             s"triggers=${progs.length} " +
             s"stateRowsTotal=${if (st.nonEmpty) st.map(_.numRowsTotal).max else -1} " +
             s"stateRowsUpdated=${st.map(_.numRowsUpdated).sum} " +
             s"commitMsSum=${progs.map(p => Option(p.durationMs.get("commitOffsets")).map(_.longValue).getOrElse(0L)).sum} " +
-            s"addBatchMsSum=${progs.map(p => Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)).sum}")
+            s"addBatchMsSum=${progs.map(p => Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)).sum}"
+        System.err.println(ssjLine)
+        // also into the bench summary JSON — stderr tails get clipped
+        graft.BenchCounters.put("ssj", ssjLine)
         if (sys.env.contains("SPARK_GRAFT_SSJ_DEBUG"))
           progs.foreach(p => System.err.println(s"[ssj-trigger] ${p.json}"))
         s.read.parquet(s"$root/out").orderBy("event_id", "e_event_id")

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * targets an external KV / Delta MERGE instead — the store is the
   * serving-parity and test path, not the 100 TB state backend.
   */
-final class FeatureStore {
+final class FeatureStore extends FeatureLookup {
 
   private val m = new ConcurrentHashMap[String, FeatureStore.Entry]()
 
@@ -26,9 +26,20 @@ final class FeatureStore {
     m.merge(key, FeatureStore.Entry(tsMs, values),
       (old, nw) => if (nw.tsMs >= old.tsMs) nw else old)
 
-  def get(key: String): Option[FeatureStore.Entry] = Option(m.get(key))
-  def size: Int = m.size
-  def keys: Seq[String] = { import scala.jdk.CollectionConverters._; m.keySet.asScala.toSeq }
+  override def get(key: String): Option[FeatureStore.Entry] = Option(m.get(key))
+  override def size: Int = m.size
+  override def keys: Seq[String] =
+    { import scala.jdk.CollectionConverters._; m.keySet.asScala.toSeq }
+}
+
+/** What the HTTP serving layer needs from a feature store — implemented
+  * by the driver-map [[FeatureStore]] (serving-parity/test path) and the
+  * scale path [[ShardedFeatureStore]] (key-routed per-shard logs).
+  */
+trait FeatureLookup {
+  def get(key: String): Option[FeatureStore.Entry]
+  def size: Int
+  def keys: Seq[String]
 }
 
 object FeatureStore {

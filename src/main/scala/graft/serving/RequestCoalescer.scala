@@ -92,8 +92,16 @@ final class RequestCoalescer(buffer: ServingBuffer, maxBatch: Int = 1024,
   def submit(key: String, atTs: Option[Long]): CompletableFuture[Result] = {
     val f = new CompletableFuture[Result]()
     var inline = false
+    // backlog-sticky gate: once a drainer has seen a real burst (batch
+    // size > 1) the load is past what inline evals keep up with — drop
+    // the inline admission to just the drainer count for a short window
+    // so the burst keeps coalescing instead of being nibbled one request
+    // at a time. An idle server decays back to the full inline limit.
+    val limit =
+      if (System.nanoTime() - lastBacklogNanos < BacklogStickyNanos) drainers
+      else inlineLimit
     if (running && queue.isEmpty) {
-      if (inFlight.incrementAndGet() <= inlineLimit) inline = true
+      if (inFlight.incrementAndGet() <= limit) inline = true
       else inFlight.decrementAndGet()
     }
     if (inline) {
@@ -114,6 +122,8 @@ final class RequestCoalescer(buffer: ServingBuffer, maxBatch: Int = 1024,
     math.max(drainers, Runtime.getRuntime.availableProcessors() / 4)
   private val inFlight = new AtomicLong(0)
   private val nInline = new AtomicLong(0)
+  @volatile private var lastBacklogNanos = Long.MinValue / 2
+  private val BacklogStickyNanos = 100L * 1000 * 1000 // 100 ms
 
   private def drainLoop(): Unit = {
     val batch = new java.util.ArrayList[(String, Option[Long], CompletableFuture[Result])](maxBatch)
@@ -128,6 +138,7 @@ final class RequestCoalescer(buffer: ServingBuffer, maxBatch: Int = 1024,
         batch.add(head)
         queue.drainTo(batch, maxBatch - 1)
         val n = batch.size
+        if (n > 1) lastBacklogNanos = System.nanoTime()
         nBatches.incrementAndGet(); nRequests.addAndGet(n.toLong)
         largest.accumulateAndGet(n.toLong, math.max)
         val reqs = new Array[(String, Option[Long])](n)

@@ -25,7 +25,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * Built on the JDK's HttpServer (no extra dependencies); JSON via
   * Jackson, which Spark already ships.
   */
-final class RequestServer(store: FeatureStore, port: Int = 0,
+final class RequestServer(store: FeatureLookup, port: Int = 0,
                           live: Option[ServingBuffer] = None,
                           coalesce: Boolean = false,
                           workers: Int = 8) {

@@ -105,9 +105,12 @@ final class ServingBuffer(val specs: Seq[AggSpec]) {
       : IndexedSeq[Option[(Long, Seq[(String, Any)])]] = {
     val in = reqs.toIndexedSeq
     val out = new Array[Option[(Long, Seq[(String, Any)])]](in.length)
-    // fork-join submission costs more than a handful of folds: stay
-    // serial for micro-batches, fan out only when the burst is real
-    if (in.length < 8) {
+    // a batch only forms when the server is saturated and folds are the
+    // bottleneck, so fan out from size 2: a deep-frame fold costs
+    // milliseconds and serializing even a small burst on the drainer
+    // thread throws away the batching win (fork-join submission is ~µs,
+    // and cheap repeated folds are absorbed by the per-key memo anyway)
+    if (in.length < 2) {
       var i = 0
       while (i < in.length) { out(i) = eval(in(i)._1, in(i)._2); i += 1 }
     } else

@@ -1,0 +1,255 @@
+package graft.serving
+
+import java.io.{File, RandomAccessFile}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.concurrent.ConcurrentHashMap
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature store SHARDED off the driver — the scale-out form of
+  * [[FeatureStore]]'s driver map, shaped like the reference's serving
+  * path: sink batches are routed to per-shard storage by a hash of the
+  * key (the reference's RequestRoute partition strategy,
+  * src/runtime/partition.rs:131-152 — `hash(key) % num_workers` picks
+  * the worker owning that key's state), and a lookup touches exactly one
+  * shard.
+  *
+  * Layout: `root/shard-NNNNN/data.log`, an append-only record log per
+  * shard (bitcask shape). Upserts run INSIDE Spark executors
+  * ([[ShardedFeatureStore.upsertBatch]]): the micro-batch is reduced to
+  * its newest row per key, hash-partitioned so each shard's rows land in
+  * exactly one task, and appended by that task — the driver never
+  * collects a batch, and a 1000-executor job writes 1000-way parallel.
+  * On a cluster `root` is shared storage (or each serving node mounts
+  * its own shards); in local mode it is a temp dir.
+  *
+  * The serving side ([[ShardedFeatureStore]]) holds per shard only an
+  * OFFSET INDEX — key -> (tsMs, file offset, record length), ~40 bytes +
+  * key per entry — and reads the feature payload from disk on lookup.
+  * That is the memory bound that moved off the driver: the driver map
+  * held every key's full feature row in one JVM; here a serving node
+  * holds `O(keys_in_its_shards)` index entries and zero payloads, and
+  * shards split the key space, so millions of keys x wide feature rows
+  * no longer have to fit one heap.
+  *
+  * Readers discover writes by TAILING the log: each lookup compares the
+  * shard file's length to the last parsed position and parses only the
+  * delta (one `File.length` call when nothing changed). Writer and
+  * reader share nothing but the log file, so the two sides can be
+  * different JVMs / machines; a torn tail record (length prefix present,
+  * bytes still in flight) is simply not advanced past until complete.
+  * Last-write-wins by event time, ties to the later log position —
+  * matching [[FeatureStore.upsert]] merge semantics.
+  */
+final class ShardedFeatureStore(val root: String, val numShards: Int)
+    extends FeatureLookup {
+
+  import ShardedFeatureStore._
+
+  private final case class Loc(tsMs: Long, offset: Long, length: Int)
+
+  // per-shard offset index + how far into the log it has parsed
+  private val index: Array[ConcurrentHashMap[String, Loc]] =
+    Array.fill(numShards)(new ConcurrentHashMap[String, Loc]())
+  private val tailPos: Array[java.util.concurrent.atomic.AtomicLong] =
+    Array.fill(numShards)(new java.util.concurrent.atomic.AtomicLong(0L))
+
+  private def logFile(shard: Int): File =
+    Paths.get(root, f"shard-$shard%05d", "data.log").toFile
+
+  /** Parse any records appended since the last refresh into the offset
+    * index. Cheap when nothing changed (a file-length probe); serialized
+    * per shard so concurrent lookups do not double-parse a delta.
+    */
+  private def refresh(shard: Int): Unit = {
+    val f = logFile(shard)
+    val len = f.length() // 0 when absent
+    val from = tailPos(shard).get()
+    if (len > from) tailPos(shard).synchronized {
+      val start = tailPos(shard).get() // re-check under the lock
+      if (len > start) {
+        val raf = new RandomAccessFile(f, "r")
+        try {
+          raf.seek(start)
+          var pos = start
+          var done = false
+          while (!done && pos + 4 <= len) {
+            val recLen = raf.readInt()
+            if (recLen <= 0 || pos + 4 + recLen > len) done = true // torn tail
+            else {
+              val rec = new Array[Byte](recLen)
+              raf.readFully(rec)
+              val buf = ByteBuffer.wrap(rec)
+              val keyLen = buf.getInt
+              val keyBytes = new Array[Byte](keyLen)
+              buf.get(keyBytes)
+              val key = new String(keyBytes, StandardCharsets.UTF_8)
+              val tsMs = buf.getLong
+              val payloadOff = pos + 4 + 4 + keyLen + 8
+              val payloadLen = recLen - 4 - keyLen - 8
+              val loc = Loc(tsMs, payloadOff, payloadLen)
+              // later log position wins ties — batch emission order,
+              // exactly FeatureStore.upsert's merge
+              index(shard).merge(key, loc,
+                (old, nw) => if (nw.tsMs >= old.tsMs) nw else old)
+              pos += 4 + recLen
+            }
+          }
+          tailPos(shard).set(pos)
+        } finally raf.close()
+      }
+    }
+  }
+
+  /** Route to the key's shard, tail any new log records, read the
+    * payload from disk. One shard touched per lookup.
+    */
+  override def get(key: String): Option[FeatureStore.Entry] = {
+    val shard = shardOf(key, numShards)
+    refresh(shard)
+    Option(index(shard).get(key)).map { loc =>
+      val raf = new RandomAccessFile(logFile(shard), "r")
+      try {
+        raf.seek(loc.offset)
+        val payload = new Array[Byte](loc.length)
+        raf.readFully(payload)
+        FeatureStore.Entry(loc.tsMs, parsePayload(payload))
+      } finally raf.close()
+    }
+  }
+
+  override def size: Int = {
+    (0 until numShards).foreach(refresh)
+    index.map(_.size).sum
+  }
+
+  override def keys: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    (0 until numShards).foreach(refresh)
+    index.toSeq.flatMap(_.keySet.asScala)
+  }
+}
+
+object ShardedFeatureStore {
+
+  /** The key -> shard route — one stable hash on both the Spark write
+    * path and the serving lookup path (the reference's RequestRoute,
+    * src/runtime/partition.rs:131-152). md5-prefix keeps it portable
+    * across JVMs and engines (same contract as the dedup family's
+    * hash31).
+    */
+  def shardOf(key: String, numShards: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(StandardCharsets.UTF_8))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (h % numShards).toInt
+  }
+
+  /** `foreachBatch` upsert sink, executor-side: reduce the batch to its
+    * newest row per key (same `__seq` tie-break contract as
+    * [[FeatureStore.upsertBatch]]), hash-partition so each shard is
+    * written by exactly ONE task, and append to that shard's log. Driver
+    * transfer: zero rows.
+    */
+  def upsertBatch(root: String, numShards: Int, keyCol: String, tsCol: String)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val hasSeq = batch.schema.fieldNames.contains("__seq")
+      val ord =
+        if (hasSeq) Seq(col(tsCol).desc, col("__seq").desc)
+        else Seq(col(tsCol).desc)
+      val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      val latest = batch.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+      val names = latest.schema.fieldNames.filter(n => n != "__seq")
+      val nShards = numShards
+      val rootPath = root
+      val kCol = keyCol
+      val tCol = tsCol
+      latest
+        .withColumn("__shard",
+          expr(s"CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 8), 16, 10) " +
+            s"AS BIGINT) % $numShards"))
+        .repartition(numShards, col("__shard"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          writePartition(rows, rootPath, nShards, kCol, tCol, names)
+        }
+    }
+  }
+
+  /** One task's append pass: group its rows by shard (hash partitioning
+    * put each shard's rows in one task, but one task can own several
+    * shard ids), serialize, append each shard's records with a single
+    * channel write.
+    */
+  private def writePartition(rows: Iterator[org.apache.spark.sql.Row],
+                             root: String, numShards: Int,
+                             keyCol: String, tsCol: String,
+                             names: Array[String]): Unit = {
+    val mapper = new ObjectMapper()
+    val byShard = scala.collection.mutable.Map[Int, java.io.ByteArrayOutputStream]()
+    rows.foreach { r =>
+      val key = String.valueOf(r.getAs[Any](keyCol))
+      val ts = r.getAs[Number](tsCol).longValue()
+      val node = mapper.createObjectNode()
+      names.iterator.filter(_ != keyCol).foreach { n =>
+        putAny(node, n, r.getAs[Any](n))
+      }
+      val payload = mapper.writeValueAsBytes(node)
+      val keyBytes = key.getBytes(StandardCharsets.UTF_8)
+      val recLen = 4 + keyBytes.length + 8 + payload.length
+      val buf = ByteBuffer.allocate(4 + recLen)
+      buf.putInt(recLen).putInt(keyBytes.length).put(keyBytes)
+        .putLong(ts).put(payload)
+      byShard.getOrElseUpdate(shardOf(key, numShards),
+        new java.io.ByteArrayOutputStream()).write(buf.array())
+    }
+    byShard.foreach { case (shard, bytes) =>
+      val dir = Paths.get(root, f"shard-$shard%05d")
+      Files.createDirectories(dir)
+      val ch = FileChannel.open(dir.resolve("data.log"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.APPEND)
+      try ch.write(ByteBuffer.wrap(bytes.toByteArray)) finally ch.close()
+    }
+  }
+
+  private def putAny(o: ObjectNode, n: String, v: Any): Unit = v match {
+    case null                 => o.putNull(n)
+    case d: java.lang.Double  => o.put(n, d.doubleValue())
+    case f: java.lang.Float   => o.put(n, f.doubleValue())
+    case l: java.lang.Long    => o.put(n, l.longValue())
+    case i: java.lang.Integer => o.put(n, i.longValue())
+    case s: java.lang.Short   => o.put(n, s.longValue())
+    case b: java.lang.Boolean => o.put(n, b.booleanValue())
+    case bd: java.math.BigDecimal => o.put(n, bd.doubleValue())
+    case s                    => o.put(n, String.valueOf(s))
+  }
+
+  private[serving] def parsePayload(bytes: Array[Byte]): Map[String, Any] = {
+    val mapper = new ObjectMapper()
+    val node = mapper.readTree(bytes)
+    val it = node.fields()
+    val b = Map.newBuilder[String, Any]
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue
+      b += e.getKey -> (
+        if (v.isNull) null
+        else if (v.isIntegralNumber) v.asLong()
+        else if (v.isFloatingPointNumber) v.asDouble()
+        else if (v.isBoolean) v.asBoolean()
+        else v.asText())
+    }
+    b.result()
+  }
+}
