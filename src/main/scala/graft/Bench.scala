@@ -613,7 +613,12 @@ object Bench {
       if (!runWorkload("streaming")) "null" else
       try {
         val (recs, sec) = streamingWorkload(spark)
+        // per-stage trigger attribution for the ENGINE-BOUND run only
+        // (the cadence-bound run's split is dominated by trigger cadence)
+        graft.streaming.EngineProfile.reset()
         val (recsEb, secEb) = streamingEngineBound(spark)
+        BenchCounters.put("engine_profile",
+          graft.streaming.EngineProfile.snapshot)
         f"""{"records":$recs,"elapsed_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f,"keys":4,"range_ms":1000,"batch_records":1000,"engine_bound_elapsed_sec":$secEb%.3f,"engine_bound_records_per_sec":${recsEb / secEb}%.1f}"""
       } catch { case e: Throwable =>
         errors("streaming_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)

@@ -801,14 +801,17 @@ object SlidingWindows {
 
     val fn = (key: String, rows: Iterator[(Long, String, Seq[Double], Seq[String], java.sql.Timestamp)],
               state: GroupState[Array[Byte]]) => {
+      val t0 = System.nanoTime()
       val st = state.getOption.map(StateCodec.decodeKeyState(_, grans, needs))
         .getOrElse(new KeyState)
+      val t1 = System.nanoTime()
       val wm = state.getCurrentWatermarkMs()
       // ingest (drop terminal-flush sentinels and already-emitted positions)
       ingestChunk(st, rows.collect {
         case r if r._1 != FLUSH_TS && r._1 > st.emittedTs =>
           (r._1, r._3.toArray, r._4.toArray)
       }, grans, needs)
+      val t2 = System.nanoTime()
       // advance: emit every buffered row with ts <= wm not yet emitted
       val out = mutable.ArrayBuffer.empty[Row]
       val buf = st.buffer
@@ -822,11 +825,12 @@ object SlidingWindows {
         st.emittedTs = ts; st.emittedSeq = seq
         i += 1
       }
+      val t3 = System.nanoTime()
       // prune: drop the emitted prefix no future frame can reference —
       // a row is droppable only if it fails BOTH the RANGE horizon
       // (ts < emittedTs - maxRange) and the ROWS lookback (more than
       // maxRows before the first unemitted row).
-      {
+      locally {
         val tsHorizon = st.emittedTs - maxRangeMs
         var tsOk = 0
         while (tsOk < buf.length && buf(tsOk)._1 < tsHorizon) tsOk += 1
@@ -839,6 +843,8 @@ object SlidingWindows {
         }
       }
       state.update(StateCodec.encodeKeyState(st))
+      EngineProfile.add(t1 - t0, t2 - t1, t3 - t2,
+        System.nanoTime() - t3, out.length)
       // wake up when the watermark reaches the earliest unemitted row
       var j = 0
       while (j < buf.length && ordLeq(buf(j)._1, buf(j)._2, st.emittedTs, st.emittedSeq)) j += 1
@@ -943,4 +949,43 @@ object SlidingWindows {
       .select(Seq(lit(FLUSH_TS).as(tsMsCol), col(keyCol)) ++
         valueCols.map(c => lit(0.0).as(c)) ++
         strCols.map(c => lit(null).cast("string").as(c)): _*)
+}
+
+/** Per-trigger-call cost attribution for the FMGWS engine — where does a
+  * state-function invocation spend its time: state decode, chunk ingest
+  * (sort + merge + tile update), the per-emitted-row accumulator fold, or
+  * prune + state encode. Static counters: in local mode (the bench) every
+  * task shares the JVM, so [[snapshot]] after a run is the whole query's
+  * split; on a cluster the counters are per-executor dev instrumentation.
+  * Overhead is four `System.nanoTime` calls per (key, trigger) — noise
+  * against ms-scale work.
+  */
+object EngineProfile {
+  import java.util.concurrent.atomic.AtomicLong
+  private val decodeNs = new AtomicLong
+  private val ingestNs = new AtomicLong
+  private val foldNs = new AtomicLong
+  private val encodeNs = new AtomicLong
+  private val calls = new AtomicLong
+  private val emitted = new AtomicLong
+
+  private[streaming] def add(decode: Long, ingest: Long, fold: Long,
+                             encode: Long, rows: Int): Unit = {
+    decodeNs.addAndGet(decode); ingestNs.addAndGet(ingest)
+    foldNs.addAndGet(fold); encodeNs.addAndGet(encode)
+    calls.incrementAndGet(); emitted.addAndGet(rows.toLong)
+    ()
+  }
+
+  def reset(): Unit = {
+    Seq(decodeNs, ingestNs, foldNs, encodeNs, calls, emitted).foreach(_.set(0))
+  }
+
+  /** One attribution line: ms per stage + call/row counts. */
+  def snapshot: String = {
+    def ms(n: AtomicLong): String = f"${n.get / 1e6}%.1f"
+    s"decodeMs=${ms(decodeNs)} ingestMs=${ms(ingestNs)} " +
+      s"foldMs=${ms(foldNs)} encodeMs=${ms(encodeNs)} " +
+      s"stateCalls=${calls.get} rowsEmitted=${emitted.get}"
+  }
 }
