@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Synthesizes an sf1-equivalent testdata directory from sf0.1 for
+  * scale-divergence runs (the driver ships sf0.001/0.01/0.1 only):
+  * each scaled table is `factor` copies of the original, perturbed so
+  * the DENSITY of the structure the heavy operators feed on stays
+  * constant instead of exploding:
+  *
+  *  - `documents`: per-copy alphabet rotation over the text (every
+  *    shingle changes, so copies are NOT near-dups of each other) with
+  *    offset doc_ids — each copy is an independent population with the
+  *    original's internal dup structure, so near-dup pair volume scales
+  *    ~linearly, which is what "10x the corpus" means for a dedup at
+  *    constant dup rate. A naive 10x replication would instead make
+  *    every doc a 10-way near-dup cluster — a pair EXPLOSION no real
+  *    corpus growth produces.
+  *  - `customer`/`supplier`: same rotation over names (letters+digits),
+  *    offset keys — fuzzy-join gram populations replicate without
+  *    cross-copy collisions.
+  *  - `events`: user_id/event_id offset per copy, timestamps untouched —
+  *    10x keys at the original per-key density (the horizontal-growth
+  *    axis keyed operators shard on).
+  *  - everything else: copied as-is (present for prepare(), not scaled —
+  *    none of the heavy entries read them).
+  *
+  * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> <factor>
+  */
+object ScaleUp {
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  private val Digits = "0123456789"
+
+  /** Per-copy deterministic rotation map (copy 0 = identity). */
+  private def rotated(i: Int): (String, String) = {
+    def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
+    (Lower + Upper + Digits,
+      rot(Lower, i * 7) + rot(Upper, i * 7) + rot(Digits, i * 3))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val in = args(0); val out = args(1); val factor = args(2).toInt
+    val spark: SparkSession = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copies(t: String)(xform: (DataFrame, Int) => DataFrame): DataFrame = {
+      val base = spark.read.parquet(s"$in/$t.parquet")
+      (0 until factor).map(i => xform(base, i)).reduce(_ unionAll _)
+    }
+
+    val scaled: Map[String, DataFrame] = Map(
+      "documents" -> copies("documents") { (df, i) =>
+        val (from, to) = rotated(i)
+        df.withColumn("doc_id", col("doc_id") + lit(i * 5000L))
+          .withColumn("text", translate(col("text"), from, to))
+      },
+      "customer" -> copies("customer") { (df, i) =>
+        val (from, to) = rotated(i)
+        df.withColumn("c_custkey", col("c_custkey") + lit(i * 1000000L))
+          .withColumn("c_name", translate(col("c_name"), from, to))
+      },
+      "supplier" -> copies("supplier") { (df, i) =>
+        val (from, to) = rotated(i)
+        df.withColumn("s_suppkey", col("s_suppkey") + lit(i * 1000000L))
+          .withColumn("s_name", translate(col("s_name"), from, to))
+      },
+      "events" -> copies("events") { (df, i) =>
+        df.withColumn("user_id", col("user_id") + lit(i * 10000L))
+          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+      })
+
+    GraftSession.tables.foreach { t =>
+      val df = scaled.getOrElse(t, spark.read.parquet(s"$in/$t.parquet"))
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t -> ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}
