@@ -290,8 +290,8 @@ object Bench {
     * request per key.
     */
   private def coldRequestWorkload(spark: org.apache.spark.sql.SparkSession)
-      : (Double, Double, Double, Double, Double, Long) = {
-    import graft.serving.{FeatureStore, RequestServer, RequestServing, ServingBuffer, ShardedFeatureStore}
+      : (Double, Double, Double, Double, Double, Double, Long) = {
+    import graft.serving.{FeatureStore, RequestServer, RequestServing, ServingBuffer, ShardedFeatureStore, ShardedServingBuffer}
     import graft.sources.Datagen
     import graft.streaming.SlidingWindows.{AggSpec, RowsN}
     import org.apache.spark.sql.functions.{col, lit}
@@ -386,11 +386,18 @@ object Bench {
     // direct: each handler thread folds its own key (no coalescer) —
     // the baseline that attributes the coalescer's dispatch cost/win
     val directQps = measure(new RequestServer(store, 0, Some(buffer), workers = 16))
+    // cold LIVE lookups against the sharded row-log buffer: every lookup
+    // routes to its shard, tails the log, folds from the shard's buffers
+    val bufRoot = GraftSession.tempDir("graft_bench_ssb_cold_")
+    ShardedServingBuffer.feedBatch(bufRoot, 8, "key", "ts_ms",
+      Seq("value"), Nil, specs)(input, 0L)
+    val shardedBuf = new ShardedServingBuffer(bufRoot, 8, specs)
+    val shardedLiveQps = measure(new RequestServer(store, 0, Some(shardedBuf), workers = 16))
     val liveServer = new RequestServer(store, 0, Some(buffer),
       coalesce = true, workers = 16)
     val liveQps = measure(liveServer)
     val c = liveServer.coalescer.get
-    (storeQps, shardedQps, directQps, liveQps, c.meanBatch, c.largestBatch)
+    (storeQps, shardedQps, directQps, shardedLiveQps, liveQps, c.meanBatch, c.largestBatch)
   }
 
   /** Saturating cold-burst serving load — the load the request coalescer
@@ -641,9 +648,9 @@ object Bench {
       if (!runWorkload("request")) "null" else
       try {
         val (recs, sec, secU, qps, shardedQps, liveQps) = requestWorkload(spark)
-        val (coldQps, coldShardedQps, coldDirectQps, coldLiveQps, meanBatch, largestBatch) = coldRequestWorkload(spark)
+        val (coldQps, coldShardedQps, coldDirectQps, coldShardedLiveQps, coldLiveQps, meanBatch, largestBatch) = coldRequestWorkload(spark)
         val (satDirectQps, satCoalescedQps, satMeanBatch, satLargestBatch) = saturatingRequestWorkload(spark)
-        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"sharded_lookup_qps":$shardedQps%.1f,"live_lookup_qps":$liveQps%.1f,"cold_keys":2000,"cold_lookup_qps":$coldQps%.1f,"cold_sharded_lookup_qps":$coldShardedQps%.1f,"cold_live_direct_qps":$coldDirectQps%.1f,"cold_live_lookup_qps":$coldLiveQps%.1f,"coalesce_mean_batch":$meanBatch%.1f,"coalesce_largest_batch":$largestBatch,"saturating_direct_qps":$satDirectQps%.1f,"saturating_coalesced_qps":$satCoalescedQps%.1f,"saturating_mean_batch":$satMeanBatch%.1f,"saturating_largest_batch":$satLargestBatch}"""
+        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"sharded_lookup_qps":$shardedQps%.1f,"live_lookup_qps":$liveQps%.1f,"cold_keys":2000,"cold_lookup_qps":$coldQps%.1f,"cold_sharded_lookup_qps":$coldShardedQps%.1f,"cold_live_direct_qps":$coldDirectQps%.1f,"cold_sharded_live_qps":$coldShardedLiveQps%.1f,"cold_live_lookup_qps":$coldLiveQps%.1f,"coalesce_mean_batch":$meanBatch%.1f,"coalesce_largest_batch":$largestBatch,"saturating_direct_qps":$satDirectQps%.1f,"saturating_coalesced_qps":$satCoalescedQps%.1f,"saturating_mean_batch":$satMeanBatch%.1f,"saturating_largest_batch":$satLargestBatch}"""
       } catch { case e: Throwable =>
         errors("request_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"

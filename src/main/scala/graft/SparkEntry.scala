@@ -509,6 +509,48 @@ object SparkEntry {
         AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
       GROUP BY n_name ORDER BY revenue_cp DESC, n_name""")
 
+    // TPC-H Q1 (pricing summary): the canonical wide-aggregate scan — 8
+    // aggregates over one filtered pass, the map-side-partial +
+    // one-exchange shape every OLAP engine is judged on. Money terms
+    // aggregate in exact integer cent(-percent) units; avg terms divide
+    // the exact sums once at the end, so the only doubles in the output
+    // are single divisions of integers (bit-identical across engines).
+    m += "q_tpch_q1" -> both("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_cp,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+                      (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_cpp,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS avg_price,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS avg_disc,
+             CAST(count(*) AS BIGINT) AS count_order
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+
+    // TPC-H Q17 (small-quantity-order revenue): correlated AVG subquery
+    // against the same fact table — Catalyst de-correlates it into an
+    // aggregate on p_partkey joined back to lineitem (one exchange reuse),
+    // never a per-row re-scan. The 0.2*avg threshold compares in exact
+    // integer units: qty*10 < 2*avg_scaled where avg is carried as the
+    // exact (sum, count) pair.
+    m += "q_tpch_q17" -> both("""
+      SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+      FROM lineitem l
+      JOIN part ON p_partkey = l.l_partkey
+      JOIN (SELECT l_partkey,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+                   CAST(count(*) AS BIGINT) AS cq
+            FROM lineitem GROUP BY l_partkey) a
+        ON a.l_partkey = l.l_partkey
+      WHERE p_brand = 'Brand#13'
+        AND CAST(round(l.l_quantity) AS BIGINT) * cq * 5 < sq""")
+
     // TPC-H Q18 (large-volume customer): agg-of-agg — an IN subquery whose
     // HAVING re-aggregates the same fact table, then a 3-way join + final
     // group + top-k. Catalyst plans the IN as a left-semi hash join on

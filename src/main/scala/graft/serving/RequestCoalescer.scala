@@ -21,7 +21,7 @@ import java.util.concurrent.atomic.AtomicLong
   * (batch of 1), a burst self-organizes into few large batches. The same
   * policy the reference's `drain pending` loop implements.
   */
-final class RequestCoalescer(buffer: ServingBuffer, maxBatch: Int = 1024,
+final class RequestCoalescer(buffer: LiveBuffer, maxBatch: Int = 1024,
                              drainers: Int = 4) {
 
   type Result = Option[(Long, Seq[(String, Any)])]

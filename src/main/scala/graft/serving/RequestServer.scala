@@ -26,7 +26,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * Jackson, which Spark already ships.
   */
 final class RequestServer(store: FeatureLookup, port: Int = 0,
-                          live: Option[ServingBuffer] = None,
+                          live: Option[LiveBuffer] = None,
                           coalesce: Boolean = false,
                           workers: Int = 8) {
 

@@ -29,7 +29,18 @@ import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
   * production deployment shards this across a serving tier exactly as it
   * would the store.
   */
-final class ServingBuffer(val specs: Seq[AggSpec]) {
+/** What the live request path needs from a buffer — implemented by the
+  * driver-memory [[ServingBuffer]] (serving-parity/test path) and the
+  * scale path [[ShardedServingBuffer]] (key-routed per-shard row logs).
+  */
+trait LiveBuffer {
+  def specs: Seq[AggSpec]
+  def eval(key: String, atTs: Option[Long] = None): Option[(Long, Seq[(String, Any)])]
+  def evalBatch(reqs: Seq[(String, Option[Long])])
+      : IndexedSeq[Option[(Long, Seq[(String, Any)])]]
+}
+
+final class ServingBuffer(val specs: Seq[AggSpec]) extends LiveBuffer {
 
   private val horizonMs = 2 * specs.map(_.frame).collect { case RangeMs(l) => l }
     .foldLeft(0L)(math.max)

@@ -64,17 +64,29 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
 
   private def logFile(shard: Int): File =
     Paths.get(root, f"shard-$shard%05d", "data.log").toFile
+  private val lastGen: Array[java.util.concurrent.atomic.AtomicLong] =
+    Array.fill(numShards)(new java.util.concurrent.atomic.AtomicLong(0L))
 
   /** Parse any records appended since the last refresh into the offset
     * index. Cheap when nothing changed (a file-length probe); serialized
-    * per shard so concurrent lookups do not double-parse a delta.
+    * per shard so concurrent lookups do not double-parse a delta. A
+    * compaction (detected by the generation sidecar, or by the log
+    * shrinking under the parsed position) invalidates every held offset:
+    * drop the shard index and re-parse the rewritten log from zero.
     */
   private def refresh(shard: Int): Unit = {
     val f = logFile(shard)
     val len = f.length() // 0 when absent
     val from = tailPos(shard).get()
-    if (len > from) tailPos(shard).synchronized {
+    if (len != from) tailPos(shard).synchronized {
+      val gen = genOf(root, shard)
+      if (gen != lastGen(shard).get() || f.length() < tailPos(shard).get()) {
+        index(shard).clear()
+        tailPos(shard).set(0L)
+        lastGen(shard).set(gen)
+      }
       val start = tailPos(shard).get() // re-check under the lock
+      val len = f.length()
       if (len > start) {
         val raf = new RandomAccessFile(f, "r")
         try {
@@ -160,7 +172,8 @@ object ShardedFeatureStore {
     * written by exactly ONE task, and append to that shard's log. Driver
     * transfer: zero rows.
     */
-  def upsertBatch(root: String, numShards: Int, keyCol: String, tsCol: String)
+  def upsertBatch(root: String, numShards: Int, keyCol: String, tsCol: String,
+                  compactBytes: Long = 64L << 20)
                  (batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
       val hasSeq = batch.schema.fieldNames.contains("__seq")
@@ -181,7 +194,7 @@ object ShardedFeatureStore {
             s"AS BIGINT) % $numShards"))
         .repartition(numShards, col("__shard"))
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-          writePartition(rows, rootPath, nShards, kCol, tCol, names)
+          writePartition(rows, rootPath, nShards, kCol, tCol, names, compactBytes)
         }
     }
   }
@@ -194,7 +207,7 @@ object ShardedFeatureStore {
   private def writePartition(rows: Iterator[org.apache.spark.sql.Row],
                              root: String, numShards: Int,
                              keyCol: String, tsCol: String,
-                             names: Array[String]): Unit = {
+                             names: Array[String], compactBytes: Long): Unit = {
     val mapper = new ObjectMapper()
     val byShard = scala.collection.mutable.Map[Int, java.io.ByteArrayOutputStream]()
     rows.foreach { r =>
@@ -219,8 +232,65 @@ object ShardedFeatureStore {
       val ch = FileChannel.open(dir.resolve("data.log"),
         StandardOpenOption.CREATE, StandardOpenOption.WRITE,
         StandardOpenOption.APPEND)
-      try ch.write(ByteBuffer.wrap(bytes.toByteArray)) finally ch.close()
+      val size = try { ch.write(ByteBuffer.wrap(bytes.toByteArray)); ch.size() }
+        finally ch.close()
+      // bitcask merge, run by the task that owns this shard in this
+      // batch — the single-writer-per-shard invariant already holds, so
+      // no writer can append concurrently with the rewrite
+      if (size > compactBytes) compactShard(root, shard)
     }
+  }
+
+  /** Rewrite one shard's log keeping only the newest record per key —
+    * the append-only log otherwise grows with UPDATE volume, not key
+    * count. Protocol readers rely on: write the compacted records to a
+    * tmp file, bump the generation sidecar, then atomically move the tmp
+    * over `data.log`; a reader that sees either the gen change or the
+    * log shrinking under its parsed position drops its offsets and
+    * re-parses. Must only run while no writer can append (the owning
+    * upsert task, between appends).
+    */
+  private[serving] def compactShard(root: String, shard: Int): Unit = {
+    val dir = Paths.get(root, f"shard-$shard%05d")
+    val log = dir.resolve("data.log")
+    val bytes = Files.readAllBytes(log)
+    // newest per key, later log position winning ts ties
+    val latest = scala.collection.mutable.LinkedHashMap[String, (Long, Array[Byte])]()
+    var pos = 0
+    while (pos + 4 <= bytes.length) {
+      val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
+      if (recLen <= 0 || pos + 4 + recLen > bytes.length) pos = bytes.length
+      else {
+        val buf = ByteBuffer.wrap(bytes, pos + 4, recLen)
+        val keyLen = buf.getInt
+        val keyBytes = new Array[Byte](keyLen)
+        buf.get(keyBytes)
+        val key = new String(keyBytes, StandardCharsets.UTF_8)
+        val ts = buf.getLong
+        val rec = java.util.Arrays.copyOfRange(bytes, pos, pos + 4 + recLen)
+        latest.get(key) match {
+          case Some((oldTs, _)) if oldTs > ts => ()
+          case _ => latest.update(key, (ts, rec))
+        }
+        pos += 4 + recLen
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    latest.values.foreach { case (_, rec) => out.write(rec) }
+    val tmp = dir.resolve("data.log.tmp")
+    Files.write(tmp, out.toByteArray)
+    Files.write(dir.resolve("gen"),
+      String.valueOf(genOf(root, shard) + 1).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, log, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Compaction generation of a shard (0 when never compacted; exposed
+    * for specs and ops visibility). */
+  def genOf(root: String, shard: Int): Long = {
+    val p = Paths.get(root, f"shard-$shard%05d", "gen")
+    try new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    catch { case _: Exception => 0L }
   }
 
   private def putAny(o: ObjectNode, n: String, v: Any): Unit = v match {

@@ -1,0 +1,278 @@
+package graft.serving
+
+import java.io.File
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.streaming.SlidingWindows
+import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
+
+/** The live request-evaluation buffer SHARDED off the driver — the scale
+  * path for [[ServingBuffer]], completing what [[ShardedFeatureStore]]
+  * did for the upsert store: the reference serves request-mode features
+  * from per-task window state sharded by key hash across workers
+  * (window_request_operator.rs:90-300 over the RequestRoute partition,
+  * src/runtime/partition.rs:131-152), so no single process holds every
+  * key's row buffer.
+  *
+  * Write path ([[ShardedServingBuffer.feedBatch]]): executors append the
+  * batch's raw engine-input rows (key, ts, value slots, string slots) to
+  * per-shard row logs — hash-partitioned so one task owns each shard's
+  * writes, zero rows collected to the driver. When a shard log outgrows
+  * its threshold the owning task compacts it down to the serving
+  * retention (rows within the frame horizon of the shard's newest ts,
+  * plus each key's ROWS-frame tail), so log size tracks live state, not
+  * total event history.
+  *
+  * Read path: a serving node instantiates this class over the shards it
+  * owns; each lookup routes to the key's shard, TAILS that shard's log
+  * into an in-memory [[ServingBuffer]] (the same horizon-bounded per-key
+  * buffers, the same accumulator folds, the same per-(key, generation)
+  * memo), and evaluates. Memory per node = the frame-bounded buffers of
+  * its own shards' keys only; on a cluster, different nodes mount
+  * different shard subsets and a router (or the reference's RequestRoute
+  * partitioner) sends each key to its owner.
+  */
+final class ShardedServingBuffer(val root: String, val numShards: Int,
+                                 val specs: Seq[AggSpec]) extends LiveBuffer {
+
+  import ShardedServingBuffer._
+
+  private val inner: Array[ServingBuffer] =
+    Array.fill(numShards)(new ServingBuffer(specs))
+  private val tailPos: Array[java.util.concurrent.atomic.AtomicLong] =
+    Array.fill(numShards)(new java.util.concurrent.atomic.AtomicLong(0L))
+  private val lastGen: Array[java.util.concurrent.atomic.AtomicLong] =
+    Array.fill(numShards)(new java.util.concurrent.atomic.AtomicLong(0L))
+
+  private def logFile(shard: Int): File =
+    Paths.get(root, f"shard-$shard%05d", "rows.log").toFile
+
+  /** Tail new rows from the shard's log into its in-memory buffer. A
+    * compaction (gen bump / shrink under the parsed position) resets the
+    * shard: a FRESH ServingBuffer re-ingests the compacted log, which by
+    * construction still holds every row the frames can reference.
+    */
+  private def refresh(shard: Int): Unit = {
+    val f = logFile(shard)
+    val len = f.length()
+    val from = tailPos(shard).get()
+    if (len != from) tailPos(shard).synchronized {
+      val gen = ShardedFeatureStore.genOf(root, shard)
+      if (gen != lastGen(shard).get() || f.length() < tailPos(shard).get()) {
+        inner(shard) = new ServingBuffer(specs)
+        tailPos(shard).set(0L)
+        lastGen(shard).set(gen)
+      }
+      val start = tailPos(shard).get()
+      val curLen = f.length()
+      if (curLen > start) {
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          raf.seek(start)
+          var pos = start
+          val byKey = scala.collection.mutable.LinkedHashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Array[String])]]
+          var done = false
+          while (!done && pos + 4 <= curLen) {
+            val recLen = raf.readInt()
+            if (recLen <= 0 || pos + 4 + recLen > curLen) done = true // torn tail
+            else {
+              val rec = new Array[Byte](recLen)
+              raf.readFully(rec)
+              val (key, row) = decodeRow(rec)
+              byKey.getOrElseUpdate(key,
+                scala.collection.mutable.ArrayBuffer.empty) += row
+              pos += 4 + recLen
+            }
+          }
+          byKey.foreach { case (k, rows) => inner(shard).append(k, rows.toSeq) }
+          tailPos(shard).set(pos)
+        } finally raf.close()
+      }
+    }
+  }
+
+  override def eval(key: String, atTs: Option[Long] = None)
+      : Option[(Long, Seq[(String, Any)])] = {
+    val shard = ShardedFeatureStore.shardOf(key, numShards)
+    refresh(shard)
+    inner(shard).eval(key, atTs)
+  }
+
+  override def evalBatch(reqs: Seq[(String, Option[Long])])
+      : IndexedSeq[Option[(Long, Seq[(String, Any)])]] = {
+    // tail each touched shard once up front, then fan the folds out the
+    // same way the driver-memory buffer does
+    reqs.map(r => ShardedFeatureStore.shardOf(r._1, numShards))
+      .distinct.foreach(refresh)
+    val in = reqs.toIndexedSeq
+    val out = new Array[Option[(Long, Seq[(String, Any)])]](in.length)
+    if (in.length < 2) {
+      var i = 0
+      while (i < in.length) { out(i) = eval(in(i)._1, in(i)._2); i += 1 }
+    } else
+      java.util.stream.IntStream.range(0, in.length).parallel().forEach { i =>
+        out(i) = eval(in(i)._1, in(i)._2)
+      }
+    out.toIndexedSeq
+  }
+
+  def bufferedKeys: Int = {
+    (0 until numShards).foreach(refresh)
+    inner.map(_.bufferedKeys).sum
+  }
+}
+
+object ShardedServingBuffer {
+
+  /** `foreachBatch` feeder, executor-side: append the batch's raw rows to
+    * per-shard logs (hash-partitioned — one task per shard). `FLUSH_TS`
+    * sentinels never land. `compactBytes` bounds each shard log: past it,
+    * the owning task rewrites the log keeping the serving retention
+    * derived from `specs` (RANGE horizon + ROWS tails), mirroring the
+    * reference's state-store pruning.
+    */
+  def feedBatch(root: String, numShards: Int, keyCol: String, tsCol: String,
+                valueCols: Seq[String], strCols: Seq[String],
+                specs: Seq[AggSpec], compactBytes: Long = 64L << 20)
+               (batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val nv = valueCols.length; val ns = strCols.length
+      val horizonMs = 2 * specs.map(_.frame).collect { case RangeMs(l) => l }
+        .foldLeft(0L)(math.max)
+      val keepRows = 2 * specs.map(_.frame).collect { case RowsN(n) => n + 1 }
+        .foldLeft(0)(math.max)
+      val rootPath = root; val nShards = numShards
+      batch.select(
+          col(keyCol).cast("string").as("__k") +: col(tsCol).cast("long").as("__ts") +:
+            (valueCols.map(c => col(c).cast("double")) ++
+              strCols.map(c => col(c).cast("string"))): _*)
+        .where(col("__ts") =!= SlidingWindows.FLUSH_TS && col("__ts").isNotNull)
+        .withColumn("__shard", org.apache.spark.sql.functions.expr(
+          s"CAST(conv(substring(md5(__k), 1, 8), 16, 10) AS BIGINT) % $numShards"))
+        .repartition(numShards, col("__shard"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          writePartition(rows, rootPath, nShards, nv, ns, horizonMs, keepRows,
+            compactBytes)
+        }
+    }
+  }
+
+  private def writePartition(rows: Iterator[org.apache.spark.sql.Row],
+                             root: String, numShards: Int, nv: Int, ns: Int,
+                             horizonMs: Long, keepRows: Int,
+                             compactBytes: Long): Unit = {
+    val byShard = scala.collection.mutable.Map[Int, java.io.ByteArrayOutputStream]()
+    rows.foreach { r =>
+      val key = String.valueOf(r.getString(0))
+      val ts = r.getLong(1)
+      val nums = Array.tabulate(nv)(i =>
+        if (r.isNullAt(2 + i)) 0.0 else r.getDouble(2 + i))
+      val strs = Array.tabulate(ns)(i => r.getString(2 + nv + i))
+      val rec = encodeRow(key, (ts, nums, strs))
+      byShard.getOrElseUpdate(ShardedFeatureStore.shardOf(key, numShards),
+        new java.io.ByteArrayOutputStream()).write(rec)
+    }
+    byShard.foreach { case (shard, bytes) =>
+      val dir = Paths.get(root, f"shard-$shard%05d")
+      Files.createDirectories(dir)
+      val ch = FileChannel.open(dir.resolve("rows.log"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.APPEND)
+      val size = try { ch.write(ByteBuffer.wrap(bytes.toByteArray)); ch.size() }
+        finally ch.close()
+      if (size > compactBytes)
+        compactShard(root, shard, horizonMs, keepRows)
+    }
+  }
+
+  /** Rewrite one shard's row log down to the serving retention: rows
+    * within `horizonMs` of the shard's newest ts, plus each key's last
+    * `keepRows` rows (the ROWS-frame tail). Same gen-bump + atomic-move
+    * protocol as the store's compaction; single-writer-per-shard makes it
+    * safe to run from the owning upsert task.
+    */
+  private[serving] def compactShard(root: String, shard: Int,
+                                    horizonMs: Long, keepRows: Int): Unit = {
+    val dir = Paths.get(root, f"shard-$shard%05d")
+    val log = dir.resolve("rows.log")
+    val bytes = Files.readAllBytes(log)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (Long, Array[Double], Array[String]), Array[Byte])]
+    var pos = 0
+    while (pos + 4 <= bytes.length) {
+      val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
+      if (recLen <= 0 || pos + 4 + recLen > bytes.length) pos = bytes.length
+      else {
+        val rec = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + recLen)
+        val (key, row) = decodeRow(rec)
+        rows += ((key, row, java.util.Arrays.copyOfRange(bytes, pos, pos + 4 + recLen)))
+        pos += 4 + recLen
+      }
+    }
+    if (rows.nonEmpty) {
+      val maxTs = rows.iterator.map(_._2._1).max
+      val floor = maxTs - horizonMs
+      // per-key ROWS tail: indexes of each key's newest keepRows rows
+      val keep = new Array[Boolean](rows.length)
+      rows.zipWithIndex.foreach { case ((_, row, _), i) =>
+        if (row._1 > floor) keep(i) = true
+      }
+      rows.zipWithIndex.groupBy(_._1._1).foreach { case (_, ks) =>
+        ks.sortBy(_._1._2._1).takeRight(math.max(keepRows, 1))
+          .foreach { case (_, i) => keep(i) = true }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      rows.zipWithIndex.foreach { case ((_, _, rec), i) =>
+        if (keep(i)) out.write(rec)
+      }
+      val tmp = dir.resolve("rows.log.tmp")
+      Files.write(tmp, out.toByteArray)
+      Files.write(dir.resolve("gen"),
+        String.valueOf(ShardedFeatureStore.genOf(root, shard) + 1)
+          .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, log, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Row record: [int recLen][int keyLen][key][long ts][int nv][nums]
+    * [int ns][(int len, bytes | -1 for null) per str]. */
+  private[serving] def encodeRow(key: String,
+                                 row: (Long, Array[Double], Array[String])): Array[Byte] = {
+    val (ts, nums, strs) = row
+    val keyB = key.getBytes(StandardCharsets.UTF_8)
+    val strBs = strs.map(s => if (s == null) null else s.getBytes(StandardCharsets.UTF_8))
+    val recLen = 4 + keyB.length + 8 + 4 + 8 * nums.length + 4 +
+      strBs.map(b => 4 + (if (b == null) 0 else b.length)).sum
+    val buf = ByteBuffer.allocate(4 + recLen)
+    buf.putInt(recLen).putInt(keyB.length).put(keyB).putLong(ts)
+    buf.putInt(nums.length); nums.foreach(buf.putDouble)
+    buf.putInt(strBs.length)
+    strBs.foreach { b =>
+      if (b == null) buf.putInt(-1) else { buf.putInt(b.length); buf.put(b) }
+    }
+    buf.array()
+  }
+
+  private[serving] def decodeRow(rec: Array[Byte])
+      : (String, (Long, Array[Double], Array[String])) = {
+    val buf = ByteBuffer.wrap(rec)
+    val keyLen = buf.getInt
+    val keyB = new Array[Byte](keyLen); buf.get(keyB)
+    val ts = buf.getLong
+    val nums = Array.fill(buf.getInt)(buf.getDouble)
+    val strs = Array.fill(buf.getInt) {
+      val l = buf.getInt
+      if (l < 0) null
+      else { val b = new Array[Byte](l); buf.get(b); new String(b, StandardCharsets.UTF_8) }
+    }
+    (new String(keyB, StandardCharsets.UTF_8), (ts, nums, strs))
+  }
+}

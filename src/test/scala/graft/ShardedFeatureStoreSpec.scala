@@ -134,6 +134,44 @@ class ShardedFeatureStoreSpec extends AnyFunSuite {
     assert(reopened.size == 2)
   }
 
+  test("log compaction keeps only the newest record per key and live readers survive it") {
+    import spark.implicits._
+    val root = GraftSession.tempDir("graft_shard_cmp_")
+    val reader = new ShardedFeatureStore(root, numShards = 1)
+    def upsert(rows: Seq[(String, Long, Double)], compactAt: Long = Long.MaxValue): Unit =
+      ShardedFeatureStore.upsertBatch(root, 1, "key", "ts_ms", compactAt)(
+        rows.toDF("key", "ts_ms", "f"), 0L)
+
+    // grow the log with updates to the same 4 keys — size scales with
+    // UPDATE volume until compaction folds it back to key count
+    (1 to 20).foreach { g =>
+      upsert((0 until 4).map(k => (s"k$k", g.toLong, g * 10.0 + k)))
+      // a live reader tails between every batch (holds pre-compaction offsets)
+      assert(reader.get("k0").get.values("f") == g * 10.0)
+    }
+    val log = java.nio.file.Paths.get(root, "shard-00000", "data.log")
+    val before = java.nio.file.Files.size(log)
+    // next upsert trips the threshold and the owning task compacts
+    upsert((0 until 4).map(k => (s"k$k", 21L, 210.0 + k)), compactAt = 1L)
+    val after = java.nio.file.Files.size(log)
+    assert(after < before, s"log did not shrink: $before -> $after")
+    assert(ShardedFeatureStore.genOf(root, 0) == 1L)
+    // the live reader detects the rewrite (gen bump / shrink) and re-parses
+    (0 until 4).foreach { k =>
+      assert(reader.get(s"k$k").get.values("f") == 210.0 + k)
+      assert(reader.get(s"k$k").get.tsMs == 21L)
+    }
+    assert(reader.size == 4)
+    // a fresh reader over the compacted log agrees
+    val fresh = new ShardedFeatureStore(root, numShards = 1)
+    assert(fresh.size == 4)
+    assert(fresh.get("k3").get.values("f") == 213.0)
+    // appends after compaction keep working for both readers
+    upsert(Seq(("k0", 22L, 999.0)))
+    assert(reader.get("k0").get.values("f") == 999.0)
+    assert(fresh.get("k0").get.values("f") == 999.0)
+  }
+
   test("a torn tail record is not served and does not break complete records") {
     import spark.implicits._
     val root = GraftSession.tempDir("graft_shard_torn_")
