@@ -551,6 +551,22 @@ object SparkEntry {
       WHERE p_brand = 'Brand#13'
         AND CAST(round(l.l_quantity) AS BIGINT) * cq * 5 < sq""")
 
+    // TPC-H Q20 (potential part promotion): NESTED IN chains — suppliers
+    // IN (partsupp-less variant: suppliers of parts IN a name filter whose
+    // shipped quantity clears a per-(part,supplier) aggregate threshold).
+    // Two stacked left-semi joins, the inner one against an aggregate of
+    // the fact table — the shape where a naive planner re-scans lineitem
+    // per supplier and Catalyst must not.
+    m += "q_tpch_q20" -> both("""
+      SELECT s_name, s_acctbal
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 50)
+      ORDER BY s_name""")
+
     // TPC-H Q18 (large-volume customer): agg-of-agg — an IN subquery whose
     // HAVING re-aggregates the same fact table, then a 3-way join + final
     // group + top-k. Catalyst plans the IN as a left-semi hash join on

@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.functions.GraftFunctions
-import graft.serving.{FeatureStore, RequestServer, ServingBuffer}
+import graft.serving.{FeatureLookup, FeatureStore, LiveBuffer, RequestServer, ServingBuffer, ShardedFeatureStore, ShardedServingBuffer}
 import graft.sources.{Datagen, Kafka}
 import graft.streaming.SlidingWindows
 import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
@@ -74,12 +74,12 @@ object Pipeline {
       mode: String,
       result: Option[DataFrame],
       query: Option[StreamingQuery],
-      store: Option[FeatureStore],
+      store: Option[FeatureLookup],
       server: Option[RequestServer],
       port: Option[Int],
       /** Raw-row feeder behind live request evaluation (request mode). */
       feeder: Option[StreamingQuery] = None,
-      buffer: Option[ServingBuffer] = None) {
+      buffer: Option[LiveBuffer] = None) {
     def stop(): Unit = {
       query.foreach(_.stop())
       feeder.foreach(_.stop())
@@ -421,18 +421,45 @@ object Pipeline {
   private def startRequestServing(spec: JsonNode, out: DataFrame,
                                   keyCol: String, tsCol: String,
                                   liveFeed: Option[LiveFeed] = None): Handle = {
-    val store = new FeatureStore
+    // `request_source_sink.sharded: {"num_shards": N[, "root": dir]}`
+    // switches the serving tail to the SCALE path: executor-written
+    // per-shard logs for both the upsert store and the live row buffer
+    // (the reference's RequestRoute-sharded serving state), instead of
+    // the driver-memory maps.
+    val shardedCfg = opt(spec, "request_source_sink").flatMap(r => opt(r, "sharded"))
+    val shardRoot = shardedCfg.map(cfg =>
+      text(cfg, "root", graft.GraftSession.tempDir("graft_pipeline_shard_")))
+    val numShards = shardedCfg.flatMap(cfg => opt(cfg, "num_shards"))
+      .map(_.asInt()).getOrElse(8)
+
+    val (store: FeatureLookup,
+         upsertFn: ((DataFrame, Long) => Unit)) = shardRoot match {
+      case Some(root) =>
+        (new ShardedFeatureStore(s"$root/store", numShards),
+          ShardedFeatureStore.upsertBatch(s"$root/store", numShards, keyCol, tsCol) _)
+      case None =>
+        val s = new FeatureStore
+        (s, FeatureStore.upsertBatch(s, keyCol, tsCol) _)
+    }
     val q = out.writeStream.outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch(FeatureStore.upsertBatch(store, keyCol, tsCol) _)
+      .foreachBatch(upsertFn)
       .start()
     val (buffer, feeder) = liveFeed match {
       case Some(lf) =>
-        val buf = new ServingBuffer(lf.specs)
+        val (buf: LiveBuffer, feedFn: ((DataFrame, Long) => Unit)) = shardRoot match {
+          case Some(root) =>
+            (new ShardedServingBuffer(s"$root/live", numShards, lf.specs),
+              ShardedServingBuffer.feedBatch(s"$root/live", numShards,
+                lf.rawKeyCol, lf.rawTsCol, lf.valueCols, lf.strCols, lf.specs) _)
+          case None =>
+            val b = new ServingBuffer(lf.specs)
+            (b, ServingBuffer.feedBatch(b, lf.rawKeyCol, lf.rawTsCol,
+              lf.valueCols, lf.strCols) _)
+        }
         val fq = lf.raw.writeStream.outputMode("append")
           .trigger(Trigger.ProcessingTime(0))
-          .foreachBatch(ServingBuffer.feedBatch(buf, lf.rawKeyCol, lf.rawTsCol,
-            lf.valueCols, lf.strCols) _)
+          .foreachBatch(feedFn)
           .start()
         (Some(buf), Some(fq))
       case None => (None, None)

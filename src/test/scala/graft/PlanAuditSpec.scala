@@ -92,4 +92,19 @@ class PlanAuditSpec extends AnyFunSuite {
         "TPC-H entry fell back to an all-pairs join")
     }
   }
+
+  test("TPC-H Q1/Q17/Q20: partial agg, de-correlated avg join, nested-semi chain") {
+    assume(haveData)
+    val p1 = plan("q_tpch_q1")
+    assert(p1.contains("partial_"), "Q1 lost map-side partial aggregation")
+    assert(p1.contains("PushedFilters: ["), "Q1's shipdate filter lost pushdown")
+    val p17 = plan("q_tpch_q17")
+    assert(p17.contains("HashAggregate"), "Q17's avg subquery lost the aggregate rewrite")
+    val p20 = plan("q_tpch_q20")
+    assert(p20.contains("LeftSemi"), "Q20's nested IN lost the left-semi chain")
+    for (p <- Seq(p1, p17, p20)) {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "TPC-H entry fell back to an all-pairs join")
+    }
+  }
 }

@@ -160,7 +160,7 @@ class RequestServingSpec extends AnyFunSuite {
       assert(pit.body().contains(s""""sum_10s":${sumAt(atMid)}"""), pit.body())
 
       // keys with no buffered rows fall back to the upsert store row
-      handle.store.get.upsert("manual", 42L, Map("sum_10s" -> 9.5))
+      handle.store.get.asInstanceOf[FeatureStore].upsert("manual", 42L, Map("sum_10s" -> 9.5))
       val fb = post("""{"key": "manual"}""")
       assert(fb.statusCode() == 200 && fb.body().contains(""""sum_10s":9.5"""), fb.body())
       assert(!fb.body().contains(""""live":true"""))

@@ -138,6 +138,54 @@ class ShardedServingBufferSpec extends AnyFunSuite {
     }
   }
 
+  test("Pipeline JSON request mode with sharded serving: store + live path end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.api.Pipeline
+    import graft.streaming.SlidingWindows
+    val mem = MemoryStream[(Long, String, Double)]
+    val spec = """{
+      "execution_mode": "Request",
+      "sources": [ { "table_name": "ev_sharded", "source": { "Memory": {} } } ],
+      "window": { "key_column": "key", "ts_column": "ts_ms", "value_column": "value",
+                  "tile_granularity_ms": 2000,
+                  "aggs": [ {"name": "sum_10s", "kind": "sum", "range_ms": 10000} ] },
+      "request_source_sink": { "bind_address": "127.0.0.1:0",
+                               "sharded": { "num_shards": 4 } }
+    }"""
+    val handle = Pipeline.runJson(spark, spec,
+      tables = Map("ev_sharded" -> mem.toDF().toDF("ts_ms", "key", "value")))
+    try {
+      assert(handle.store.get.isInstanceOf[graft.serving.ShardedFeatureStore])
+      assert(handle.buffer.get.isInstanceOf[ShardedServingBuffer])
+      val t0 = 1704067200000L
+      val rows = (0 until 40).map(i => (t0 + 500L * i, "u1", 2.0))
+      mem.addData(rows: _*); handle.query.get.processAllAvailable()
+      handle.feeder.get.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, "u1", 0.0)); handle.query.get.processAllAvailable()
+      mem.addData((SlidingWindows.FLUSH_TS, "u1", 0.0)); handle.query.get.processAllAvailable()
+      handle.feeder.get.processAllAvailable()
+
+      val client = HttpClient.newHttpClient()
+      def post(body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${handle.port.get}/request"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // live path: evaluate at the newest buffered event from sharded logs
+      val tLast = rows.last._1
+      val want = rows.filter(r => r._1 >= tLast - 10000 && r._1 <= tLast).map(_._3).sum
+      val live = post("""{"key": "u1"}""")
+      assert(live.statusCode() == 200, live.body())
+      assert(live.body().contains(""""live":true"""), live.body())
+      assert(live.body().contains(s""""sum_10s":$want"""), live.body())
+      // the upsert store fallback reads from the sharded log store
+      assert(handle.store.get.get("u1").get.tsMs == tLast)
+      assert(post("""{"key": "nope"}""").statusCode() == 404)
+    } finally handle.stop()
+  }
+
   test("HTTP live path serves from the sharded buffer") {
     import spark.implicits._
     val root = GraftSession.tempDir("graft_ssb_http_")
