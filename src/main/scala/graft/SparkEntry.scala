@@ -162,6 +162,38 @@ object SparkEntry {
          WHERE rn = CASE WHEN n < 32 THEN n ELSE 32 END
          ORDER BY o_orderpriority""")
 
+    // Deterministic quantile sketch, completing the sketch family (KMV
+    // distinct, CMS frequency, THIS for rank): a hash-reservoir — the 64
+    // rows with the smallest md5(event_id) per group are a uniform (but
+    // deterministic, hence oracle-replayable) sample; quantiles come from
+    // the sorted sample at floor(q*(n-1)). Mergeable the KMV way (union
+    // partial samples, re-take the 64 smallest hashes); bounded O(k)
+    // state per group vs an exact quantile's full-sort. Both engines rank
+    // the identical md5 hex strings, so the estimate matches bit-for-bit.
+    m += "q_quantile_sketch" -> split(
+      s"""WITH r AS (
+           SELECT event_type, value_c,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY md5(CAST(event_id AS STRING)), event_id) AS rn
+           FROM $eventsMsSpark),
+         s AS (SELECT event_type, sort_array(collect_list(value_c)) AS v
+               FROM r WHERE rn <= 64 GROUP BY event_type)
+         SELECT event_type, CAST(size(v) AS BIGINT) AS k,
+                element_at(v, CAST(floor(0.5 * (size(v) - 1)) AS INT) + 1) AS p50_c,
+                element_at(v, CAST(floor(0.9 * (size(v) - 1)) AS INT) + 1) AS p90_c
+         FROM s ORDER BY event_type""",
+      s"""WITH r AS (
+           SELECT event_type, value_c,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+           FROM $eventsMsDuck),
+         s AS (SELECT event_type, list_sort(list(value_c)) AS v
+               FROM r WHERE rn <= 64 GROUP BY event_type)
+         SELECT event_type, CAST(len(v) AS BIGINT) AS k,
+                v[CAST(floor(0.5 * (len(v) - 1)) AS INT) + 1] AS p50_c,
+                v[CAST(floor(0.9 * (len(v) - 1)) AS INT) + 1] AS p90_c
+         FROM s ORDER BY event_type""")
+
     // Weighted variant: inverse-probability weights make the sample's
     // aggregates unbiased estimates (Horvitz–Thompson). Every term is an
     // exact integer times an exact power-of-rates double, so the sums are
@@ -1991,6 +2023,27 @@ object SparkEntry {
       s"""SELECT doc_id, $duckFp AS fp FROM documents
           WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY $duckFp)
           ORDER BY doc_id""")
+
+    // Paragraph/block-level exact dedup (the Dolma paragraph pass):
+    // dedup BELOW document granularity — repeated 16-word blocks across
+    // otherwise-distinct docs, corpus-wide first-(doc,pos) wins. One
+    // explode + one hash shuffle; the oracle replays the split/slice/md5/
+    // rank pipeline in DuckDB list functions.
+    m += "q_dedup_paragraph" -> op(
+      (s, dir) => Dedup.paragraphDedup(
+          GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         blk AS (
+           SELECT doc_id, pos,
+                  md5(array_to_string(w[pos * 16 + 1 : pos * 16 + 16], ' ')) AS h
+           FROM d, unnest(range(0, CAST(ceil(len(w) / 16.0) AS INT))) AS t(pos)),
+         r AS (SELECT doc_id, pos, h,
+                      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+               FROM blk)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM r GROUP BY doc_id ORDER BY doc_id""")
 
     m += "q_text_stats" -> op(
       (s, dir) => TextAnalysis.stats(GraftSession.table(s, dir, "documents"),

@@ -70,6 +70,40 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Paragraph/block-level exact dedup (the Dolma/RefinedWeb paragraph
+    * pass): corpora repeat BLOCKS (boilerplate headers, license
+    * paragraphs, navigation chrome) across otherwise-distinct documents,
+    * so dedup below document granularity removes what doc-level exact /
+    * near-dup passes cannot see. Text splits into fixed `blockWords`-word
+    * blocks (this corpus has no paragraph breaks; with them, split on the
+    * break instead), each block hashes once, and the corpus-wide first
+    * occurrence (lowest (id, position)) wins. Returns one row per doc:
+    * `n_blocks`, `n_kept` (blocks this doc contributed first).
+    *
+    * Plan: one explode at scan parallelism, ONE hash shuffle on the block
+    * hash (tiny groups — the duplicate count per block), one partial-agg
+    * roll-up back to the doc. No joins, no doc x doc comparisons; at
+    * 100 TB the cost is the explode width times the scan, the same shape
+    * as the shingle passes above.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     blockWords: Int = 16): DataFrame = {
+    val blk = df
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), col("__w"),
+        expr(s"explode(sequence(0, CAST(ceil(size(__w) / $blockWords.0) AS INT) - 1))")
+          .as("__pos"))
+      .select(col(idCol), col("__pos"),
+        expr(s"md5(concat_ws(' ', slice(__w, __pos * $blockWords + 1, $blockWords)))")
+          .as("__h"))
+    val ranked = blk.withColumn("__rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))))
+    ranked.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).cast("long").as("n_kept"))
+  }
+
   /** Streaming exact dedup for ingest pipelines: keeps the FIRST arrival
     * per key, with state bounded by the watermark horizon (duplicates
     * separated by more than the watermark delay pass through — the

@@ -38,6 +38,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0L, 1L, 2L, 4L))
   }
 
+  test("paragraph dedup: repeated blocks lose to the corpus-wide first (doc, pos)") {
+    import spark.implicits._
+    val blockA = (1 to 16).map(i => s"alpha$i").mkString(" ")
+    val blockB = (1 to 16).map(i => s"beta$i").mkString(" ")
+    val blockC = (1 to 16).map(i => s"gamma$i").mkString(" ")
+    val df = Seq(
+      (0L, s"$blockA $blockB"),   // contributes both blocks first
+      (1L, s"$blockB $blockC"),   // B already seen -> keeps only C
+      (2L, blockA)                // A already seen -> keeps nothing
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == ((2L, 2L)))
+    assert(out(1L) == ((2L, 1L)))
+    assert(out(2L) == ((1L, 0L)))
+  }
+
   test("minhash LSH drops near- and exact duplicates, keeps distinct docs") {
     val out = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted
