@@ -181,12 +181,47 @@ object Dedup {
           i => col("__t").substr(i, lit(k)))).as("__s"))
       .select(col("__id"), hash31(col("__s")).as("__x"))
 
+  /** The whole MinHash signature of one row's text as ONE codegen'd
+    * column (array of `numHashes` longs): same shingle positions
+    * (`sequence(1, greatest(len-k+1, 1))` — short texts hash their whole
+    * tail), same md5-prefix shingle hash (incl. the mod-P fold), same LCG
+    * mins as the explode+aggregate pass — [[graft.streaming.StreamingDedup]]'s
+    * spec pins the bit-equality. The mins come from one generated
+    * shingles-x-hashes loop ([[graft.functions.ArrayMath.minhashSig]]).
+    */
+  def signatureCol(textCol: String, k: Int, numHashes: Int): Column = {
+    val sh = expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+      s"i -> CAST(conv(substring(md5(substring($textCol, i, $k)), 1, 8), 16, 10) AS BIGINT) % $P31)")
+    val coeffs = minhashCoeffs(numHashes)
+    graft.functions.ArrayMath.minhashSig(sh, coeffs.map(_._1), coeffs.map(_._2), P31)
+  }
+
+  /** `(__id, __sig)` signatures via the per-row kernel, shuffled once on
+    * the id so every downstream branch (band keys, both re-attach joins)
+    * reuses ONE materialized exchange instead of recomputing the narrow
+    * kernel per branch. Shuffle payload: one 1 KB signature per doc,
+    * versus the explode+aggregate pass's one row PER SHINGLE (~10-20x
+    * more bytes for typical documents) — the signature itself computes in
+    * the generated loop at scan parallelism, zero pre-shuffle.
+    */
+  private def minhashSigsRowWise(df: DataFrame, idCol: String,
+                                 textCol: String, k: Int,
+                                 numHashes: Int): DataFrame =
+    spread(df.select(col(idCol).as("__id"), col(textCol).as("__t")), workFactor = 8)
+      .where(col("__t").isNotNull)
+      .select(col("__id"), signatureCol("__t", k, numHashes).as("__sig"))
+      .repartition(col("__id"))
+
   /** MinHash signatures as one codegen'd hash-aggregate pass: numHashes
     * min() columns over the exploded shingle rows (plus any extra aggs),
     * packed into one `__sig` array column. Every downstream consumer
     * (band keys, both signature re-attach joins) derives from this ONE
     * frame, so their aggregate subplans canonicalize identically and
     * Spark's exchange reuse runs the expensive pass once per query.
+    * [[minhashSigsRowWise]] is the smaller-shuffle default for document
+    * corpora; this pass remains for inputs where a single giant text
+    * must rebalance across cores (its explode splits the per-shingle
+    * work), and for callers that shingle differently (ngram dedup).
     */
   private def minhashSigs(sh: DataFrame, numHashes: Int,
                           extra: Seq[(Column, String)] = Nil): DataFrame = {
@@ -288,7 +323,13 @@ object Dedup {
                       threshold: Double = 0.8,
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val sig = minhashSigs(shingleRows(df, idCol, textCol, k), numHashes)
+    // row-wise kernel by default (one signature per doc through the
+    // shuffle); SPARK_GRAFT_MINHASH_EXPLODE=1 selects the explode+agg
+    // pass (giant-single-document rebalancing)
+    val sig =
+      if (sys.env.contains("SPARK_GRAFT_MINHASH_EXPLODE"))
+        minhashSigs(shingleRows(df, idCol, textCol, k), numHashes)
+      else minhashSigsRowWise(df, idCol, textCol, k, numHashes)
     val pairs = candidatePairs(bandRows(sig, numHashes, bands), maxBucket, "minhash")
       .join(sig.select(col("__id").as("__lid"), col("__sig").as("__lsig")), "__lid")
       .join(sig.select(col("__id").as("__rid"), col("__sig").as("__rsig")), "__rid")

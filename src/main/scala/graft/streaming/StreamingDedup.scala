@@ -65,12 +65,8 @@ object StreamingDedup {
     * columns re-walked the shingle array per hash through interpreted
     * lambda dispatch and dominated the streaming replay's cost.
     */
-  def signatureCol(textCol: String, k: Int, numHashes: Int): Column = {
-    val sh = expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
-      s"i -> CAST(conv(substring(md5(substring($textCol, i, $k)), 1, 8), 16, 10) AS BIGINT) % $P31)")
-    val coeffs = Dedup.minhashCoeffs(numHashes)
-    graft.functions.ArrayMath.minhashSig(sh, coeffs.map(_._1), coeffs.map(_._2), P31)
-  }
+  def signatureCol(textCol: String, k: Int, numHashes: Int): Column =
+    Dedup.signatureCol(textCol, k, numHashes)
 
   /** Streaming near-dup PAIRS over a streaming frame with `idCol`
     * (BIGINT, assumed monotone with arrival for batch-parity; any order
