@@ -475,10 +475,37 @@ object Dedup {
                         numHashes: Int = 32, bands: Int = 8,
                         maxBucket: Int = DefaultMaxBucket,
                         sigMargin: Double = 0.25): DataFrame = {
-    // distinct post-hash, so |intersection| counts hash-set members exactly
-    // (the DuckDB oracle's sh CTE)
-    val shd = shingleRows(df, idCol, textCol, k).distinct()
-    val sig = minhashSigs(shd, numHashes)
+    // One per-row pass computes BOTH the signature (the generated
+    // shingles-x-hashes loop — min over the multiset equals min over the
+    // distinct set, so no dedup needed first) and the exact distinct gram
+    // set for the verify stage; the repartition materializes one exchange
+    // that the band keys, both signature re-attaches AND both set
+    // re-attaches all reuse. Replaces explode -> distinct -> groupBy-agg
+    // + collect_set (two wide shuffles of per-gram rows) with one shuffle
+    // of (id, sig, set) rows. SPARK_GRAFT_MINHASH_EXPLODE=1 restores the
+    // exploded pass (giant-single-document rebalancing; same knob as
+    // minhashAccepted).
+    val (sig, sets) =
+      if (sys.env.contains("SPARK_GRAFT_MINHASH_EXPLODE")) {
+        val shd = shingleRows(df, idCol, textCol, k).distinct()
+        (minhashSigs(shd, numHashes),
+          shd.groupBy("__id").agg(collect_set(col("__x")).as("__set")))
+      } else {
+        val grams = expr(
+          s"transform(sequence(1, greatest(length(__t) - ${k - 1}, 1)), " +
+            s"i -> CAST(conv(substring(md5(substring(__t, i, $k)), 1, 8), 16, 10) AS BIGINT) % $P31)")
+        val coeffs = minhashCoeffs(numHashes)
+        val base = spread(df.select(col(idCol).as("__id"), col(textCol).as("__t")),
+            workFactor = 8)
+          .where(col("__t").isNotNull)
+          .withColumn("__grams", grams)
+          .select(col("__id"),
+            graft.functions.ArrayMath.minhashSig(col("__grams"),
+              coeffs.map(_._1), coeffs.map(_._2), P31).as("__sig"),
+            array_distinct(col("__grams")).as("__set"))
+          .repartition(col("__id"))
+        (base.select("__id", "__sig"), base.select("__id", "__set"))
+      }
     val eq = aggregate(
       zip_with(col("__lsig"), col("__rsig"), (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
@@ -487,7 +514,6 @@ object Dedup {
       .join(sig.select(col("__id").as("__rid"), col("__sig").as("__rsig")), "__rid")
       .where(eq.cast("double") / numHashes >= threshold - sigMargin)
       .select("__lid", "__rid")
-    val sets = shd.groupBy("__id").agg(collect_set(col("__x")).as("__set"))
     val pairs = screened
       .join(sets.select(col("__id").as("__lid"), col("__set").as("__lset")), "__lid")
       .join(sets.select(col("__id").as("__rid"), col("__set").as("__rset"))
