@@ -570,6 +570,25 @@ object Bench {
         col("id").as("src"), ((col("id") + 1) % lit(64)).as("dst"))
       graft.operators.Dedup.connectedComponents(edges, "src", "dst").count()
     }
+    // ...ANN / set-similarity / semantic-dedup first-run shapes (r8
+    // REPEAT measurement: q_ann_ivf alone carried ~1.7 s of first-run
+    // JIT over its 2.0 s steady state): the kmeans train collect, the
+    // ADC expression chain, the prefix-filter join and the cluster-prune
+    // window each compile distinct codegen shapes
+    locally {
+      val emb = spark.sql("SELECT vec_id, embedding FROM embeddings LIMIT 64")
+      graft.operators.Similarity.ivfTopK(emb, emb.limit(2), "vec_id",
+        "embedding", k = 2, nlist = 4, nprobe = 2).count()
+      graft.operators.Similarity.pqTopK(emb, emb.limit(2), "vec_id",
+        "embedding", k = 2, m = 4, codesPerSub = 4, shortlist = 2).count()
+      graft.operators.SemDedup.semanticDedup(emb, "vec_id", "embedding",
+        numSeeds = 4, threshold = 0.35).count()
+      val names = spark.sql("SELECT c_custkey, c_name FROM customer LIMIT 64")
+      graft.operators.FuzzyJoin.jaccardJoin(
+        names, "c_custkey", "c_name",
+        spark.sql("SELECT s_suppkey, s_name FROM supplier LIMIT 64"),
+        "s_suppkey", "s_name").count()
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // deterministic (sorted) execution order: Map iteration order shifts

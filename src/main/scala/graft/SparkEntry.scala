@@ -762,6 +762,38 @@ object SparkEntry {
     // 24 h buckets); each (l, r) match satisfies exactly one bucket
     // equality, so no output dedup is needed, and watermark eviction is
     // per-row on event time, unaffected by the extra key column.
+    // Stream-static enrichment join — the OTHER streaming join the
+    // reference's users run constantly: an event stream enriched with a
+    // slowly-changing dimension. The dimension broadcasts explicitly
+    // (streaming plans have no AQE to measure it), so every micro-batch
+    // probes a local hash map — zero shuffle on the stream side, the
+    // only plan that survives 1000 executors x a dimension table. Oracle
+    // = the plain batch join.
+    m += "q_join_stream_static" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val root = GraftSession.tempDir("graft_sst_")
+        s.sql(s"""SELECT event_id, user_id, value_c FROM $eventsMsSpark""")
+          .coalesce(1).write.parquet(s"$root/in")
+        val stream = s.readStream
+          .schema(s.read.parquet(s"$root/in").schema).parquet(s"$root/in")
+        val dim = broadcast(s.table("customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val joined = stream.join(dim, stream("user_id") === dim("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("value_c"),
+            col("c_mktsegment"))
+        val q = joined.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$root/out").orderBy("event_id")
+      },
+      Some(s"""
+      SELECT e.event_id, e.user_id, e.value_c, c.c_mktsegment
+      FROM $eventsMsDuck e JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY e.event_id"""))
+
     m += "q_join_stream_stream" -> Q(
       (s, dir) => {
         GraftSession.prepare(s, dir)
