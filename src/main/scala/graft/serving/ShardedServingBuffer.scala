@@ -244,7 +244,7 @@ object ShardedServingBuffer {
 
   /** Row record: [int recLen][int keyLen][key][long ts][int nv][nums]
     * [int ns][(int len, bytes | -1 for null) per str]. */
-  private[serving] def encodeRow(key: String,
+  def encodeRow(key: String,
                                  row: (Long, Array[Double], Array[String])): Array[Byte] = {
     val (ts, nums, strs) = row
     val keyB = key.getBytes(StandardCharsets.UTF_8)
@@ -261,7 +261,7 @@ object ShardedServingBuffer {
     buf.array()
   }
 
-  private[serving] def decodeRow(rec: Array[Byte])
+  def decodeRow(rec: Array[Byte])
       : (String, (Long, Array[Double], Array[String])) = {
     val buf = ByteBuffer.wrap(rec)
     val keyLen = buf.getInt
