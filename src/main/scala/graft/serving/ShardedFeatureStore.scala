@@ -186,15 +186,19 @@ object ShardedFeatureStore {
       val names = latest.schema.fieldNames.filter(n => n != "__seq")
       val nShards = numShards
       val rootPath = root
-      val kCol = keyCol
       val tCol = tsCol
+      // the key stringifies ONCE, in Spark, and both the shard routing
+      // expression and the writer consume that same string — a raw-key
+      // expression here plus String.valueOf in the task could format an
+      // exotic key type differently and break single-writer-per-shard
       latest
+        .withColumn("__key_str", col(keyCol).cast("string"))
         .withColumn("__shard",
-          expr(s"CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 8), 16, 10) " +
+          expr(s"CAST(conv(substring(md5(__key_str), 1, 8), 16, 10) " +
             s"AS BIGINT) % $numShards"))
         .repartition(numShards, col("__shard"))
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-          writePartition(rows, rootPath, nShards, kCol, tCol, names, compactBytes)
+          writePartition(rows, rootPath, nShards, keyCol, tCol, names, compactBytes)
         }
     }
   }
@@ -211,7 +215,7 @@ object ShardedFeatureStore {
     val mapper = new ObjectMapper()
     val byShard = scala.collection.mutable.Map[Int, java.io.ByteArrayOutputStream]()
     rows.foreach { r =>
-      val key = String.valueOf(r.getAs[Any](keyCol))
+      val key = String.valueOf(r.getAs[Any]("__key_str"))
       val ts = r.getAs[Number](tsCol).longValue()
       val node = mapper.createObjectNode()
       names.iterator.filter(_ != keyCol).foreach { n =>
