@@ -134,6 +134,24 @@ class ShardedFeatureStoreSpec extends AnyFunSuite {
     assert(reopened.size == 2)
   }
 
+  test("replaying a batch is idempotent: at-least-once foreachBatch restarts are safe") {
+    import spark.implicits._
+    val root = GraftSession.tempDir("graft_shard_replay_")
+    val store = new ShardedFeatureStore(root, numShards = 2)
+    val batch = Seq(("a", 100L, 1.0), ("b", 200L, 2.0)).toDF("key", "ts_ms", "f")
+    ShardedFeatureStore.upsertBatch(root, 2, "key", "ts_ms")(batch, 0L)
+    val snap = store.keys.sorted.map(k => k -> store.get(k).get)
+    // a restart between the sink write and the checkpoint commit replays
+    // the SAME batch — last-write-wins by (ts, later log position) must
+    // absorb the duplicate records without changing any entry
+    ShardedFeatureStore.upsertBatch(root, 2, "key", "ts_ms")(batch, 0L)
+    assert(store.size == 2)
+    snap.foreach { case (k, e) =>
+      val e2 = store.get(k).get
+      assert(e2.tsMs == e.tsMs && e2.values == e.values, s"key $k changed on replay")
+    }
+  }
+
   test("log compaction keeps only the newest record per key and live readers survive it") {
     import spark.implicits._
     val root = GraftSession.tempDir("graft_shard_cmp_")
