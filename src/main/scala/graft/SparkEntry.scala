@@ -1351,6 +1351,69 @@ object SparkEntry {
                         RANGE BETWEEN 7200000 PRECEDING AND CURRENT ROW)
          ) ORDER BY event_id""")
 
+    // Allowed-lateness / late-drop as a DRIVER row (SURVEY §2.9 — was
+    // sbt-green only): even-id events arrive first and push the
+    // watermark to max(even ts) - 7d; odd-id events then arrive as
+    // stragglers, and Spark's windowed aggregation drops exactly those
+    // whose 1h window already closed (window_end <= watermark — state
+    // evicted) while still-open windows absorb their late rows. The
+    // oracle replays that rule: even rows always count, odd rows count
+    // iff their window end clears the batch-1 watermark. Deterministic
+    // because the straggler files are written only AFTER the first batch
+    // fully processes.
+    m += "q_late_drop" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{col, count, expr => fexpr, lit, sum => fsum, timestamp_millis, window}
+        val delayMs = 604800000L // 7 days
+        val root = GraftSession.tempDir("graft_late_")
+        val ev = s.sql(s"SELECT event_id, user_id, ts_ms, value_c FROM $eventsMsSpark")
+        ev.where("event_id % 2 = 0").coalesce(1).write.parquet(s"$root/in")
+        val flushTs = 4102444800000L
+        val stream = s.readStream.schema(s.read.parquet(s"$root/in").schema)
+          .parquet(s"$root/in")
+          .withColumn("ts", timestamp_millis(col("ts_ms")))
+          .withWatermark("ts", s"$delayMs milliseconds")
+        val agg = stream.groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            fsum(col("value_c")).cast("long").as("sum_c"))
+          .select(fexpr("unix_millis(window.start)").as("win_start"),
+            col("n_events"), col("sum_c"))
+          .where(col("win_start") < flushTs - 3600000L)
+        val q = agg.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+        try {
+          q.processAllAvailable() // batch 1 lands; wm -> max(even ts) - 7d
+          ev.where("event_id % 2 = 1").coalesce(1)
+            .write.mode("append").parquet(s"$root/in")
+          q.processAllAvailable() // stragglers: closed windows drop them
+          // flush sentinels close every real window
+          s.range(2).select(lit(-1L).as("event_id"), lit(0L).as("user_id"),
+            lit(flushTs).as("ts_ms"), lit(0L).as("value_c"))
+            .write.mode("append").parquet(s"$root/in")
+          q.processAllAvailable()
+          s.range(1).select(lit(-2L).as("event_id"), lit(0L).as("user_id"),
+            lit(flushTs + 1).as("ts_ms"), lit(0L).as("value_c"))
+            .write.mode("append").parquet(s"$root/in")
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(s"$root/out").orderBy("win_start")
+      },
+      Some(s"""
+      WITH ev AS (SELECT event_id, ts_ms, value_c FROM $eventsMsDuck),
+      wm AS (SELECT max(ts_ms) - 604800000 AS w FROM ev WHERE event_id % 2 = 0),
+      kept AS (
+        SELECT ts_ms, value_c FROM ev WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT e.ts_ms, e.value_c FROM ev e, wm
+        WHERE e.event_id % 2 = 1
+          AND ((e.ts_ms // 3600000) + 1) * 3600000 > wm.w)
+      SELECT (ts_ms // 3600000) * 3600000 AS win_start,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(value_c) AS BIGINT) AS sum_c
+      FROM kept GROUP BY 1 ORDER BY 1"""))
+
     // Streaming per-row sliding emission (SURVEY §2.6): the stateful
     // flatMapGroupsWithState engine run as a REAL streaming query (file
     // source -> state store -> file sink, terminal-watermark flush), and

@@ -93,6 +93,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch's rank filter prunes map-side; paragraph dedup never all-pairs") {
+    assume(haveData)
+    // rn <= 64 over the hash-ordered window must become a WindowGroupLimit
+    // (each partition forwards 64 rows, not the full group)
+    assert(plan("q_quantile_sketch").contains("WindowGroupLimit"),
+      "quantile sketch lost the rank-limit pushdown")
+    val pp = plan("q_dedup_paragraph")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      "paragraph dedup plans an all-pairs join")
+    assert(pp.contains("Generate"), "paragraph dedup lost the explode (Generate)")
+  }
+
   test("TPC-H Q1/Q17/Q20: partial agg, de-correlated avg join, nested-semi chain") {
     assume(haveData)
     val p1 = plan("q_tpch_q1")
