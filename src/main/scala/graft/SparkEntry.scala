@@ -2845,10 +2845,20 @@ object SparkEntry {
         val root = GraftSession.tempDir("graft_sdd_")
         src.coalesce(1).write.parquet(s"$root/in")
         val stream = s.readStream.schema(src.schema).parquet(s"$root/in")
+        // per-partition state-store commit/maintenance overhead dominates
+        // at this state volume, exactly like the stream-stream join's
+        // (README "Stream-stream join cost attribution"): size the state
+        // partitioning to the data, not the session default
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SDD_PARTS", "8"))
         val q = pairs(stream).writeStream.outputMode("append").format("parquet")
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-        try q.processAllAvailable() finally q.stop()
+        try q.processAllAvailable() finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         val losers = (try s.read.parquet(s"$root/out")
           catch { case _: Exception => s.emptyDataFrame.select() })
         // the batch oracle is only valid while no LSH bucket overflowed

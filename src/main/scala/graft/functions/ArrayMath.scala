@@ -138,6 +138,57 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
     copy(child = newChild)
 }
 
+/** `array<bigint>` -> BINARY, big-endian longs — the shuffle-compact ride
+  * for wide signature arrays: a Dataset encoder carries `Seq[Long]` as
+  * boxed objects (the streaming MinHash replay pushed ~10M boxed longs
+  * per pass — 16 band rows x 128 mins per doc); a byte array rides as one
+  * memcpy. Decoders read fixed 8-byte blocks — same values, no boxing.
+  */
+case class PackLongsBE(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pack_longs needs array<bigint>, got $t")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "pack_longs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Byte](arr.numElements() * 8)
+    var i = 0
+    while (i < arr.numElements()) {
+      val v = arr.getLong(i)
+      var j = 0
+      while (j < 8) { out(i * 8 + j) = (v >>> (56 - 8 * j)).toByte; j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val v = ctx.freshName("v"); val j = ctx.freshName("j")
+      s"""
+      byte[] $out = new byte[$arr.numElements() * 8];
+      for (int $i = 0; $i < $arr.numElements(); $i++) {
+        long $v = $arr.getLong($i);
+        for (int $j = 0; $j < 8; $j++) {
+          $out[$i * 8 + $j] = (byte) ($v >>> (56 - 8 * $j));
+        }
+      }
+      ${ev.value} = $out;"""
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackLongsBE =
+    copy(child = newChild)
+}
+
 object ArrayMath {
 
   /** Exact integer dot product of two array<long> columns. */
@@ -151,4 +202,7 @@ object ArrayMath {
     * codegen'd pass. */
   def minhashSig(sh: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(sh), a.toIndexedSeq, b.toIndexedSeq, p))
+
+  def packLongs(c: Column): Column =
+    ColumnBridge.column(PackLongsBE(ColumnBridge.expression(c)))
 }

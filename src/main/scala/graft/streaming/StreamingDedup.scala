@@ -79,23 +79,28 @@ object StreamingDedup {
                             maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rpb = numHashes / bands
+    // the signature rides the shuffle PACKED (one binary memcpy per row)
+    // — as Seq[Long] the Dataset encoder boxed ~10M longs per corpus
+    // replay (16 band rows x 128 mins per doc); band keys still derive
+    // from the array form before it is dropped
     val banded = df
       .where(col(textCol).isNotNull)
       .withColumn("__sig", signatureCol(textCol, k, numHashes))
-      .select(col(idCol).cast("long").as("__id"), col("__sig"),
+      .withColumn("__sigb", graft.functions.ArrayMath.packLongs(col("__sig")))
+      .select(col(idCol).cast("long").as("__id"), col("__sigb"),
         explode(array((0 until bands).map { b =>
           concat_ws(",", lit(b.toString) +: (0 until rpb).map(r =>
             element_at(col("__sig"), b * rpb + r + 1).cast("string")): _*)
         }: _*)).as("__bucket"))
 
     import banded.sparkSession.implicits._
-    val fn = (_: String, rows: Iterator[(String, Long, Seq[Long])],
+    val fn = (_: String, rows: Iterator[(String, Long, Array[Byte])],
               state: GroupState[Array[Byte]]) => {
       var members = state.getOption.map(unpack(_, numHashes)).getOrElse(Vector.empty)
       val out = Vector.newBuilder[(Long, Long)]
       // ascending id within the batch: deterministic arrival order, and
       // the order that matches the batch pipeline's lid < rid
-      rows.toSeq.sortBy(_._2).foreach { case (_, id, sigSeq) =>
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
         if (members.size >= maxBucket) {
           // hot-bucket overflow marker (lid = OverflowMarker): the online
           // first-cap deviates from batch capBuckets beyond this point, so
@@ -104,10 +109,15 @@ object StreamingDedup {
           // an opaque hash mismatch
           out += ((OverflowMarker, id))
         } else if (!members.exists(_._1 == id)) {
-          val sig = sigSeq.toArray
           members.foreach { case (mid, msig) =>
+            // two mins are equal iff their 8 big-endian bytes are equal
             var eq = 0; var i = 0
-            while (i < numHashes) { if (msig(i) == sig(i)) eq += 1; i += 1 }
+            while (i < numHashes) {
+              var same = true; var j = i * 8
+              while (same && j < i * 8 + 8) { same = msig(j) == sig(j); j += 1 }
+              if (same) eq += 1
+              i += 1
+            }
             if (eq.toDouble / numHashes >= threshold) out += ((mid, id))
           }
           members = members :+ (id -> sig)
@@ -117,8 +127,8 @@ object StreamingDedup {
       out.result().iterator
     }
     banded
-      .select(col("__bucket"), col("__id"), col("__sig"))
-      .as[(String, Long, Seq[Long])]
+      .select(col("__bucket"), col("__id"), col("__sigb"))
+      .as[(String, Long, Array[Byte])]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
       .toDF("__lid", "__rid")
@@ -201,20 +211,23 @@ object StreamingDedup {
     }
   }
 
-  /** Bucket state packed as longs: [n, id, sig..., id, sig...]. */
-  private def pack(members: Vector[(Long, Array[Long])], numHashes: Int): Array[Byte] = {
-    val buf = ByteBuffer.allocate(8 * (1 + members.size * (numHashes + 1)))
+  /** Bucket state packed as [n, (id, sigBytes)...] — signatures stay in
+    * their packed big-endian byte form end to end (shuffle ride, state,
+    * comparison), so pack/unpack are plain array copies. */
+  private def pack(members: Vector[(Long, Array[Byte])], numHashes: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + members.size * (8 + numHashes * 8))
     buf.putLong(members.size.toLong)
-    members.foreach { case (id, sig) => buf.putLong(id); sig.foreach(buf.putLong) }
+    members.foreach { case (id, sig) => buf.putLong(id); buf.put(sig) }
     buf.array()
   }
 
-  private def unpack(bytes: Array[Byte], numHashes: Int): Vector[(Long, Array[Long])] = {
+  private def unpack(bytes: Array[Byte], numHashes: Int): Vector[(Long, Array[Byte])] = {
     val buf = ByteBuffer.wrap(bytes)
     val n = buf.getLong.toInt
     Vector.fill(n) {
       val id = buf.getLong
-      val sig = Array.fill(numHashes)(buf.getLong)
+      val sig = new Array[Byte](numHashes * 8)
+      buf.get(sig)
       id -> sig
     }
   }
