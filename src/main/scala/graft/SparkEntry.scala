@@ -2128,7 +2128,7 @@ object SparkEntry {
       (s, dir) => Dedup.paragraphDedup(
           GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
          blk AS (
            SELECT doc_id, pos,
                   md5(array_to_string(w[pos * 16 + 1 : pos * 16 + 16], ' ')) AS h
@@ -2824,6 +2824,25 @@ object SparkEntry {
           .orderBy("doc_id")
       },
       DedupOracles.minhashCluster())
+
+    // Corpus-health report: per-source near-dup survival — the number a
+    // curation dashboard actually shows (which sources are boilerplate
+    // mills). Survivors from the SAME minhash pipeline, one agg-then-join
+    // rollup on top; exact integer counts.
+    m += "q_dedup_rate_by_source" -> op(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+        val docs = GraftSession.table(s, dir, "documents")
+        val surv = Dedup.minhashLsh(docs, "doc_id", "text")
+          .select(col("doc_id"), lit(1L).as("__surv"))
+        docs.select("doc_id", "source")
+          .join(surv, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(coalesce(col("__surv"), lit(0L))).cast("long").as("n_survivors"))
+          .orderBy("source")
+      },
+      DedupOracles.minhashSurvivalBySource())
 
     m += "q_dedup_embedding" -> op(
       (s, dir) => Dedup.embeddingDedupLsh(

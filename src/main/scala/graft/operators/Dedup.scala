@@ -77,8 +77,10 @@ object Dedup {
     * near-dup passes cannot see. Text splits into fixed `blockWords`-word
     * blocks (this corpus has no paragraph breaks; with them, split on the
     * break instead), each block hashes once, and the corpus-wide first
-    * occurrence (lowest (id, position)) wins. Returns one row per doc:
-    * `n_blocks`, `n_kept` (blocks this doc contributed first).
+    * occurrence (lowest (id, position)) wins. Returns one row per doc —
+    * NULL text normalizes to the empty string (one empty block), so no
+    * doc silently vanishes from the report: `n_blocks`, `n_kept`
+    * (blocks this doc contributed first).
     *
     * Plan: one explode at scan parallelism, ONE hash shuffle on the block
     * hash (tiny groups — the duplicate count per block), one partial-agg
@@ -89,7 +91,8 @@ object Dedup {
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      blockWords: Int = 16): DataFrame = {
     val blk = df
-      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol),
+        split(coalesce(col(textCol), lit("")), " ").as("__w"))
       .select(col(idCol), col("__w"),
         expr(s"explode(sequence(0, CAST(ceil(size(__w) / $blockWords.0) AS INT) - 1))")
           .as("__pos"))

@@ -76,6 +76,28 @@ object DedupOracles {
        |WHERE doc_id NOT IN (SELECT rid FROM losers) ORDER BY doc_id""".stripMargin
   }
 
+  /** q_dedup_rate_by_source: the corpus-health report — per source, how
+    * many docs survive MinHash near-dup removal. Same pipeline CTEs as
+    * [[minhash]], rolled up to (source, n_docs, n_survivors). */
+  def minhashSurvivalBySource(k: Int = 5, numHashes: Int = 128, bands: Int = 16,
+                              threshold: Double = 0.8): String = {
+    val eqTerms = (0 until numHashes)
+      .map(i => s"CASE WHEN l.m$i = r.m$i THEN 1 ELSE 0 END")
+      .grouped(16).map(g => "(" + g.mkString(" + ") + ")").mkString(" + ")
+    s"""WITH ${shCte(k)},
+       |${sigCte(numHashes)},
+       |${bandedCte(numHashes, bands)},
+       |$pairsCte,
+       |sims AS (
+       |  SELECT p.lid, p.rid, ($eqTerms) AS eq
+       |  FROM pairs p JOIN sig l ON l.doc_id = p.lid JOIN sig r ON r.doc_id = p.rid),
+       |losers AS (SELECT DISTINCT rid FROM sims WHERE eq / ${numHashes.toDouble} >= $threshold)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT rid FROM losers)
+       |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_survivors
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** q_dedup_cluster: the accepted MinHash pair edges closed into
     * connected components (transitive closure via a recursive CTE), every
     * document labeled with its component's minimum doc_id — the oracle

@@ -121,20 +121,45 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
     }
   }
 
+  /** Drop everything the reader holds for a shard and re-read the gen —
+    * the recovery step when a compaction raced a read. */
+  private def resetShard(shard: Int): Unit = tailPos(shard).synchronized {
+    index(shard).clear()
+    tailPos(shard).set(0L)
+    lastGen(shard).set(genOf(root, shard))
+  }
+
   /** Route to the key's shard, tail any new log records, read the
     * payload from disk. One shard touched per lookup.
+    *
+    * Compaction race fence: a writer-side compaction can atomically
+    * replace the log between this reader's refresh and its payload read
+    * (different JVMs share nothing but the file), leaving the held
+    * offset pointing into the rewritten bytes. A mis-seeked payload
+    * fails the length/JSON framing, so the read is retried ONCE after a
+    * full shard reset — the rewritten log re-parses from zero and the
+    * retry serves the post-compaction truth. This also covers the gen
+    * bump a length-equal rewrite would hide from refresh's length probe.
     */
   override def get(key: String): Option[FeatureStore.Entry] = {
     val shard = shardOf(key, numShards)
     refresh(shard)
-    Option(index(shard).get(key)).map { loc =>
-      val raf = new RandomAccessFile(logFile(shard), "r")
-      try {
-        raf.seek(loc.offset)
-        val payload = new Array[Byte](loc.length)
-        raf.readFully(payload)
-        FeatureStore.Entry(loc.tsMs, parsePayload(payload))
-      } finally raf.close()
+    def read(): Option[FeatureStore.Entry] =
+      Option(index(shard).get(key)).map { loc =>
+        val raf = new RandomAccessFile(logFile(shard), "r")
+        try {
+          raf.seek(loc.offset)
+          val payload = new Array[Byte](loc.length)
+          raf.readFully(payload)
+          FeatureStore.Entry(loc.tsMs, parsePayload(payload))
+        } finally raf.close()
+      }
+    try read()
+    catch {
+      case _: Exception =>
+        resetShard(shard)
+        refresh(shard)
+        read()
     }
   }
 
@@ -190,9 +215,15 @@ object ShardedFeatureStore {
       // the key stringifies ONCE, in Spark, and both the shard routing
       // expression and the writer consume that same string — a raw-key
       // expression here plus String.valueOf in the task could format an
-      // exotic key type differently and break single-writer-per-shard
+      // exotic key type differently and break single-writer-per-shard.
+      // NULL keys coalesce to the literal "null" (String.valueOf's
+      // rendering) BEFORE the md5: a null __key_str would make the shard
+      // expression NULL and route the row to a partition another task
+      // owns while the writer still appends it to shardOf("null")'s log —
+      // two concurrent writers on one log
       latest
-        .withColumn("__key_str", col(keyCol).cast("string"))
+        .withColumn("__key_str",
+          coalesce(col(keyCol).cast("string"), lit("null")))
         .withColumn("__shard",
           expr(s"CAST(conv(substring(md5(__key_str), 1, 8), 16, 10) " +
             s"AS BIGINT) % $numShards"))
@@ -306,7 +337,14 @@ object ShardedFeatureStore {
     case s: java.lang.Short   => o.put(n, s.longValue())
     case b: java.lang.Boolean => o.put(n, b.booleanValue())
     case bd: java.math.BigDecimal => o.put(n, bd.doubleValue())
-    case s                    => o.put(n, String.valueOf(s))
+    case s: String            => o.put(n, s)
+    // arrays/structs/timestamps would silently round-trip as their
+    // toString on this path while the driver-map store serves them typed
+    // — refuse loudly instead of corrupting (project them to scalars or
+    // JSON-encode them in the frame before the sink)
+    case other => throw new IllegalArgumentException(
+      s"sharded store cannot serialize non-scalar feature '$n' of type " +
+        s"${other.getClass.getName}; project it to a scalar or a JSON string")
   }
 
   private[serving] def parsePayload(bytes: Array[Byte]): Map[String, Any] = {

@@ -57,6 +57,12 @@ final class ShardedServingBuffer(val root: String, val numShards: Int,
     * compaction (gen bump / shrink under the parsed position) resets the
     * shard: a FRESH ServingBuffer re-ingests the compacted log, which by
     * construction still holds every row the frames can reference.
+    *
+    * Compaction race fence: a rewrite landing between the gen read and
+    * the parse loop leaves the tail position pointing into rewritten
+    * bytes — decode then fails the record framing, the shard resets, and
+    * ONE retry re-parses the rewritten log from zero (the same fence as
+    * [[ShardedFeatureStore.get]], covering a length-equal rewrite too).
     */
   private def refresh(shard: Int): Unit = {
     val f = logFile(shard)
@@ -69,32 +75,45 @@ final class ShardedServingBuffer(val root: String, val numShards: Int,
         tailPos(shard).set(0L)
         lastGen(shard).set(gen)
       }
-      val start = tailPos(shard).get()
-      val curLen = f.length()
-      if (curLen > start) {
-        val raf = new java.io.RandomAccessFile(f, "r")
-        try {
-          raf.seek(start)
-          var pos = start
-          val byKey = scala.collection.mutable.LinkedHashMap
-            .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Array[String])]]
-          var done = false
-          while (!done && pos + 4 <= curLen) {
-            val recLen = raf.readInt()
-            if (recLen <= 0 || pos + 4 + recLen > curLen) done = true // torn tail
-            else {
-              val rec = new Array[Byte](recLen)
-              raf.readFully(rec)
-              val (key, row) = decodeRow(rec)
-              byKey.getOrElseUpdate(key,
-                scala.collection.mutable.ArrayBuffer.empty) += row
-              pos += 4 + recLen
-            }
-          }
-          byKey.foreach { case (k, rows) => inner(shard).append(k, rows.toSeq) }
-          tailPos(shard).set(pos)
-        } finally raf.close()
+      try parseFrom(shard, f)
+      catch {
+        case _: Exception =>
+          inner(shard) = new ServingBuffer(specs)
+          tailPos(shard).set(0L)
+          lastGen(shard).set(ShardedFeatureStore.genOf(root, shard))
+          parseFrom(shard, f)
       }
+    }
+  }
+
+  /** Parse complete records from the shard's current tail position. Must
+    * run under the shard's tailPos lock. */
+  private def parseFrom(shard: Int, f: File): Unit = {
+    val start = tailPos(shard).get()
+    val curLen = f.length()
+    if (curLen > start) {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        raf.seek(start)
+        var pos = start
+        val byKey = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Array[String])]]
+        var done = false
+        while (!done && pos + 4 <= curLen) {
+          val recLen = raf.readInt()
+          if (recLen <= 0 || pos + 4 + recLen > curLen) done = true // torn tail
+          else {
+            val rec = new Array[Byte](recLen)
+            raf.readFully(rec)
+            val (key, row) = decodeRow(rec)
+            byKey.getOrElseUpdate(key,
+              scala.collection.mutable.ArrayBuffer.empty) += row
+            pos += 4 + recLen
+          }
+        }
+        byKey.foreach { case (k, rows) => inner(shard).append(k, rows.toSeq) }
+        tailPos(shard).set(pos)
+      } finally raf.close()
     }
   }
 
@@ -149,8 +168,14 @@ object ShardedServingBuffer {
       val keepRows = 2 * specs.map(_.frame).collect { case RowsN(n) => n + 1 }
         .foldLeft(0)(math.max)
       val rootPath = root; val nShards = numShards
+      // NULL keys coalesce to "null" BEFORE the md5 — a null __k would
+      // null the shard expression and route the row away from the task
+      // that appends it to shardOf("null")'s log (two writers, one log)
       batch.select(
-          col(keyCol).cast("string").as("__k") +: col(tsCol).cast("long").as("__ts") +:
+          org.apache.spark.sql.functions.coalesce(
+            col(keyCol).cast("string"),
+            org.apache.spark.sql.functions.lit("null")).as("__k") +:
+            col(tsCol).cast("long").as("__ts") +:
             (valueCols.map(c => col(c).cast("double")) ++
               strCols.map(c => col(c).cast("string"))): _*)
         .where(col("__ts") =!= SlidingWindows.FLUSH_TS && col("__ts").isNotNull)
@@ -217,14 +242,17 @@ object ShardedServingBuffer {
       }
     }
     if (rows.nonEmpty) {
-      val maxTs = rows.iterator.map(_._2._1).max
-      val floor = maxTs - horizonMs
-      // per-key ROWS tail: indexes of each key's newest keepRows rows
+      // retention is PER KEY, mirroring ServingBuffer.append's pruning:
+      // each key keeps rows within the horizon of ITS OWN newest ts plus
+      // its ROWS-frame tail. A shard-wide floor would discard a cold
+      // key's whole frame history the moment a hot key advances the
+      // shard's max ts — evals for the cold key would silently diverge
+      // from the driver-memory buffer.
       val keep = new Array[Boolean](rows.length)
-      rows.zipWithIndex.foreach { case ((_, row, _), i) =>
-        if (row._1 > floor) keep(i) = true
-      }
       rows.zipWithIndex.groupBy(_._1._1).foreach { case (_, ks) =>
+        val keyMax = ks.iterator.map(_._1._2._1).max
+        val floor = keyMax - horizonMs
+        ks.foreach { case ((_, row, _), i) => if (row._1 > floor) keep(i) = true }
         ks.sortBy(_._1._2._1).takeRight(math.max(keepRows, 1))
           .foreach { case (_, i) => keep(i) = true }
       }

@@ -101,14 +101,18 @@ object StreamingDedup {
       // ascending id within the batch: deterministic arrival order, and
       // the order that matches the batch pipeline's lid < rid
       rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
-        if (members.size >= maxBucket) {
+        // duplicate delivery of an EXISTING member (replayed batch, dup
+        // input row) is silently ignored regardless of capacity — only a
+        // genuinely NEW arrival turned away is an overflow
+        if (members.exists(_._1 == id)) ()
+        else if (members.size >= maxBucket) {
           // hot-bucket overflow marker (lid = OverflowMarker): the online
           // first-cap deviates from batch capBuckets beyond this point, so
           // the batch oracle is no longer valid — consumers comparing
           // against a batch replay must fail loudly instead of surfacing
           // an opaque hash mismatch
           out += ((OverflowMarker, id))
-        } else if (!members.exists(_._1 == id)) {
+        } else {
           members.foreach { case (mid, msig) =>
             // two mins are equal iff their 8 big-endian bytes are equal
             var eq = 0; var i = 0
@@ -163,9 +167,10 @@ object StreamingDedup {
       var members = state.getOption.map(unpackVec(_, dim)).getOrElse(Vector.empty)
       val out = Vector.newBuilder[(Long, Long)]
       rows.toSeq.sortBy(_._2).foreach { case (_, id, qvSeq) =>
-        if (members.size >= maxBucket) {
+        if (members.exists(_._1 == id)) () // duplicate delivery: ignore
+        else if (members.size >= maxBucket) {
           out += ((OverflowMarker, id)) // see minhashStreamingPairs
-        } else if (!members.exists(_._1 == id)) {
+        } else {
           val qv = qvSeq.toArray
           var n2 = 0L; var i = 0
           while (i < dim) { n2 += qv(i) * qv(i); i += 1 }

@@ -52,11 +52,19 @@ object ScaleUp {
       val base = spark.read.parquet(s"$in/$t.parquet")
       (0 until factor).map(i => xform(base, i)).reduce(_ unionAll _)
     }
+    // id offsets derive from the ACTUAL max id, not a hardcoded row
+    // count: the driver regenerates testdata between rounds, and a
+    // grown corpus with a fixed offset would alias copies' ids into each
+    // other — silently corrupting every dedup measured on the result
+    def idOffset(t: String, idCol: String): Long =
+      spark.read.parquet(s"$in/$t.parquet")
+        .agg(max(col(idCol))).head().getLong(0) + 1
 
+    val docOffset = idOffset("documents", "doc_id")
     val scaled: Map[String, DataFrame] = Map(
       "documents" -> copies("documents") { (df, i) =>
         val (from, to) = rotated(i)
-        df.withColumn("doc_id", col("doc_id") + lit(i * 5000L))
+        df.withColumn("doc_id", col("doc_id") + lit(i * docOffset))
           .withColumn("text", translate(col("text"), from, to))
       },
       "customer" -> copies("customer") { (df, i) =>
@@ -69,9 +77,13 @@ object ScaleUp {
         df.withColumn("s_suppkey", col("s_suppkey") + lit(i * 1000000L))
           .withColumn("s_name", translate(col("s_name"), from, to))
       },
-      "events" -> copies("events") { (df, i) =>
-        df.withColumn("user_id", col("user_id") + lit(i * 10000L))
-          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+      "events" -> {
+        val userOffset = idOffset("events", "user_id")
+        val eventOffset = idOffset("events", "event_id")
+        copies("events") { (df, i) =>
+          df.withColumn("user_id", col("user_id") + lit(i * userOffset))
+            .withColumn("event_id", col("event_id") + lit(i * eventOffset))
+        }
       })
 
     GraftSession.tables.foreach { t =>

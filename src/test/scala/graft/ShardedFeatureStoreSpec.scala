@@ -190,6 +190,20 @@ class ShardedFeatureStoreSpec extends AnyFunSuite {
     assert(fresh.get("k0").get.values("f") == 999.0)
   }
 
+  test("a NULL key routes to the same shard the writer appends to") {
+    import spark.implicits._
+    val root = GraftSession.tempDir("graft_shard_null_")
+    val store = new ShardedFeatureStore(root, numShards = 8)
+    // null key must not null the Spark-side shard expression (which
+    // would route it away from the task appending it to shardOf("null"))
+    val batch = Seq((Option.empty[String], 100L, 1.0), (Some("a"), 200L, 2.0))
+      .toDF("key", "ts_ms", "f")
+    ShardedFeatureStore.upsertBatch(root, 8, "key", "ts_ms")(batch, 0L)
+    assert(store.size == 2)
+    assert(store.get("null").get.values("f") == 1.0)
+    assert(store.get("a").get.values("f") == 2.0)
+  }
+
   test("a torn tail record is not served and does not break complete records") {
     import spark.implicits._
     val root = GraftSession.tempDir("graft_shard_torn_")

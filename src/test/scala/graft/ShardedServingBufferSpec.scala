@@ -111,7 +111,13 @@ class ShardedServingBufferSpec extends AnyFunSuite {
       (1704067200000L + 400L * i, s"u${i % 4}", (i % 23) / 2.0,
         Seq("a", "b", "c")(i % 3))
     }
-    all.grouped(500).zipWithIndex.foreach { case (rows, gi) =>
+    // a COLD key: all its rows in the first batch, older than the hot
+    // keys' horizon by the end — per-key retention must keep ITS frame
+    // history even as the shard's max ts advances far past it
+    val coldRows = (0 until 6).map(i =>
+      (1704067200000L + 300L * i, "cold", 7.0 + i, "a"))
+    ((coldRows ++ all.take(494)) +: all.drop(494).grouped(500).toSeq).zipWithIndex
+      .foreach { case (rows, gi) =>
       val df = rows.toDF("ts_ms", "key", "value", "cate")
       graft.serving.ServingBuffer.feedBatch(driver, "key", "ts_ms",
         Seq("value"), Seq("cate"))(df, gi.toLong)
@@ -133,9 +139,14 @@ class ShardedServingBufferSpec extends AnyFunSuite {
     // evaluation at the newest point (what live serving answers) matches
     // the driver buffer that saw the full history — the frames only
     // reference rows inside the retained horizon
-    (0 until 4).map(k => s"u$k").foreach { k =>
+    ((0 until 4).map(k => s"u$k") :+ "cold").foreach { k =>
       assert(same(sharded.eval(k, None), driver.eval(k, None)), s"key $k")
     }
+    // the cold key's own-frame history really survived (not just a
+    // single newest row): its 10s RANGE count at its newest point is > 1
+    val coldCnt = sharded.eval("cold", None).get._2.toMap.apply("cnt_10s")
+    assert(coldCnt.asInstanceOf[Number].longValue > 1L,
+      s"cold key kept only $coldCnt rows — retention was shard-global")
   }
 
   test("Pipeline JSON request mode with sharded serving: store + live path end-to-end") {

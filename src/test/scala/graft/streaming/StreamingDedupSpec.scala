@@ -114,6 +114,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     try {
       mem.addData((1L, text), (2L, text), (3L, text), (4L, text))
       q.processAllAvailable()
+      // duplicate delivery of an EXISTING member while at cap (a batch
+      // replay): silently absorbed — no spurious overflow marker for 1
+      mem.addData((1L, text))
+      q.processAllAvailable()
     } finally q.stop()
     val pairs = spark.table("sdedup_cap")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
