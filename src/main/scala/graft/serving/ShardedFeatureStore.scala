@@ -48,6 +48,14 @@ import org.apache.spark.sql.functions._
   * bytes still in flight) is simply not advanced past until complete.
   * Last-write-wins by event time, ties to the later log position —
   * matching [[FeatureStore.upsert]] merge semantics.
+  *
+  * Trades made knowingly: each lookup opens a fresh file handle for the
+  * payload read (the page cache makes this a sub-µs open at measured
+  * qps; a per-shard cached channel would need reopen-on-compaction
+  * plumbing for a win that does not show at 16-25k qps), and the
+  * shard-log protocol is deliberately mirrored in
+  * [[ShardedServingBuffer]] — fencing fixes must land in BOTH (see the
+  * note there).
   */
 final class ShardedFeatureStore(val root: String, val numShards: Int)
     extends FeatureLookup {

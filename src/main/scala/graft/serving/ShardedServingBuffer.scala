@@ -37,6 +37,13 @@ import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
   * its own shards' keys only; on a cluster, different nodes mount
   * different shard subsets and a router (or the reference's RequestRoute
   * partitioner) sends each key to its owner.
+  *
+  * NOTE: the shard-log protocol here (length probe, gen/shrink fence,
+  * torn-tail framing, single-writer append + threshold compaction)
+  * deliberately mirrors [[ShardedFeatureStore]]'s — the two differ only
+  * in record codec and merge policy, and any fix to the fencing logic
+  * must land in BOTH (candidate for extraction into a shared shard-log
+  * class once the protocol stops moving).
   */
 final class ShardedServingBuffer(val root: String, val numShards: Int,
                                  val specs: Seq[AggSpec]) extends LiveBuffer {
