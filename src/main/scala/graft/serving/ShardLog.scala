@@ -33,16 +33,21 @@ import java.util.concurrent.atomic.AtomicLong
   *    extends past the current file length — bytes still in flight are
   *    simply not advanced past until complete.
   *  - COMPACTION FENCE: a compaction writes the replacement to a tmp
-  *    file, bumps `gen`, then ATOMIC_MOVEs it over the log. A reader
-  *    detects the rewrite by the gen change (probed on every refresh, so
-  *    even a length-equal rewrite is caught deterministically) or by the
-  *    log shrinking under its parsed position, drops everything it holds
-  *    for the shard, and re-parses from zero.
+  *    file, ATOMIC_MOVEs it over the log, then bumps `gen` — in that
+  *    order, so any refresh that observes the new gen is guaranteed to
+  *    be reading the replaced file (bumping first would let a refresh
+  *    consume the gen change while still parsing the old bytes, after
+  *    which a length-equal rewrite became permanently invisible). A
+  *    reader detects the rewrite by the gen change or by the log
+  *    shrinking under its parsed position, drops everything it holds for
+  *    the shard, and re-parses from zero.
   *  - RESET-AND-RETRY-ONCE: a rewrite can still land between the gen
-  *    probe and the parse loop (different JVMs share nothing but the
+  *    probe and the parse loop, and a length-equal rewrite can land in
+  *    the move→gen-bump window (different JVMs share nothing but the
   *    file). Any decode failure inside the parse resets the shard and
   *    re-parses once; records are delivered to the consumer only after a
-  *    clean parse of the delta.
+  *    clean parse of the delta; payload reads against held offsets keep
+  *    their own caller-side [[ShardLogReader.reset]] retry fence.
   */
 object ShardLog {
 
@@ -86,7 +91,9 @@ object ShardLog {
     var pos = 0
     while (pos + 4 <= bytes.length) {
       val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
-      if (recLen <= 0 || pos + 4 + recLen > bytes.length) pos = bytes.length
+      // long arithmetic: a corrupt recLen near Int.MaxValue must read as
+      // a torn/corrupt tail, not overflow past the bounds check
+      if (recLen <= 0 || pos + 4L + recLen > bytes.length) pos = bytes.length
       else {
         f(pos.toLong, java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + recLen))
         pos += 4 + recLen
@@ -96,9 +103,13 @@ object ShardLog {
 
   /** The compaction protocol: read the whole log, let `rewrite` produce
     * the replacement bytes (already framed), write them to a tmp file,
-    * bump the gen sidecar, ATOMIC_MOVE the tmp over the log. Must only
-    * run while no writer can append (the owning task, between appends).
-    * `rewrite` returning null skips the rewrite (nothing to drop). */
+    * ATOMIC_MOVE the tmp over the log, THEN bump the gen sidecar — the
+    * bump must follow the move so a refresh observing the new gen always
+    * observes the replaced file (see the fence note in the header; the
+    * shrink check plus the caller-side retry fence cover the pre-bump
+    * window). Must only run while no writer can append (the owning task,
+    * between appends). `rewrite` returning null skips the rewrite
+    * (nothing to drop). */
   def compact(root: String, shard: Int, logName: String)
              (rewrite: Array[Byte] => Array[Byte]): Unit = {
     val dir = shardDir(root, shard)
@@ -107,10 +118,10 @@ object ShardLog {
     if (out != null) {
       val tmp = dir.resolve(logName + ".tmp")
       Files.write(tmp, out)
-      Files.write(dir.resolve("gen"),
-        String.valueOf(genOf(root, shard) + 1).getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, log, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.write(dir.resolve("gen"),
+        String.valueOf(genOf(root, shard) + 1).getBytes(StandardCharsets.UTF_8))
     }
   }
 }
@@ -126,9 +137,24 @@ final class ShardLogReader(val root: String, val numShards: Int,
 
   private val tailPos: Array[AtomicLong] = Array.fill(numShards)(new AtomicLong(0L))
   private val lastGen: Array[AtomicLong] = Array.fill(numShards)(new AtomicLong(0L))
+  // stat-level stamp of the gen sidecar (mtime ^ shifted length): the
+  // fast path must not open+read+parse the gen file per lookup at
+  // serving qps — a stamp change sends us to the locked slow path, which
+  // reads the real gen. A same-millisecond same-length gen rewrite can
+  // slip the stamp; the shrink check and the caller-side reset() retry
+  // fence cover that rare window (ADVICE r9).
+  private val lastGenStamp: Array[AtomicLong] = Array.fill(numShards)(new AtomicLong(0L))
 
   def logFile(shard: Int): File =
     ShardLog.shardDir(root, shard).resolve(logName).toFile
+
+  private def genFile(shard: Int): File =
+    ShardLog.shardDir(root, shard).resolve("gen").toFile
+
+  private def genStamp(shard: Int): Long = {
+    val f = genFile(shard)
+    f.lastModified() ^ (f.length() << 52)
+  }
 
   /** Parse any records appended since the last refresh and hand them to
     * `onRecords` as (recordStartPos, payloadBytes) pairs. Cheap when
@@ -145,12 +171,15 @@ final class ShardLogReader(val root: String, val numShards: Int,
              (onRecords: IndexedSeq[(Long, Array[Byte])] => Unit): Unit = {
     val f = logFile(shard)
     val len = f.length() // 0 when absent
-    // gen is probed on the fast path too: a rewrite to a length exactly
-    // equal to the parsed position would otherwise be invisible until a
-    // payload read failed framing (ADVICE r8)
+    // gen is probed on the fast path too — but at stat level only (two
+    // File stats, no read): a rewrite to a length exactly equal to the
+    // parsed position would otherwise be invisible until a payload read
+    // failed framing (ADVICE r8); reading the gen file per lookup was
+    // the r9 finding this stamp replaces
     if (len != tailPos(shard).get() ||
-        ShardLog.genOf(root, shard) != lastGen(shard).get())
+        genStamp(shard) != lastGenStamp(shard).get())
       tailPos(shard).synchronized {
+        lastGenStamp(shard).set(genStamp(shard))
         if (ShardLog.genOf(root, shard) != lastGen(shard).get() ||
             f.length() < tailPos(shard).get())
           resetLocked(shard, onReset)
@@ -198,5 +227,6 @@ final class ShardLogReader(val root: String, val numShards: Int,
     onReset()
     tailPos(shard).set(0L)
     lastGen(shard).set(ShardLog.genOf(root, shard))
+    lastGenStamp(shard).set(genStamp(shard))
   }
 }

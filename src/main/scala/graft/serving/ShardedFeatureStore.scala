@@ -1,10 +1,8 @@
 package graft.serving
 
-import java.io.{File, RandomAccessFile}
+import java.io.RandomAccessFile
 import java.nio.ByteBuffer
-import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.concurrent.ConcurrentHashMap
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -23,7 +21,10 @@ import org.apache.spark.sql.functions._
   * shard.
   *
   * Layout: `root/shard-NNNNN/data.log`, an append-only record log per
-  * shard (bitcask shape). Upserts run INSIDE Spark executors
+  * shard (bitcask shape), speaking the [[ShardLog]] protocol — the ONE
+  * implementation of framing, torn-tail stop, gen fence and compaction
+  * shared with [[ShardedServingBuffer]] (the round-8 mirrored copies are
+  * gone). Upserts run INSIDE Spark executors
   * ([[ShardedFeatureStore.upsertBatch]]): the micro-batch is reduced to
   * its newest row per key, hash-partitioned so each shard's rows land in
   * exactly one task, and appended by that task — the driver never
@@ -40,22 +41,17 @@ import org.apache.spark.sql.functions._
   * shards split the key space, so millions of keys x wide feature rows
   * no longer have to fit one heap.
   *
-  * Readers discover writes by TAILING the log: each lookup compares the
-  * shard file's length to the last parsed position and parses only the
-  * delta (one `File.length` call when nothing changed). Writer and
-  * reader share nothing but the log file, so the two sides can be
-  * different JVMs / machines; a torn tail record (length prefix present,
-  * bytes still in flight) is simply not advanced past until complete.
-  * Last-write-wins by event time, ties to the later log position —
-  * matching [[FeatureStore.upsert]] merge semantics.
+  * Readers discover writes by TAILING the log via [[ShardLogReader]];
+  * writer and reader share nothing but the log file, so the two sides
+  * can be different JVMs / machines (pinned by CrossJvmServingSpec,
+  * which forks a real reader process). Last-write-wins by event time,
+  * ties to the later log position — matching [[FeatureStore.upsert]]
+  * merge semantics.
   *
-  * Trades made knowingly: each lookup opens a fresh file handle for the
+  * Trade made knowingly: each lookup opens a fresh file handle for the
   * payload read (the page cache makes this a sub-µs open at measured
   * qps; a per-shard cached channel would need reopen-on-compaction
-  * plumbing for a win that does not show at 16-25k qps), and the
-  * shard-log protocol is deliberately mirrored in
-  * [[ShardedServingBuffer]] — fencing fixes must land in BOTH (see the
-  * note there).
+  * plumbing for a win that does not show at 16-25k qps).
   */
 final class ShardedFeatureStore(val root: String, val numShards: Int)
     extends FeatureLookup {
@@ -64,78 +60,30 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
 
   private final case class Loc(tsMs: Long, offset: Long, length: Int)
 
-  // per-shard offset index + how far into the log it has parsed
+  // per-shard offset index; the log-tail state lives in the reader
   private val index: Array[ConcurrentHashMap[String, Loc]] =
     Array.fill(numShards)(new ConcurrentHashMap[String, Loc]())
-  private val tailPos: Array[java.util.concurrent.atomic.AtomicLong] =
-    Array.fill(numShards)(new java.util.concurrent.atomic.AtomicLong(0L))
+  private val reader = new ShardLogReader(root, numShards, "data.log")
 
-  private def logFile(shard: Int): File =
-    Paths.get(root, f"shard-$shard%05d", "data.log").toFile
-  private val lastGen: Array[java.util.concurrent.atomic.AtomicLong] =
-    Array.fill(numShards)(new java.util.concurrent.atomic.AtomicLong(0L))
-
-  /** Parse any records appended since the last refresh into the offset
-    * index. Cheap when nothing changed (a file-length probe); serialized
-    * per shard so concurrent lookups do not double-parse a delta. A
-    * compaction (detected by the generation sidecar, or by the log
-    * shrinking under the parsed position) invalidates every held offset:
-    * drop the shard index and re-parse the rewritten log from zero.
-    */
-  private def refresh(shard: Int): Unit = {
-    val f = logFile(shard)
-    val len = f.length() // 0 when absent
-    val from = tailPos(shard).get()
-    if (len != from) tailPos(shard).synchronized {
-      val gen = genOf(root, shard)
-      if (gen != lastGen(shard).get() || f.length() < tailPos(shard).get()) {
-        index(shard).clear()
-        tailPos(shard).set(0L)
-        lastGen(shard).set(gen)
-      }
-      val start = tailPos(shard).get() // re-check under the lock
-      val len = f.length()
-      if (len > start) {
-        val raf = new RandomAccessFile(f, "r")
-        try {
-          raf.seek(start)
-          var pos = start
-          var done = false
-          while (!done && pos + 4 <= len) {
-            val recLen = raf.readInt()
-            if (recLen <= 0 || pos + 4 + recLen > len) done = true // torn tail
-            else {
-              val rec = new Array[Byte](recLen)
-              raf.readFully(rec)
-              val buf = ByteBuffer.wrap(rec)
-              val keyLen = buf.getInt
-              val keyBytes = new Array[Byte](keyLen)
-              buf.get(keyBytes)
-              val key = new String(keyBytes, StandardCharsets.UTF_8)
-              val tsMs = buf.getLong
-              val payloadOff = pos + 4 + 4 + keyLen + 8
-              val payloadLen = recLen - 4 - keyLen - 8
-              val loc = Loc(tsMs, payloadOff, payloadLen)
-              // later log position wins ties — batch emission order,
-              // exactly FeatureStore.upsert's merge
-              index(shard).merge(key, loc,
-                (old, nw) => if (nw.tsMs >= old.tsMs) nw else old)
-              pos += 4 + recLen
-            }
-          }
-          tailPos(shard).set(pos)
-        } finally raf.close()
+  /** Tail any new log records into the offset index. Record codec:
+    * [int keyLen][key][long ts][json payload]; the held Loc points at
+    * the payload bytes within the file. */
+  private def refresh(shard: Int): Unit =
+    reader.refresh(shard)(() => index(shard).clear()) { recs =>
+      recs.foreach { case (startPos, rec) =>
+        val buf = ByteBuffer.wrap(rec)
+        val keyLen = buf.getInt
+        val keyBytes = new Array[Byte](keyLen)
+        buf.get(keyBytes)
+        val key = new String(keyBytes, StandardCharsets.UTF_8)
+        val tsMs = buf.getLong
+        val loc = Loc(tsMs, startPos + 4 + 4 + keyLen + 8, rec.length - 4 - keyLen - 8)
+        // later log position wins ties — batch emission order,
+        // exactly FeatureStore.upsert's merge
+        index(shard).merge(key, loc,
+          (old, nw) => if (nw.tsMs >= old.tsMs) nw else old)
       }
     }
-  }
-
-  /** Drop everything the reader holds for a shard and re-read the gen —
-    * the recovery step when a compaction raced a read. */
-  private def resetShard(shard: Int): Unit = tailPos(shard).synchronized {
-    index(shard).clear()
-    tailPos(shard).set(0L)
-    lastGen(shard).set(genOf(root, shard))
-  }
 
   /** Route to the key's shard, tail any new log records, read the
     * payload from disk. One shard touched per lookup.
@@ -146,15 +94,16 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
     * offset pointing into the rewritten bytes. A mis-seeked payload
     * fails the length/JSON framing, so the read is retried ONCE after a
     * full shard reset — the rewritten log re-parses from zero and the
-    * retry serves the post-compaction truth. This also covers the gen
-    * bump a length-equal rewrite would hide from refresh's length probe.
+    * retry serves the post-compaction truth. This also covers a
+    * length-equal rewrite landing in the move→gen-bump window that the
+    * reader's stat-level gen probe cannot see.
     */
   override def get(key: String): Option[FeatureStore.Entry] = {
     val shard = shardOf(key, numShards)
     refresh(shard)
     def read(): Option[FeatureStore.Entry] =
       Option(index(shard).get(key)).map { loc =>
-        val raf = new RandomAccessFile(logFile(shard), "r")
+        val raf = new RandomAccessFile(reader.logFile(shard), "r")
         try {
           raf.seek(loc.offset)
           val payload = new Array[Byte](loc.length)
@@ -165,7 +114,7 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
     try read()
     catch {
       case _: Exception =>
-        resetShard(shard)
+        reader.reset(shard)(() => index(shard).clear())
         refresh(shard)
         read()
     }
@@ -262,21 +211,14 @@ object ShardedFeatureStore {
       }
       val payload = mapper.writeValueAsBytes(node)
       val keyBytes = key.getBytes(StandardCharsets.UTF_8)
-      val recLen = 4 + keyBytes.length + 8 + payload.length
-      val buf = ByteBuffer.allocate(4 + recLen)
-      buf.putInt(recLen).putInt(keyBytes.length).put(keyBytes)
-        .putLong(ts).put(payload)
+      val rec = ByteBuffer.allocate(4 + keyBytes.length + 8 + payload.length)
+        .putInt(keyBytes.length).put(keyBytes).putLong(ts).put(payload)
+        .array()
       byShard.getOrElseUpdate(shardOf(key, numShards),
-        new java.io.ByteArrayOutputStream()).write(buf.array())
+        new java.io.ByteArrayOutputStream()).write(ShardLog.frame(rec))
     }
     byShard.foreach { case (shard, bytes) =>
-      val dir = Paths.get(root, f"shard-$shard%05d")
-      Files.createDirectories(dir)
-      val ch = FileChannel.open(dir.resolve("data.log"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-        StandardOpenOption.APPEND)
-      val size = try { ch.write(ByteBuffer.wrap(bytes.toByteArray)); ch.size() }
-        finally ch.close()
+      val size = ShardLog.append(root, shard, "data.log", bytes.toByteArray)
       // bitcask merge, run by the task that owns this shard in this
       // batch — the single-writer-per-shard invariant already holds, so
       // no writer can append concurrently with the rewrite
@@ -286,55 +228,35 @@ object ShardedFeatureStore {
 
   /** Rewrite one shard's log keeping only the newest record per key —
     * the append-only log otherwise grows with UPDATE volume, not key
-    * count. Protocol readers rely on: write the compacted records to a
-    * tmp file, bump the generation sidecar, then atomically move the tmp
-    * over `data.log`; a reader that sees either the gen change or the
-    * log shrinking under its parsed position drops its offsets and
-    * re-parses. Must only run while no writer can append (the owning
-    * upsert task, between appends).
+    * count. The move/gen-bump ordering and reader fencing live in
+    * [[ShardLog.compact]]; this supplies only the merge policy. Must
+    * only run while no writer can append (the owning upsert task,
+    * between appends).
     */
-  private[serving] def compactShard(root: String, shard: Int): Unit = {
-    val dir = Paths.get(root, f"shard-$shard%05d")
-    val log = dir.resolve("data.log")
-    val bytes = Files.readAllBytes(log)
-    // newest per key, later log position winning ts ties
-    val latest = scala.collection.mutable.LinkedHashMap[String, (Long, Array[Byte])]()
-    var pos = 0
-    while (pos + 4 <= bytes.length) {
-      val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
-      if (recLen <= 0 || pos + 4 + recLen > bytes.length) pos = bytes.length
-      else {
-        val buf = ByteBuffer.wrap(bytes, pos + 4, recLen)
+  private[serving] def compactShard(root: String, shard: Int): Unit =
+    ShardLog.compact(root, shard, "data.log") { bytes =>
+      // newest per key, later log position winning ts ties
+      val latest = scala.collection.mutable.LinkedHashMap[String, (Long, Array[Byte])]()
+      ShardLog.eachRecord(bytes) { (_, rec) =>
+        val buf = ByteBuffer.wrap(rec)
         val keyLen = buf.getInt
         val keyBytes = new Array[Byte](keyLen)
         buf.get(keyBytes)
         val key = new String(keyBytes, StandardCharsets.UTF_8)
         val ts = buf.getLong
-        val rec = java.util.Arrays.copyOfRange(bytes, pos, pos + 4 + recLen)
         latest.get(key) match {
           case Some((oldTs, _)) if oldTs > ts => ()
           case _ => latest.update(key, (ts, rec))
         }
-        pos += 4 + recLen
       }
+      val out = new java.io.ByteArrayOutputStream()
+      latest.values.foreach { case (_, rec) => out.write(ShardLog.frame(rec)) }
+      out.toByteArray
     }
-    val out = new java.io.ByteArrayOutputStream()
-    latest.values.foreach { case (_, rec) => out.write(rec) }
-    val tmp = dir.resolve("data.log.tmp")
-    Files.write(tmp, out.toByteArray)
-    Files.write(dir.resolve("gen"),
-      String.valueOf(genOf(root, shard) + 1).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, log, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
 
   /** Compaction generation of a shard (0 when never compacted; exposed
     * for specs and ops visibility). */
-  def genOf(root: String, shard: Int): Long = {
-    val p = Paths.get(root, f"shard-$shard%05d", "gen")
-    try new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
-    catch { case _: Exception => 0L }
-  }
+  def genOf(root: String, shard: Int): Long = ShardLog.genOf(root, shard)
 
   private def putAny(o: ObjectNode, n: String, v: Any): Unit = v match {
     case null                 => o.putNull(n)

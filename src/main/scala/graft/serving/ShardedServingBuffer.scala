@@ -1,10 +1,7 @@
 package graft.serving
 
-import java.io.File
 import java.nio.ByteBuffer
-import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
@@ -38,12 +35,10 @@ import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
   * different shard subsets and a router (or the reference's RequestRoute
   * partitioner) sends each key to its owner.
   *
-  * NOTE: the shard-log protocol here (length probe, gen/shrink fence,
-  * torn-tail framing, single-writer append + threshold compaction)
-  * deliberately mirrors [[ShardedFeatureStore]]'s — the two differ only
-  * in record codec and merge policy, and any fix to the fencing logic
-  * must land in BOTH (candidate for extraction into a shared shard-log
-  * class once the protocol stops moving).
+  * Framing, torn-tail stop, gen fence and compaction ordering all live
+  * in [[ShardLog]]/[[ShardLogReader]] — the ONE protocol implementation
+  * shared with [[ShardedFeatureStore]]; this class supplies only its row
+  * codec and retention policy.
   */
 final class ShardedServingBuffer(val root: String, val numShards: Int,
                                  val specs: Seq[AggSpec]) extends LiveBuffer {
@@ -52,77 +47,27 @@ final class ShardedServingBuffer(val root: String, val numShards: Int,
 
   private val inner: Array[ServingBuffer] =
     Array.fill(numShards)(new ServingBuffer(specs))
-  private val tailPos: Array[java.util.concurrent.atomic.AtomicLong] =
-    Array.fill(numShards)(new java.util.concurrent.atomic.AtomicLong(0L))
-  private val lastGen: Array[java.util.concurrent.atomic.AtomicLong] =
-    Array.fill(numShards)(new java.util.concurrent.atomic.AtomicLong(0L))
-
-  private def logFile(shard: Int): File =
-    Paths.get(root, f"shard-$shard%05d", "rows.log").toFile
+  private val reader = new ShardLogReader(root, numShards, "rows.log")
 
   /** Tail new rows from the shard's log into its in-memory buffer. A
     * compaction (gen bump / shrink under the parsed position) resets the
     * shard: a FRESH ServingBuffer re-ingests the compacted log, which by
-    * construction still holds every row the frames can reference.
-    *
-    * Compaction race fence: a rewrite landing between the gen read and
-    * the parse loop leaves the tail position pointing into rewritten
-    * bytes — decode then fails the record framing, the shard resets, and
-    * ONE retry re-parses the rewritten log from zero (the same fence as
-    * [[ShardedFeatureStore.get]], covering a length-equal rewrite too).
+    * construction still holds every row the frames can reference. A
+    * rewrite racing the parse fails row decode, and the reader's
+    * reset-and-retry-once fence re-parses the rewritten log from zero —
+    * rows reach the buffer only after a clean parse of the delta.
     */
-  private def refresh(shard: Int): Unit = {
-    val f = logFile(shard)
-    val len = f.length()
-    val from = tailPos(shard).get()
-    if (len != from) tailPos(shard).synchronized {
-      val gen = ShardedFeatureStore.genOf(root, shard)
-      if (gen != lastGen(shard).get() || f.length() < tailPos(shard).get()) {
-        inner(shard) = new ServingBuffer(specs)
-        tailPos(shard).set(0L)
-        lastGen(shard).set(gen)
+  private def refresh(shard: Int): Unit =
+    reader.refresh(shard)(() => inner(shard) = new ServingBuffer(specs)) { recs =>
+      val byKey = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Array[String])]]
+      recs.foreach { case (_, rec) =>
+        val (key, row) = decodeRow(rec)
+        byKey.getOrElseUpdate(key,
+          scala.collection.mutable.ArrayBuffer.empty) += row
       }
-      try parseFrom(shard, f)
-      catch {
-        case _: Exception =>
-          inner(shard) = new ServingBuffer(specs)
-          tailPos(shard).set(0L)
-          lastGen(shard).set(ShardedFeatureStore.genOf(root, shard))
-          parseFrom(shard, f)
-      }
+      byKey.foreach { case (k, rows) => inner(shard).append(k, rows.toSeq) }
     }
-  }
-
-  /** Parse complete records from the shard's current tail position. Must
-    * run under the shard's tailPos lock. */
-  private def parseFrom(shard: Int, f: File): Unit = {
-    val start = tailPos(shard).get()
-    val curLen = f.length()
-    if (curLen > start) {
-      val raf = new java.io.RandomAccessFile(f, "r")
-      try {
-        raf.seek(start)
-        var pos = start
-        val byKey = scala.collection.mutable.LinkedHashMap
-          .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Array[String])]]
-        var done = false
-        while (!done && pos + 4 <= curLen) {
-          val recLen = raf.readInt()
-          if (recLen <= 0 || pos + 4 + recLen > curLen) done = true // torn tail
-          else {
-            val rec = new Array[Byte](recLen)
-            raf.readFully(rec)
-            val (key, row) = decodeRow(rec)
-            byKey.getOrElseUpdate(key,
-              scala.collection.mutable.ArrayBuffer.empty) += row
-            pos += 4 + recLen
-          }
-        }
-        byKey.foreach { case (k, rows) => inner(shard).append(k, rows.toSeq) }
-        tailPos(shard).set(pos)
-      } finally raf.close()
-    }
-  }
 
   override def eval(key: String, atTs: Option[Long] = None)
       : Option[(Long, Seq[(String, Any)])] = {
@@ -212,75 +157,56 @@ object ShardedServingBuffer {
         new java.io.ByteArrayOutputStream()).write(rec)
     }
     byShard.foreach { case (shard, bytes) =>
-      val dir = Paths.get(root, f"shard-$shard%05d")
-      Files.createDirectories(dir)
-      val ch = FileChannel.open(dir.resolve("rows.log"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-        StandardOpenOption.APPEND)
-      val size = try { ch.write(ByteBuffer.wrap(bytes.toByteArray)); ch.size() }
-        finally ch.close()
+      val size = ShardLog.append(root, shard, "rows.log", bytes.toByteArray)
       if (size > compactBytes)
         compactShard(root, shard, horizonMs, keepRows)
     }
   }
 
   /** Rewrite one shard's row log down to the serving retention: rows
-    * within `horizonMs` of the shard's newest ts, plus each key's last
-    * `keepRows` rows (the ROWS-frame tail). Same gen-bump + atomic-move
-    * protocol as the store's compaction; single-writer-per-shard makes it
-    * safe to run from the owning upsert task.
+    * within `horizonMs` of each key's newest ts, plus each key's last
+    * `keepRows` rows (the ROWS-frame tail). Move/gen-bump ordering and
+    * reader fencing live in [[ShardLog.compact]]; single-writer-per-shard
+    * makes it safe to run from the owning upsert task.
     */
   private[serving] def compactShard(root: String, shard: Int,
-                                    horizonMs: Long, keepRows: Int): Unit = {
-    val dir = Paths.get(root, f"shard-$shard%05d")
-    val log = dir.resolve("rows.log")
-    val bytes = Files.readAllBytes(log)
-    val rows = scala.collection.mutable.ArrayBuffer
-      .empty[(String, (Long, Array[Double], Array[String]), Array[Byte])]
-    var pos = 0
-    while (pos + 4 <= bytes.length) {
-      val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
-      if (recLen <= 0 || pos + 4 + recLen > bytes.length) pos = bytes.length
-      else {
-        val rec = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + recLen)
+                                    horizonMs: Long, keepRows: Int): Unit =
+    ShardLog.compact(root, shard, "rows.log") { bytes =>
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(String, (Long, Array[Double], Array[String]), Array[Byte])]
+      ShardLog.eachRecord(bytes) { (_, rec) =>
         val (key, row) = decodeRow(rec)
-        rows += ((key, row, java.util.Arrays.copyOfRange(bytes, pos, pos + 4 + recLen)))
-        pos += 4 + recLen
+        rows += ((key, row, rec))
+      }
+      if (rows.isEmpty) null // nothing to drop; skip the rewrite
+      else {
+        // retention is PER KEY, mirroring ServingBuffer.append's pruning:
+        // each key keeps rows within the horizon of ITS OWN newest ts plus
+        // its ROWS-frame tail. A shard-wide floor would discard a cold
+        // key's whole frame history the moment a hot key advances the
+        // shard's max ts — evals for the cold key would silently diverge
+        // from the driver-memory buffer.
+        val keep = new Array[Boolean](rows.length)
+        rows.zipWithIndex.groupBy(_._1._1).foreach { case (_, ks) =>
+          val keyMax = ks.iterator.map(_._1._2._1).max
+          val floor = keyMax - horizonMs
+          ks.foreach { case ((_, row, _), i) => if (row._1 > floor) keep(i) = true }
+          ks.sortBy(_._1._2._1).takeRight(math.max(keepRows, 1))
+            .foreach { case (_, i) => keep(i) = true }
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        rows.zipWithIndex.foreach { case ((_, _, rec), i) =>
+          if (keep(i)) out.write(ShardLog.frame(rec))
+        }
+        out.toByteArray
       }
     }
-    if (rows.nonEmpty) {
-      // retention is PER KEY, mirroring ServingBuffer.append's pruning:
-      // each key keeps rows within the horizon of ITS OWN newest ts plus
-      // its ROWS-frame tail. A shard-wide floor would discard a cold
-      // key's whole frame history the moment a hot key advances the
-      // shard's max ts — evals for the cold key would silently diverge
-      // from the driver-memory buffer.
-      val keep = new Array[Boolean](rows.length)
-      rows.zipWithIndex.groupBy(_._1._1).foreach { case (_, ks) =>
-        val keyMax = ks.iterator.map(_._1._2._1).max
-        val floor = keyMax - horizonMs
-        ks.foreach { case ((_, row, _), i) => if (row._1 > floor) keep(i) = true }
-        ks.sortBy(_._1._2._1).takeRight(math.max(keepRows, 1))
-          .foreach { case (_, i) => keep(i) = true }
-      }
-      val out = new java.io.ByteArrayOutputStream()
-      rows.zipWithIndex.foreach { case ((_, _, rec), i) =>
-        if (keep(i)) out.write(rec)
-      }
-      val tmp = dir.resolve("rows.log.tmp")
-      Files.write(tmp, out.toByteArray)
-      Files.write(dir.resolve("gen"),
-        String.valueOf(ShardedFeatureStore.genOf(root, shard) + 1)
-          .getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, log, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
 
-  /** Row record: [int recLen][int keyLen][key][long ts][int nv][nums]
-    * [int ns][(int len, bytes | -1 for null) per str]. */
+  /** Row record payload (framing is [[ShardLog]]'s): [int keyLen][key]
+    * [long ts][int nv][nums][int ns][(int len, bytes | -1 for null) per
+    * str]. Returns the FRAMED record ready to append. */
   def encodeRow(key: String,
-                                 row: (Long, Array[Double], Array[String])): Array[Byte] = {
+                row: (Long, Array[Double], Array[String])): Array[Byte] = {
     val (ts, nums, strs) = row
     val keyB = key.getBytes(StandardCharsets.UTF_8)
     val strBs = strs.map(s => if (s == null) null else s.getBytes(StandardCharsets.UTF_8))
