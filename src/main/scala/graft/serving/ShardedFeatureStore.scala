@@ -58,7 +58,10 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
 
   import ShardedFeatureStore._
 
-  private final case class Loc(tsMs: Long, offset: Long, length: Int)
+  // start = offset of the record's length prefix; recLen = payload-record
+  // length (key header + ts + json). The payload read re-decodes the
+  // record's own key+ts and verifies them against this entry — see get()
+  private final case class Loc(tsMs: Long, start: Long, recLen: Int)
 
   // per-shard offset index; the log-tail state lives in the reader
   private val index: Array[ConcurrentHashMap[String, Loc]] =
@@ -77,7 +80,7 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
         buf.get(keyBytes)
         val key = new String(keyBytes, StandardCharsets.UTF_8)
         val tsMs = buf.getLong
-        val loc = Loc(tsMs, startPos + 4 + 4 + keyLen + 8, rec.length - 4 - keyLen - 8)
+        val loc = Loc(tsMs, startPos, rec.length)
         // later log position wins ties — batch emission order,
         // exactly FeatureStore.upsert's merge
         index(shard).merge(key, loc,
@@ -91,12 +94,21 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
     * Compaction race fence: a writer-side compaction can atomically
     * replace the log between this reader's refresh and its payload read
     * (different JVMs share nothing but the file), leaving the held
-    * offset pointing into the rewritten bytes. A mis-seeked payload
-    * fails the length/JSON framing, so the read is retried ONCE after a
-    * full shard reset — the rewritten log re-parses from zero and the
-    * retry serves the post-compaction truth. This also covers a
-    * length-equal rewrite landing in the move→gen-bump window that the
-    * reader's stat-level gen probe cannot see.
+    * offset pointing into the rewritten bytes. Framing failure alone is
+    * NOT a sufficient detector — with homogeneous record sizes a stale
+    * offset lands on a perfectly valid record of the NEW generation
+    * (CrossJvmServingSpec caught exactly this: ~1e-4 of lookups served
+    * a wrong (ts, value) pairing under continuous compaction). So every
+    * payload read re-decodes the record's OWN key and ts from the bytes
+    * it actually read and verifies them against the index entry; any
+    * mismatch (or framing/JSON failure) counts as a detected race, the
+    * shard resets and re-parses the rewritten log, and the read
+    * retries — each retry races an independent rewrite, so the attempt
+    * budget of 4 bounds the probability of surfacing an error at
+    * (rate of rewrites-per-read-window)^4. This verification also makes
+    * a length-equal rewrite landing in the move→gen-bump window (which
+    * the stat-level gen probe cannot see) harmless: the read detects it
+    * record-level instead of fence-level.
     */
   override def get(key: String): Option[FeatureStore.Entry] = {
     val shard = shardOf(key, numShards)
@@ -105,19 +117,38 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
       Option(index(shard).get(key)).map { loc =>
         val raf = new RandomAccessFile(reader.logFile(shard), "r")
         try {
-          raf.seek(loc.offset)
-          val payload = new Array[Byte](loc.length)
-          raf.readFully(payload)
-          FeatureStore.Entry(loc.tsMs, parsePayload(payload))
+          raf.seek(loc.start)
+          val recLen = raf.readInt()
+          if (recLen != loc.recLen)
+            throw new java.io.IOException("stale offset: record length moved")
+          val rec = new Array[Byte](recLen)
+          raf.readFully(rec)
+          val buf = ByteBuffer.wrap(rec)
+          val keyLen = buf.getInt
+          if (keyLen < 0 || keyLen > recLen - 12)
+            throw new java.io.IOException("stale offset: key framing")
+          val keyBytes = new Array[Byte](keyLen)
+          buf.get(keyBytes)
+          val ts = buf.getLong
+          if (ts != loc.tsMs || new String(keyBytes, StandardCharsets.UTF_8) != key)
+            throw new java.io.IOException("stale offset: record moved under read")
+          FeatureStore.Entry(loc.tsMs,
+            parsePayload(java.util.Arrays.copyOfRange(rec, 4 + keyLen + 8, recLen)))
         } finally raf.close()
       }
-    try read()
-    catch {
-      case _: Exception =>
-        reader.reset(shard)(() => index(shard).clear())
-        refresh(shard)
-        read()
+    var attempts = 4
+    var result: Option[FeatureStore.Entry] = None
+    var done = false
+    while (!done) {
+      attempts -= 1
+      try { result = read(); done = true }
+      catch {
+        case _: Exception if attempts > 0 =>
+          reader.reset(shard)(() => index(shard).clear())
+          refresh(shard)
+      }
     }
+    result
   }
 
   override def size: Int = {
