@@ -203,9 +203,11 @@ object Bench {
     *          per-shard logs, offset-only index, payload read from disk)
     *          instead of the driver map; the live QPS serves
     *          at-request-time evaluation from a [[ServingBuffer]] instead
-    *          of the last upserted row. */
-  private def requestWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double, Double, Double, Double, Double) = {
-    import graft.serving.{FeatureStore, RequestServer, RequestServing, ServingBuffer, ShardedFeatureStore}
+    *          of the last upserted row; the sharded live qps runs the
+    *          SAME hot-key live load through [[ShardedServingBuffer]]
+    *          (the r8 record only measured the sharded live path cold). */
+  private def requestWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double, Double, Double, Double, Double, Double) = {
+    import graft.serving.{FeatureStore, RequestServer, RequestServing, ServingBuffer, ShardedFeatureStore, ShardedServingBuffer}
     import graft.sources.Datagen
     import graft.streaming.SlidingWindows.{AggSpec, RowsN}
     import org.apache.spark.sql.functions.{col, lit}
@@ -277,7 +279,16 @@ object Bench {
     ServingBuffer.feedBatch(buffer, "key", "ts_ms", Seq("value"), Nil)(input, 0L)
     val liveQps = measureQps(new RequestServer(store, 0, Some(buffer)))
 
-    (records, evalSec, evalUnboundedSec, qps, shardedQps, liveQps)
+    // the SAME hot-key live load through the sharded row-log buffer:
+    // once warm this is the driver-memory fold plus one stat-level
+    // no-change probe per lookup, so it must sit within ~2x of liveQps
+    val bufRoot = GraftSession.tempDir("graft_bench_ssb_hot_")
+    ShardedServingBuffer.feedBatch(bufRoot, 8, "key", "ts_ms",
+      Seq("value"), Nil, specs)(input, 0L)
+    val shardedBuf = new ShardedServingBuffer(bufRoot, 8, specs)
+    val shardedLiveQps = measureQps(new RequestServer(store, 0, Some(shardedBuf)))
+
+    (records, evalSec, evalUnboundedSec, qps, shardedQps, liveQps, shardedLiveQps)
   }
 
   /** Cold distinct-key serving load — every request hits a DIFFERENT key,
@@ -290,7 +301,7 @@ object Bench {
     * request per key.
     */
   private def coldRequestWorkload(spark: org.apache.spark.sql.SparkSession)
-      : (Double, Double, Double, Double, Double, Double, Long) = {
+      : (Double, Double, Double, Double, Double, Double, Long, Double, Double) = {
     import graft.serving.{FeatureStore, RequestServer, RequestServing, ServingBuffer, ShardedFeatureStore, ShardedServingBuffer}
     import graft.sources.Datagen
     import graft.streaming.SlidingWindows.{AggSpec, RowsN}
@@ -397,7 +408,43 @@ object Bench {
       coalesce = true, workers = 16)
     val liveQps = measure(liveServer)
     val c = liveServer.coalescer.get
-    (storeQps, shardedQps, directQps, shardedLiveQps, liveQps, c.meanBatch, c.largestBatch)
+
+    // horizontal read-path scaling, PROCESS level: fork ReaderProbe JVMs
+    // (the cross-JVM serving reader) against the same 8-shard store —
+    // one node serving all 8 shards, then two nodes over disjoint
+    // 4-shard halves concurrently (the reference's parallelism-4 request
+    // benchmark splits per-task state the same way). Summed two-node qps
+    // vs one-node qps measures whether the read path scales out.
+    def forkQps(lo: Int, hi: Int, out: java.io.File): Process = {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val pb = new ProcessBuilder(javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.serving.ReaderProbe", "qps", shardRoot, "8", keys.toString,
+        "3000", "key_", lo.toString, hi.toString)
+      pb.redirectOutput(out)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.start()
+    }
+    def qpsOf(f: java.io.File): Double = {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      """"qps":([0-9.]+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toDouble)
+        .getOrElse(sys.error(s"probe emitted no qps: $s"))
+    }
+    val probeDir = java.nio.file.Files.createTempDirectory("graft_probe_").toFile
+    val oneOut = new java.io.File(probeDir, "one.json")
+    require(forkQps(0, 8, oneOut).waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+    val oneNodeQps = qpsOf(oneOut)
+    val twoOutA = new java.io.File(probeDir, "two_a.json")
+    val twoOutB = new java.io.File(probeDir, "two_b.json")
+    val pa = forkQps(0, 4, twoOutA); val pb2 = forkQps(4, 8, twoOutB)
+    require(pa.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+    require(pb2.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+    val twoNodeQps = qpsOf(twoOutA) + qpsOf(twoOutB)
+
+    (storeQps, shardedQps, directQps, shardedLiveQps, liveQps, c.meanBatch,
+      c.largestBatch, oneNodeQps, twoNodeQps)
   }
 
   /** Saturating cold-burst serving load — the load the request coalescer
@@ -525,6 +572,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // FAIR within-app scheduling: sequential queries are unaffected
+      // (one job at a time), but the concurrency phase's simultaneous
+      // heavies share cores instead of convoying FIFO behind the first
+      // wide stage
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -540,7 +592,22 @@ object Bench {
     def sysLoad: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
-    val loadStart = sysLoad
+    // ...and a GATE, not just a label: the official r7 AND r8 records
+    // were both captured on a loaded box (r8's even reversed the
+    // coalescer verdict). If the box is already busy at start, wait once
+    // for it to settle; if it still is, proceed but stamp the record as
+    // contaminated so no round comparison trusts it silently.
+    var loadStart = sysLoad
+    if (loadStart > 2.0) {
+      System.err.println(f"[bench] start load $loadStart%.2f > 2.0 — " +
+        "waiting 90s for the box to settle before timing anything")
+      Thread.sleep(90000)
+      loadStart = sysLoad
+      if (loadStart > 2.0)
+        System.err.println(f"[bench] load still $loadStart%.2f after the " +
+          "wait — proceeding, record will carry contaminated:true")
+    }
+    val contaminatedStart = loadStart > 2.0
 
     // warm the session before timing: first-query costs (codegen compiler
     // init, parquet listing, function registration) otherwise bill to
@@ -666,12 +733,64 @@ object Bench {
     val request =
       if (!runWorkload("request")) "null" else
       try {
-        val (recs, sec, secU, qps, shardedQps, liveQps) = requestWorkload(spark)
-        val (coldQps, coldShardedQps, coldDirectQps, coldShardedLiveQps, coldLiveQps, meanBatch, largestBatch) = coldRequestWorkload(spark)
+        val (recs, sec, secU, qps, shardedQps, liveQps, shardedLiveQps) = requestWorkload(spark)
+        val (coldQps, coldShardedQps, coldDirectQps, coldShardedLiveQps, coldLiveQps, meanBatch, largestBatch, procQps1, procQps2) = coldRequestWorkload(spark)
         val (satDirectQps, satCoalescedQps, satMeanBatch, satLargestBatch) = saturatingRequestWorkload(spark)
-        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"sharded_lookup_qps":$shardedQps%.1f,"live_lookup_qps":$liveQps%.1f,"cold_keys":2000,"cold_lookup_qps":$coldQps%.1f,"cold_sharded_lookup_qps":$coldShardedQps%.1f,"cold_live_direct_qps":$coldDirectQps%.1f,"cold_sharded_live_qps":$coldShardedLiveQps%.1f,"cold_live_lookup_qps":$coldLiveQps%.1f,"coalesce_mean_batch":$meanBatch%.1f,"coalesce_largest_batch":$largestBatch,"saturating_direct_qps":$satDirectQps%.1f,"saturating_coalesced_qps":$satCoalescedQps%.1f,"saturating_mean_batch":$satMeanBatch%.1f,"saturating_largest_batch":$satLargestBatch}"""
+        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"sharded_lookup_qps":$shardedQps%.1f,"live_lookup_qps":$liveQps%.1f,"sharded_live_lookup_qps":$shardedLiveQps%.1f,"cold_keys":2000,"cold_lookup_qps":$coldQps%.1f,"cold_sharded_lookup_qps":$coldShardedQps%.1f,"cold_live_direct_qps":$coldDirectQps%.1f,"cold_sharded_live_qps":$coldShardedLiveQps%.1f,"cold_live_lookup_qps":$coldLiveQps%.1f,"coalesce_mean_batch":$meanBatch%.1f,"coalesce_largest_batch":$largestBatch,"saturating_direct_qps":$satDirectQps%.1f,"saturating_coalesced_qps":$satCoalescedQps%.1f,"saturating_mean_batch":$satMeanBatch%.1f,"saturating_largest_batch":$satLargestBatch,"proc_read_qps_1node":$procQps1%.1f,"proc_read_qps_2node":$procQps2%.1f}"""
       } catch { case e: Throwable =>
         errors("request_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        "null"
+      }
+
+    // concurrent-catalog phase: a 100 TB cluster runs many queries
+    // against ONE session at once; the driver and the catalog sweep above
+    // run them sequentially. Four representative heavies (streaming,
+    // dedup, TPC-H, ANN) run simultaneously, each in its own FAIR pool,
+    // and the record compares wall time against their solo times (taken
+    // from the sweep when it ran, else measured here). speedup_vs_serial
+    // near the heavies' parallelizable fraction = healthy sharing;
+    // inflation_vs_slowest well above 1.5 = contention to attribute.
+    val concurrency =
+      if (!runWorkload("concurrency")) "null" else
+      try {
+        val names = Seq("q_window_streaming", "q_dedup_minhash",
+          "q_tpch_q18", "q_ann_ivf")
+        val soloKnown = results.toMap
+        val solo = names.map { n =>
+          n -> soloKnown.get(n).filter(_ > 0).getOrElse {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+        }
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(names.size)
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val t0 = System.nanoTime()
+        val futures = names.map { n =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              // one FAIR pool per query: FAIR mode schedules between
+              // pools — four jobs in one pool would still convoy FIFO
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", n)
+              try { SparkEntry.queries(n)(spark, sfDir).count(); () }
+              catch { case e: Throwable =>
+                failures.add(s"$n: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
+              }
+              finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            }
+          })
+        }
+        futures.foreach(_.get())
+        pool.shutdown()
+        val wall = (System.nanoTime() - t0) / 1e9
+        require(failures.isEmpty, s"concurrent entries failed: ${failures}")
+        val sumSolo = solo.map(_._2).sum
+        val maxSolo = solo.map(_._2).max
+        val soloJson = solo.map { case (k, v) => jstr(k) + f":$v%.3f" }
+          .mkString("{", ",", "}")
+        f"""{"entries":${names.map(jstr).mkString("[", ",", "]")},"solo_sec":$soloJson,"wall_sec":$wall%.3f,"sum_solo_sec":$sumSolo%.3f,"speedup_vs_serial":${sumSolo / wall}%.2f,"inflation_vs_slowest":${wall / maxSolo}%.2f}"""
+      } catch { case e: Throwable =>
+        errors("concurrency_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
       }
 
@@ -684,7 +803,7 @@ object Bench {
     // committed JSON, not just a clippable stderr tail
     val counters = BenchCounters.snapshot.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"errors":$es,"n_failed":${errors.size},"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"cores":$cores},"counters":$counters,"sf":"$sfDir"}"""
+    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"concurrency":$concurrency,"errors":$es,"n_failed":${errors.size},"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"cores":$cores},"contaminated":$contaminatedStart,"counters":$counters,"sf":"$sfDir"}"""
     println(summary)
     // belt-and-braces: the whole summary also lands in a file that a
     // truncated stdout capture can't damage — in-repo, so the round

@@ -25,10 +25,10 @@ import java.nio.file.{Files, Paths}
   *      "gen":G,"final_ts":{"k0":T,...}}` — the parent asserts zero
   *    violations, ≥1 observed compaction gen, and final ts == the last
   *    batch it wrote.
-  *  - `qps <root> <numShards> <nKeys> <millis> [shardLo shardHi]`: time
-  *    a lookup loop over the keys (optionally only keys routed to
-  *    shards in [lo,hi) — a node serving a shard subset) and emit
-  *    `{"lookups":N,"qps":Q}`.
+  *  - `qps <root> <numShards> <nKeys> <millis> <keyPrefix> [shardLo
+  *    shardHi]`: time a lookup loop over keys `<keyPrefix>0..` —
+  *    optionally only those routed to shards in [lo,hi), i.e. a node
+  *    serving a shard subset — and emit `{"lookups":N,"qps":Q}`.
   */
 object ReaderProbe {
 
@@ -36,9 +36,9 @@ object ReaderProbe {
     case "check" => check(args(1), args(2).toInt, args(3).toInt)
     case "qps" =>
       val (lo, hi) =
-        if (args.length > 6) (args(5).toInt, args(6).toInt)
+        if (args.length > 7) (args(6).toInt, args(7).toInt)
         else (0, args(2).toInt)
-      qps(args(1), args(2).toInt, args(3).toInt, args(4).toLong, lo, hi)
+      qps(args(1), args(2).toInt, args(3).toInt, args(4).toLong, args(5), lo, hi)
     case other => sys.error(s"unknown mode $other")
   }
 
@@ -73,9 +73,9 @@ object ReaderProbe {
   }
 
   private def qps(root: String, numShards: Int, nKeys: Int, millis: Long,
-                  shardLo: Int, shardHi: Int): Unit = {
+                  keyPrefix: String, shardLo: Int, shardHi: Int): Unit = {
     val store = new ShardedFeatureStore(root, numShards)
-    val keys = (0 until nKeys).map(i => s"k$i")
+    val keys = (0 until nKeys).map(i => s"$keyPrefix$i")
       .filter { k =>
         val s = ShardedFeatureStore.shardOf(k, numShards)
         s >= shardLo && s < shardHi
