@@ -372,7 +372,25 @@ object SlidingWindows {
       }
     }
     if (nw.isEmpty) return
-    nw.sortInPlace()(Ordering.by((t: (Long, Long, Array[Double], Array[String])) => (t._1, t._2)))
+    // in-order arrival (the overwhelmingly common case: sources feed
+    // event-time-ordered chunks) skips the sort after one linear scan;
+    // when a sort IS needed, the comparator compares fields directly —
+    // `Ordering.by` on a tuple allocated a (Long, Long) PER COMPARISON
+    // on this hot path
+    var preSorted = true
+    var si = 1
+    while (preSorted && si < nw.length) {
+      if (!ordLeq(nw(si - 1)._1, nw(si - 1)._2, nw(si)._1, nw(si)._2)) preSorted = false
+      si += 1
+    }
+    if (!preSorted)
+      nw.sortInPlace()(new Ordering[(Long, Long, Array[Double], Array[String])] {
+        override def compare(a: (Long, Long, Array[Double], Array[String]),
+                             b: (Long, Long, Array[Double], Array[String])): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      })
     val buf = st.buffer
     if (buf.isEmpty || ordLeq(buf.last._1, buf.last._2, nw.head._1, nw.head._2)) buf ++= nw
     else {
@@ -623,19 +641,31 @@ object SlidingWindows {
       var i = startIdx
       while (i <= endIdx && buf(i)._1 < firstFull) { a.addRow(buf(i)._3, buf(i)._4); i += 1 }
       // tiles over [firstFull, lastFullEnd): greedy coarsest-aligned walk
-      // (a missing tile means no rows in that span — still advance)
-      val desc = grans.reverse
+      // (a missing tile means no rows in that span — still advance).
+      // Runs once PER EMITTED ROW: no Option/closure/reverse allocation,
+      // and the gran -> tile-map resolution is cached across buckets
+      // (consecutive buckets overwhelmingly share a step)
+      val nG = grans.length
+      var lastStep = -1L
+      var lastMap: mutable.HashMap[Long, Tile] = null
       var b = firstFull
       while (b < lastFullEnd) {
         var step = gran
-        var gi = 0
+        var gi = nG - 1
         var found = false
-        while (!found && gi < desc.length) {
-          val g = desc(gi)
+        while (!found && gi >= 0) {
+          val g = grans(gi) // ascending order — walk from the coarsest
           if (b % g == 0 && b + g <= lastFullEnd) { step = g; found = true }
-          gi += 1
+          gi -= 1
         }
-        st.tiles.get(step).flatMap(_.get(b)).foreach(a.addTile)
+        if (step != lastStep) {
+          lastStep = step
+          lastMap = st.tiles.getOrElse(step, null)
+        }
+        if (lastMap != null) {
+          val t = lastMap.getOrElse(b, null)
+          if (t != null) a.addTile(t)
+        }
         st.tileFolds += 1
         b += step
       }
@@ -650,8 +680,11 @@ object SlidingWindows {
     }
   }
 
-  private[streaming] def evalSpec(st: KeyState, spec: AggSpec, upIdx: Int,
-                                  grans: Seq[Long], needs: Needs): Any = {
+  /** The (cateIdx, maskedIdx, ratioIdx) triple a spec's accumulator reads
+    * its shared-payload slots through — a pure function of (spec, needs),
+    * so emit loops hoist it out of the per-row path via [[specIdxOf]] +
+    * [[evalSpecIdx]] instead of re-deriving it for every emitted row. */
+  private[streaming] def specIdxOf(spec: AggSpec, needs: Needs): (Int, Int, Int) = {
     val cateIdx =
       if (isCate(spec.kind))
         needs.catePairs.indexWhere(p =>
@@ -665,7 +698,13 @@ object SlidingWindows {
       if (isRatioKind(spec.kind))
         needs.ratioPairs.indexWhere(p => p._1 == spec.cIdx && p._2 == spec.wIdx)
       else -1
-    val a = new Acc(spec, cateIdx, maskedIdx, ratioIdx)
+    (cateIdx, maskedIdx, ratioIdx)
+  }
+
+  private[streaming] def evalSpecIdx(st: KeyState, spec: AggSpec, upIdx: Int,
+                                     grans: Seq[Long], needs: Needs,
+                                     idx: (Int, Int, Int)): Any = {
+    val a = new Acc(spec, idx._1, idx._2, idx._3)
     spec.frame match {
       case RangeMs(len) => rangeAcc(st, st.buffer(upIdx)._1 - len, upIdx, grans, a)
       case RowsN(n) =>
@@ -675,6 +714,10 @@ object SlidingWindows {
     }
     finish(spec, a)
   }
+
+  private[streaming] def evalSpec(st: KeyState, spec: AggSpec, upIdx: Int,
+                                  grans: Seq[Long], needs: Needs): Any =
+    evalSpecIdx(st, spec, upIdx, grans, needs, specIdxOf(spec, needs))
 
   /** Evaluate `specs` at a virtual point `atTs` over ONE key's rows — the
     * reference's point-request evaluation (aggregates/plain_points.rs,
@@ -793,6 +836,11 @@ object SlidingWindows {
 
     val prepared = prepareMulti(df, keyCol, tsMsCol, valueCols, strCols,
       latenessMs, watermark = true)
+    // per-spec payload-slot indices: pure (spec, needs) metadata, hoisted
+    // out of the per-emitted-row loop (specs.map(evalSpec) re-derived
+    // them 20k times per trigger on the bench workload)
+    val specArr = specs.toArray
+    val specIdx = specArr.map(specIdxOf(_, needs))
 
     import prepared.sparkSession.implicits._
     val grouped = prepared
@@ -820,8 +868,21 @@ object SlidingWindows {
       while (i < buf.length && ordLeq(buf(i)._1, buf(i)._2, st.emittedTs, st.emittedSeq)) i += 1
       while (i < buf.length && buf(i)._1 <= wm) {
         val (ts, seq, nums, strs) = buf(i)
-        val aggs = specs.map(evalSpec(st, _, i, grans, needs))
-        out += Row.fromSeq(Seq(ts, key) ++ nums ++ strs ++ aggs)
+        // one flat values array per row — the Seq(..) ++ .. ++ .. chain
+        // built four intermediate collections per emitted row
+        val vals = new Array[Any](2 + nums.length + strs.length + specArr.length)
+        vals(0) = ts; vals(1) = key
+        var c = 2
+        var vi = 0
+        while (vi < nums.length) { vals(c) = nums(vi); c += 1; vi += 1 }
+        vi = 0
+        while (vi < strs.length) { vals(c) = strs(vi); c += 1; vi += 1 }
+        var sk = 0
+        while (sk < specArr.length) {
+          vals(c) = evalSpecIdx(st, specArr(sk), i, grans, needs, specIdx(sk))
+          c += 1; sk += 1
+        }
+        out += new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
         st.emittedTs = ts; st.emittedSeq = seq
         i += 1
       }

@@ -52,6 +52,10 @@ object SlidingWindowsTws {
     extends StatefulProcessor[String, (Long, String, Seq[Double], Seq[String], java.sql.Timestamp), Row] {
 
     private val gran = grans.head
+    // per-spec payload-slot indices hoisted out of the per-emitted-row
+    // loop (same hoist as the FMGWS engine's emit path)
+    private val specArr = specs.toArray
+    private val specIdx = specArr.map(SlidingWindows.specIdxOf(_, needs))
 
     /** Buckets store as StateCodec bytes (rows only, tile rebuilt on
       * decode) — the flat codec beats Kryo's class-graph walk on the
@@ -180,8 +184,19 @@ object SlidingWindowsTws {
       while (i < buf.length && ordLeq(buf(i)._1, buf(i)._2, emTs, emSeq)) i += 1
       while (i < buf.length && buf(i)._1 <= wm) {
         val (ts, seq, nums, strs) = buf(i)
-        val aggs = specs.map(evalSpec(st, _, i, grans, needs))
-        out += Row.fromSeq(Seq(ts, key) ++ nums ++ strs ++ aggs)
+        val vals = new Array[Any](2 + nums.length + strs.length + specArr.length)
+        vals(0) = ts; vals(1) = key
+        var c = 2
+        var vi = 0
+        while (vi < nums.length) { vals(c) = nums(vi); c += 1; vi += 1 }
+        vi = 0
+        while (vi < strs.length) { vals(c) = strs(vi); c += 1; vi += 1 }
+        var sk = 0
+        while (sk < specArr.length) {
+          vals(c) = SlidingWindows.evalSpecIdx(st, specArr(sk), i, grans, needs, specIdx(sk))
+          c += 1; sk += 1
+        }
+        out += new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
         emTs = ts; emSeq = seq
         i += 1
       }
