@@ -590,6 +590,35 @@ object Bench {
     (directQps, coalescedQps, c.meanBatch, c.largestBatch)
   }
 
+  /** Stage-cardinality attribution for the fuzzy join (the steepest
+    * sf1 scale slope, 9.06x at 10x data in the r8 record): counts every
+    * stage of [[graft.operators.FuzzyJoin.stages]] so the growth at
+    * scale attributes to prefix fan-out vs candidate pairs vs verify
+    * output instead of being guessed. Emits one `fuzzy` counters line;
+    * intermediate frames are persisted so the counts replay shared
+    * subplans from cache, not from scratch.
+    */
+  private def fuzzyAttribution(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String): Unit = {
+    import graft.operators.FuzzyJoin
+    val st = FuzzyJoin.stages(
+      GraftSession.table(spark, sfDir, "customer"), "c_custkey", "c_name",
+      GraftSession.table(spark, sfDir, "supplier"), "s_suppkey", "s_name",
+      num = 1, den = 3)
+    val cached = Seq(st.l, st.r, st.prefL, st.prefR, st.candsRaw, st.cands)
+    cached.foreach(_.persist())
+    try {
+      val t0 = System.nanoTime()
+      val line = s"left=${st.l.count()} right=${st.r.count()} " +
+        s"grams=${st.dfs.count()} " +
+        s"prefixL=${st.prefL.count()} prefixR=${st.prefR.count()} " +
+        s"joinFanout=${st.candsRaw.count()} candPairs=${st.cands.count()} " +
+        s"verified=${st.verified.count()}"
+      BenchCounters.put("fuzzy",
+        line + f" attributionSec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    } finally cached.foreach { d => d.unpersist(); () }
+  }
+
   /** One HttpClient per client thread: a shared client funnels every
     * request through one selector thread and serializes the burst. */
   private object ColdClients {
@@ -772,6 +801,15 @@ object Bench {
         errors("request_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
       }
+
+    // fuzzy-join stage attribution (the steepest sf1 slope): one
+    // counters line so scale growth attributes to a named stage
+    if (runWorkload("fuzzy")) {
+      try fuzzyAttribution(spark, sfDir)
+      catch { case e: Throwable =>
+        errors("fuzzy_attribution") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
+    }
 
     // concurrent-catalog phase: a 100 TB cluster runs many queries
     // against ONE session at once; the driver and the catalog sweep above
