@@ -647,6 +647,59 @@ object SparkEntry {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name LIMIT 100""")
 
+    // TPC-H Q4 (order priority checking), adapted to this corpus: the
+    // driver testdata carries no l_commitdate/l_receiptdate, so the
+    // EXISTS predicate is "some line shipped after the order date" —
+    // same shape (date-windowed fact filter + correlated EXISTS that
+    // must plan as a left-semi hash join, then a small-group count).
+    m += "q_tpch_q4" -> both("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+
+    // TPC-H Q6 (forecasting revenue change): the pure-scan query — one
+    // table, conjunctive range predicates that must ALL reach the
+    // parquet reader (plan-pinned), one global agg. Revenue aggregates
+    // in exact integer cents^2 (price-cents x discount-cents) — float
+    // sums are order-sensitive across engines.
+    m += "q_tpch_q6" -> both("""
+      SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cp
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""")
+
+    // TPC-H Q14 (promotion effect): fact-dimension join + conditional
+    // aggregation. The promo share emits as exact integer numerator /
+    // denominator (cents^2) plus ONE double division at the end — a
+    // single IEEE op on identical integers is deterministic across
+    // engines, unlike comparing float SUMS.
+    m += "q_tpch_q14" -> both("""
+      SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           ELSE 0 END) AS BIGINT) AS promo_cp,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_cp,
+             CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           ELSE 0 END) AS BIGINT) AS DOUBLE) /
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-07-01'""")
+
     // Multi-table point-in-time feature retrieval — the feature-store
     // query: a label frame (signups) backfills features from SEVERAL
     // feature tables, each as-of the label timestamp with no leakage.

@@ -105,6 +105,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pp.contains("Generate"), "paragraph dedup lost the explode (Generate)")
   }
 
+  test("TPC-H Q4/Q6/Q14: semi-join EXISTS, full predicate pushdown, no all-pairs") {
+    assume(haveData)
+    val p4 = plan("q_tpch_q4")
+    assert(p4.contains("LeftSemi"), "Q4's EXISTS lost the left-semi join rewrite")
+    val p6 = plan("q_tpch_q6")
+    // the pure-scan query: every conjunct must reach the parquet reader
+    assert(p6.contains("PushedFilters: ["), "Q6 lost predicate pushdown entirely")
+    assert(p6.contains("l_discount") && p6.contains("l_quantity"),
+      "Q6's range predicates missing from the scan node")
+    assert(p6.contains("partial_"), "Q6 lost map-side partial aggregation")
+    val p14 = plan("q_tpch_q14")
+    for (p <- Seq(p4, p6, p14)) {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "TPC-H entry fell back to an all-pairs join")
+    }
+  }
+
   test("TPC-H Q1/Q17/Q20: partial agg, de-correlated avg join, nested-semi chain") {
     assume(haveData)
     val p1 = plan("q_tpch_q1")
