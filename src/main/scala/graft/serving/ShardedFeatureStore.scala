@@ -169,11 +169,17 @@ object ShardedFeatureStore {
     * path and the serving lookup path (the reference's RequestRoute,
     * src/runtime/partition.rs:131-152). md5-prefix keeps it portable
     * across JVMs and engines (same contract as the dedup family's
-    * hash31).
+    * hash31). The digest instance is thread-local: this runs once per
+    * serving lookup at tens-of-thousands qps, and
+    * MessageDigest.getInstance is a provider lookup + allocation.
     */
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   def shardOf(key: String, numShards: Int): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes(StandardCharsets.UTF_8))
+    val m = md5.get()
+    m.reset()
+    val d = m.digest(key.getBytes(StandardCharsets.UTF_8))
     val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     (h % numShards).toInt
