@@ -619,6 +619,29 @@ object Bench {
     } finally cached.foreach { d => d.unpersist(); () }
   }
 
+  /** Stage-cardinality attribution for the batch MinHash pipeline (the
+    * steepest sf1 slope after the fuzzy-join fix, 6.4x at 10x data):
+    * signature rows, band rows, bucket-join fan-out, distinct candidate
+    * pairs, accepted pairs — so the scale growth attributes to a named
+    * stage. Same persist-and-count shape as [[fuzzyAttribution]].
+    */
+  private def minhashAttribution(spark: org.apache.spark.sql.SparkSession,
+                                 sfDir: String): Unit = {
+    import graft.operators.Dedup
+    val st = Dedup.minhashStages(
+      GraftSession.table(spark, sfDir, "documents"), "doc_id", "text")
+    val cached = Seq(st.sig, st.candsRaw, st.cands)
+    cached.foreach(_.persist())
+    try {
+      val t0 = System.nanoTime()
+      val line = s"docs=${st.sig.count()} bandRows=${st.banded.count()} " +
+        s"joinFanout=${st.candsRaw.count()} candPairs=${st.cands.count()} " +
+        s"accepted=${st.accepted.count()}"
+      BenchCounters.put("minhash",
+        line + f" attributionSec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    } finally cached.foreach { d => d.unpersist(); () }
+  }
+
   /** One HttpClient per client thread: a shared client funnels every
     * request through one selector thread and serializes the burst. */
   private object ColdClients {
@@ -808,6 +831,14 @@ object Bench {
       try fuzzyAttribution(spark, sfDir)
       catch { case e: Throwable =>
         errors("fuzzy_attribution") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
+    }
+
+    // minhash stage attribution (steepest remaining sf1 slope)
+    if (runWorkload("minhash")) {
+      try minhashAttribution(spark, sfDir)
+      catch { case e: Throwable =>
+        errors("minhash_attribution") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
 

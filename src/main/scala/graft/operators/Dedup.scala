@@ -288,16 +288,24 @@ object Dedup {
     }
   }
 
-  /** Distinct candidate pairs (lid < rid) sharing at least one band key.
+  /** Raw (pre-distinct) candidate pairs (lid < rid) sharing at least one
+    * band key — exposed separately so the bench's stage attribution can
+    * count the bucket join's fan-out before the distinct collapses it.
     * Only ids travel through the join — signatures re-attach afterwards.
     */
-  private def candidatePairs(banded: DataFrame, maxBucket: Int,
-                             label: String): DataFrame = {
+  private[graft] def candidatePairsRaw(banded: DataFrame, maxBucket: Int,
+                                       label: String): DataFrame = {
     val capped = capBuckets(banded, Seq("__band", "__bk"), maxBucket, label)
     val l = capped.select(col("__band"), col("__bk"), col("__id").as("__lid"))
     val r = capped.select(col("__band"), col("__bk"), col("__id").as("__rid"))
     l.join(r, Seq("__band", "__bk")).where(col("__lid") < col("__rid"))
-      .select("__lid", "__rid").distinct()
+      .select("__lid", "__rid")
+  }
+
+  /** Distinct candidate pairs (lid < rid) sharing at least one band key. */
+  private def candidatePairs(banded: DataFrame, maxBucket: Int,
+                             label: String): DataFrame = {
+    candidatePairsRaw(banded, maxBucket, label).distinct()
   }
 
   /** MinHash + LSH near-dup removal.
@@ -318,13 +326,17 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** The accepted MinHash near-dup PAIRS `(__lid, __rid)`, `lid < rid`
-    * (the edge list [[minhashLsh]] reduces to an anti-join, and the input
-    * to [[connectedComponents]] for canonical cluster assignment). */
-  def minhashAccepted(df: DataFrame, idCol: String, textCol: String,
-                      k: Int = 5, numHashes: Int = 128, bands: Int = 16,
-                      threshold: Double = 0.8,
-                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  /** Intermediate frames of the MinHash pipeline, exposed for the bench's
+    * stage-cardinality attribution (same contract as FuzzyJoin.Stages —
+    * counting the REAL stages, not a drift-prone copy). */
+  private[graft] final case class MinhashStages(
+      sig: DataFrame, banded: DataFrame,
+      candsRaw: DataFrame, cands: DataFrame, accepted: DataFrame)
+
+  private[graft] def minhashStages(df: DataFrame, idCol: String, textCol: String,
+                                   k: Int = 5, numHashes: Int = 128, bands: Int = 16,
+                                   threshold: Double = 0.8,
+                                   maxBucket: Int = DefaultMaxBucket): MinhashStages = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     // row-wise kernel by default (one signature per doc through the
     // shuffle); SPARK_GRAFT_MINHASH_EXPLODE=1 selects the explode+agg
@@ -333,15 +345,29 @@ object Dedup {
       if (sys.env.contains("SPARK_GRAFT_MINHASH_EXPLODE"))
         minhashSigs(shingleRows(df, idCol, textCol, k), numHashes)
       else minhashSigsRowWise(df, idCol, textCol, k, numHashes)
-    val pairs = candidatePairs(bandRows(sig, numHashes, bands), maxBucket, "minhash")
+    val banded = bandRows(sig, numHashes, bands)
+    val candsRaw = candidatePairsRaw(banded, maxBucket, "minhash")
+    val cands = candsRaw.distinct()
+    val pairs = cands
       .join(sig.select(col("__id").as("__lid"), col("__sig").as("__lsig")), "__lid")
       .join(sig.select(col("__id").as("__rid"), col("__sig").as("__rsig")), "__rid")
     val eq = aggregate(
       zip_with(col("__lsig"), col("__rsig"), (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    pairs.where(eq.cast("double") / numHashes >= threshold)
+    val accepted = pairs.where(eq.cast("double") / numHashes >= threshold)
       .select("__lid", "__rid")
+    MinhashStages(sig, banded, candsRaw, cands, accepted)
   }
+
+  /** The accepted MinHash near-dup PAIRS `(__lid, __rid)`, `lid < rid`
+    * (the edge list [[minhashLsh]] reduces to an anti-join, and the input
+    * to [[connectedComponents]] for canonical cluster assignment). */
+  def minhashAccepted(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, numHashes: Int = 128, bands: Int = 16,
+                      threshold: Double = 0.8,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashStages(df, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
+      .accepted
 
   /** Connected components over an undirected edge list: every node gets
     * `component` = the smallest node id reachable from it (the canonical
