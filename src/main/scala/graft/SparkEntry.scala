@@ -3167,6 +3167,52 @@ object SparkEntry {
                 f.feature_sums
          FROM documents d JOIN f USING (doc_id) ORDER BY d.doc_id""")
 
+    // REAL media decode (r10): deterministic P6/WAVE payloads are built
+    // per doc (even ids image, odd ids audio), pushed through the
+    // dispatching decodeMedia — actual byte-level header/plane/chunk
+    // parsing, no codec libs — and the oracle replays the decoded
+    // metadata as pure arithmetic in doc_id. Any mis-parsed offset,
+    // mis-walked chunk, or wrong-endian sample breaks the hash.
+    m += "q_multimodal_codec" -> op(
+      (s, dir) => {
+        import s.implicits._
+        val payloads = GraftSession.table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .map(id => (id,
+            if (id % 2 == 0) Multimodal.syntheticPpm(id)
+            else Multimodal.syntheticWav(id)))
+          .toDF("doc_id", "payload")
+        Multimodal.decodeMedia(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("channels"), col("sample_rate"), col("n_samples"),
+            concat_ws(",", transform(col("feat_sums"), v => v.cast("string")))
+              .as("feat_sums"))
+          .orderBy("doc_id")
+      },
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+         p AS (SELECT doc_id, CAST(doc_id % 13 + 2 AS INT) AS width,
+                      CAST(doc_id % 7 + 2 AS INT) AS height
+               FROM ids WHERE doc_id % 2 = 0),
+         pf AS (SELECT doc_id, j % 3 AS ch, sum((doc_id * 31 + j) % 256) AS s
+                FROM (SELECT doc_id, unnest(range(0, 3 * width * height)) AS j FROM p)
+                GROUP BY doc_id, j % 3),
+         pfa AS (SELECT doc_id, string_agg(CAST(s AS VARCHAR), ',' ORDER BY ch) AS feat_sums
+                 FROM pf GROUP BY doc_id),
+         w AS (SELECT doc_id, CAST(doc_id % 50 + 10 AS BIGINT) AS n
+               FROM ids WHERE doc_id % 2 = 1),
+         wf AS (SELECT doc_id, sum(abs((doc_id * 7 + 13 * i) % 2001 - 1000)) AS s
+                FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM w)
+                GROUP BY doc_id)
+         SELECT p.doc_id, 'ppm' AS format, p.width, p.height,
+                CAST(3 AS INT) AS channels, CAST(0 AS INT) AS sample_rate,
+                CAST(p.width * p.height AS BIGINT) AS n_samples, pfa.feat_sums
+         FROM p JOIN pfa USING (doc_id)
+         UNION ALL
+         SELECT w.doc_id, 'wav', CAST(0 AS INT), CAST(0 AS INT),
+                CAST(1 AS INT), CAST(8000 AS INT), w.n, CAST(wf.s AS VARCHAR)
+         FROM w JOIN wf USING (doc_id)
+         ORDER BY doc_id""")
+
     m.result()
   }
 

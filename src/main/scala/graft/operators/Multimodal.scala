@@ -7,11 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-at-a-time per partition.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
-  * `decodeStub` derives deterministic fake metadata from the bytes. The
-  * Spark-side shape is real — binary schema, per-partition batched
-  * processing (the Scala analogue of `mapInPandas`), explicit output
-  * schema — so swapping in a real decoder is a one-function change.
+  * The decode boundary (r10): UNCOMPRESSED containers decode for real —
+  * [[decodePpm]] (binary PPM "P6": header parse + raw RGB planes) and
+  * [[decodeWav]] (RIFF/WAVE chunk walk + 16-bit PCM samples) are pure
+  * byte parsers with no codec dependency, and [[decodeMedia]] dispatches
+  * on magic bytes. Only COMPRESSED codecs (png/jpeg/webp/mp3/h264)
+  * remain stubbed (`decodeStub` — this container ships no codec libs);
+  * the Spark-side shape is identical either way — binary schema,
+  * per-partition batched processing (the Scala analogue of
+  * `mapInPandas`), explicit output schema — so a production codec drops
+  * into the same dispatch.
   */
 object Multimodal {
 
@@ -38,6 +43,172 @@ object Multimodal {
     (fmt, width, height, feat.map(v => if (n > 0) v / n else 0.0))
   }
 
+  // ------------------------------------------------------------------
+  // REAL decoders for uncompressed containers (no codec dependency)
+  // ------------------------------------------------------------------
+
+  /** Binary PPM ("P6"): ASCII header `P6 <w> <h> <maxval>` (arbitrary
+    * whitespace, `#` comments) then one whitespace byte, then w*h raw
+    * RGB triplets. Returns (width, height, per-channel byte sums) or
+    * None when the payload is not a well-formed P6 with maxval <= 255.
+    */
+  def decodePpm(b: Array[Byte]): Option[(Int, Int, Array[Long])] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var pos = 2
+    def nextInt(): Option[Int] = {
+      // skip whitespace and '#'-to-EOL comments
+      var inComment = false
+      while (pos < b.length && (inComment || b(pos).toChar.isWhitespace || b(pos) == '#')) {
+        if (b(pos) == '#') inComment = true
+        else if (b(pos) == '\n') inComment = false
+        pos += 1
+      }
+      var v = 0L; var any = false
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); any = true; pos += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); maxv <- nextInt()
+      if w > 0 && h > 0 && maxv > 0 && maxv <= 255
+      // exactly ONE whitespace byte separates the header from the planes
+      if pos < b.length && b(pos).toChar.isWhitespace
+      start = pos + 1
+      if b.length - start >= 3L * w * h
+    } yield {
+      val sums = new Array[Long](3)
+      var i = start
+      val end = start + 3 * w * h
+      while (i < end) { sums((i - start) % 3) += (b(i) & 0xFF); i += 1 }
+      (w, h, sums)
+    }
+  }
+
+  /** RIFF/WAVE with 16-bit PCM: walks the chunk list (fmt / data in any
+    * order, odd-size padding honored). Returns (sampleRate, channels,
+    * nSamples, sum of |sample|) or None when not a PCM-16 WAVE.
+    */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def u32(o: Int) = (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    def tag(o: Int, s: String) = b.length >= o + 4 &&
+      b(o) == s(0).toByte && b(o + 1) == s(1).toByte &&
+      b(o + 2) == s(2).toByte && b(o + 3) == s(3).toByte
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= b.length) {
+      val size = u32(pos + 4)
+      if (size < 0 || size > Int.MaxValue) return None
+      val body = pos + 8
+      if (tag(pos, "fmt ") && size >= 16 && body + 16 <= b.length) {
+        val fmtCode = u16(body)
+        if (fmtCode != 1) return None // PCM only
+        channels = u16(body + 2)
+        rate = u32(body + 4).toInt
+        bits = u16(body + 14)
+      } else if (tag(pos, "data")) {
+        dataOff = body; dataLen = size.toInt
+      }
+      pos = body + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    if (rate <= 0 || channels <= 0 || bits != 16 ||
+        dataOff < 0 || dataOff + dataLen > b.length) return None
+    val nSamples = dataLen / 2
+    var sumAbs = 0L
+    var i = dataOff
+    val end = dataOff + nSamples * 2
+    while (i < end) {
+      val s = ((b(i) & 0xFF) | (b(i + 1) << 8)).toShort.toInt
+      sumAbs += math.abs(s)
+      i += 2
+    }
+    Some((rate, channels, nSamples, sumAbs))
+  }
+
+  /** Nearest-neighbor resize of a binary PPM — a REAL pixel operation on
+    * the decoded plane, re-encoded as P6 (the resize step of an
+    * image-curation pipeline, runnable with zero codec deps on
+    * uncompressed data). Returns None for non-P6 input. */
+  def resizePpm(b: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+    decodePpm(b).map { case (w, h, _) =>
+      // locate the plane start the same way the decoder did
+      val headerEnd = {
+        var pos = 2; var seen = 0; var inComment = false
+        while (seen < 3 && pos < b.length) {
+          if (b(pos) == '#') inComment = true
+          else if (b(pos) == '\n') inComment = false
+          if (!inComment && b(pos) >= '0' && b(pos) <= '9') {
+            while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
+            seen += 1
+          } else pos += 1
+        }
+        pos + 1 // the single whitespace after maxval
+      }
+      val header = s"P6\n$newW $newH\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + 3 * newW * newH)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var y = 0
+      while (y < newH) {
+        val sy = y.toLong * h / newH
+        var x = 0
+        while (x < newW) {
+          val sx = x.toLong * w / newW
+          val src = headerEnd + 3 * (sy.toInt * w + sx.toInt)
+          val dst = header.length + 3 * (y * newW + x)
+          out(dst) = b(src); out(dst + 1) = b(src + 1); out(dst + 2) = b(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Output schema of the media decode stage: one row per payload with
+    * the union of image and audio metadata (unused slots zeroed) plus
+    * exact integer features (channel byte sums / abs-amplitude sum) so
+    * results stay hashable cross-engine. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("feat_sums", ArrayType(LongType), nullable = false)))
+
+  /** Batched per-partition media decode with REAL parsers for
+    * uncompressed containers, dispatched on magic bytes: P6 -> PPM pixel
+    * planes, RIFF/WAVE -> PCM-16 samples, anything else -> the
+    * documented codec stub (format "stub/<ext>"). */
+  def decodeMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val rows = df.select(col(idCol).cast("long"), col(payloadCol))
+    val enc = Encoders.row(mediaSchema)
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        decodePpm(bytes) match {
+          case Some((w, h, sums)) =>
+            Row(id, "ppm", w, h, 3, 0, w.toLong * h, sums.toSeq)
+          case None => decodeWav(bytes) match {
+            case Some((rate, ch, n, sumAbs)) =>
+              Row(id, "wav", 0, 0, ch, rate, n.toLong, Seq(sumAbs))
+            case None =>
+              val (fmt, w, h, _) = decodeStub(bytes)
+              Row(id, s"stub/$fmt", w, h, 0, 0, 0L, Seq.empty[Long])
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Batched per-partition decode over a (id, payload binary) frame —
     * the Scala analogue of mapInPandas: one iterator pass per partition,
     * no per-row task overhead, output schema declared up front.
@@ -53,6 +224,46 @@ object Multimodal {
         Row(id, bytes.length, fmt, w, h, feat.toSeq)
       }
     }(enc)
+  }
+
+  /** Deterministic P6 payload for doc `id` — the fixture the catalog
+    * entry feeds [[decodeMedia]]: dims and every pixel byte are pure
+    * arithmetic in `id`, so a DuckDB oracle replays the decoded metadata
+    * WITHOUT parsing bytes, and any off-by-one in the real parser breaks
+    * the hash compare. */
+  def syntheticPpm(id: Long): Array[Byte] = {
+    val w = (id % 13 + 2).toInt; val h = (id % 7 + 2).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var j = 0
+    while (j < 3 * w * h) {
+      out(header.length + j) = ((id * 31 + j) % 256).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Deterministic PCM-16 WAVE payload for doc `id` (canonical 44-byte
+    * header, mono, 8 kHz): sample i = (id*7 + 13i) % 2001 - 1000. Same
+    * oracle-replayability contract as [[syntheticPpm]]. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (id % 50 + 10).toInt
+    val dataLen = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((id * 7 + 13L * i) % 2001) - 1000).toShort)
+      i += 1
+    }
+    buf.array()
   }
 
   /** Frame-sampling stub for video-ish payloads: emits every `stride`-th
