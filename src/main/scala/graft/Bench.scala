@@ -782,6 +782,11 @@ object Bench {
       else println(s"""{"q":${jstr(name)},"s":${secs.map(s => f"$s%.3f").mkString("[", ",", "]")}}""")
       name -> sec
     }
+    // online-LSH attribution for the biggest streaming entry: how much
+    // state work the bucket index actually did during the sweep
+    if (results.exists(r => r._1 == "q_dedup_minhash_streaming" && r._2 >= 0))
+      BenchCounters.put("smh", graft.streaming.StreamingDedup.Profile.snapshot)
+
     // streaming window workload (reference window_operator_benchmark.rs):
     // cadence-bound (one file per trigger, the reference's batch-arrival
     // shape) + engine-bound (all files in one batch) variants

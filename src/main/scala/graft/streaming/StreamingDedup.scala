@@ -47,6 +47,31 @@ object StreamingDedup {
 
   private val P31 = Dedup.P31
 
+  /** Attribution counters for the online LSH index (local-mode bench
+    * instrumentation, same contract as [[EngineProfile]]): how much work
+    * the bucket state actually does — arrivals ingested, duplicate
+    * deliveries absorbed, signature comparisons performed, pairs
+    * emitted, arrivals turned away by the online cap. The bench
+    * snapshots this after the catalog sweep so the biggest streaming
+    * entry's cost attributes to comparisons vs machinery.
+    */
+  object Profile {
+    import java.util.concurrent.atomic.AtomicLong
+    val arrivals = new AtomicLong
+    val dupDeliveries = new AtomicLong
+    val comparisons = new AtomicLong
+    val pairsEmitted = new AtomicLong
+    val overflows = new AtomicLong
+    val stateCalls = new AtomicLong
+    def reset(): Unit =
+      Seq(arrivals, dupDeliveries, comparisons, pairsEmitted, overflows,
+        stateCalls).foreach(_.set(0))
+    def snapshot: String =
+      s"arrivals=${arrivals.get} dupDeliveries=${dupDeliveries.get} " +
+        s"comparisons=${comparisons.get} pairsEmitted=${pairsEmitted.get} " +
+        s"overflows=${overflows.get} stateCalls=${stateCalls.get}"
+  }
+
   /** `__lid` sentinel emitted when a bucket is already at `maxBucket` and
     * turns an arrival away: past this point the stream's first-cap
     * semantics diverge from batch [[Dedup.capBuckets]] (which drops the
@@ -98,13 +123,15 @@ object StreamingDedup {
               state: GroupState[Array[Byte]]) => {
       var members = state.getOption.map(unpack(_, numHashes)).getOrElse(Vector.empty)
       val out = Vector.newBuilder[(Long, Long)]
+      Profile.stateCalls.incrementAndGet()
       // ascending id within the batch: deterministic arrival order, and
       // the order that matches the batch pipeline's lid < rid
       rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+        Profile.arrivals.incrementAndGet()
         // duplicate delivery of an EXISTING member (replayed batch, dup
         // input row) is silently ignored regardless of capacity — only a
         // genuinely NEW arrival turned away is an overflow
-        if (members.exists(_._1 == id)) ()
+        if (members.exists(_._1 == id)) Profile.dupDeliveries.incrementAndGet()
         else if (members.size >= maxBucket) {
           // hot-bucket overflow marker (lid = OverflowMarker): the online
           // first-cap deviates from batch capBuckets beyond this point, so
@@ -112,6 +139,7 @@ object StreamingDedup {
           // against a batch replay must fail loudly instead of surfacing
           // an opaque hash mismatch
           out += ((OverflowMarker, id))
+          Profile.overflows.incrementAndGet()
         } else {
           members.foreach { case (mid, msig) =>
             // two mins are equal iff their 8 big-endian bytes are equal
@@ -122,7 +150,10 @@ object StreamingDedup {
               if (same) eq += 1
               i += 1
             }
-            if (eq.toDouble / numHashes >= threshold) out += ((mid, id))
+            Profile.comparisons.incrementAndGet()
+            if (eq.toDouble / numHashes >= threshold) {
+              out += ((mid, id)); Profile.pairsEmitted.incrementAndGet()
+            }
           }
           members = members :+ (id -> sig)
         }
