@@ -48,6 +48,9 @@ object Bench {
     // engine-bound run's checkpoint/input live on /dev/shm, while the
     // cadence-bound workload above keeps the durable on-disk checkpoint
     // (its number includes the real state-store fsync cost)
+    // deleted in the finally below — /dev/shm is RAM-capped, and a
+    // leaked per-run input+checkpoint would accumulate until the tmpfs
+    // fills (GraftSession.tempDir's shutdown hook only covers /tmp)
     val root =
       if (new java.io.File("/dev/shm").canWrite)
         java.nio.file.Files.createTempDirectory(
@@ -112,8 +115,15 @@ object Bench {
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(root))
     }
     (records, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   private def streamingWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double) = {
@@ -463,7 +473,7 @@ object Bench {
         .map(_.group(1).toDouble)
         .getOrElse(sys.error(s"probe emitted no qps: $s"))
     }
-    val probeDir = java.nio.file.Files.createTempDirectory("graft_probe_").toFile
+    val probeDir = new java.io.File(GraftSession.tempDir("graft_probe_"))
     val oneOut = new java.io.File(probeDir, "one.json")
     require(forkQps(0, 8, oneOut).waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
     val oneNodeQps = qpsOf(oneOut)
@@ -605,7 +615,7 @@ object Bench {
       GraftSession.table(spark, sfDir, "customer"), "c_custkey", "c_name",
       GraftSession.table(spark, sfDir, "supplier"), "s_suppkey", "s_name",
       num = 1, den = 3)
-    val cached = Seq(st.l, st.r, st.prefL, st.prefR, st.candsRaw, st.cands)
+    val cached = Seq(st.l, st.r, st.dfs, st.prefL, st.prefR, st.candsRaw, st.cands)
     cached.foreach(_.persist())
     try {
       val t0 = System.nanoTime()
@@ -630,7 +640,7 @@ object Bench {
     import graft.operators.Dedup
     val st = Dedup.minhashStages(
       GraftSession.table(spark, sfDir, "documents"), "doc_id", "text")
-    val cached = Seq(st.sig, st.candsRaw, st.cands)
+    val cached = Seq(st.sig, st.banded, st.candsRaw, st.cands)
     cached.foreach(_.persist())
     try {
       val t0 = System.nanoTime()
@@ -765,6 +775,10 @@ object Bench {
       .filter(e => only.forall(_.contains(e._1)) && wl.isEmpty)
       .map { case (name, fn) =>
       val secs = (1 to repeat).map { _ =>
+        // counters reflect ONE run even under _REPEAT (cardinalities are
+        // deterministic, so last run == first run for the counts)
+        if (name == "q_dedup_minhash_streaming")
+          graft.streaming.StreamingDedup.Profile.reset()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
@@ -860,24 +874,34 @@ object Bench {
       try {
         val names = Seq("q_window_streaming", "q_dedup_minhash",
           "q_tpch_q18", "q_ann_ivf")
-        val soloKnown = results.toMap
-        val solo = names.map { n =>
-          n -> soloKnown.get(n).filter(_ > 0).getOrElse {
-            val t0 = System.nanoTime()
-            SparkEntry.queries(n)(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          }
+        // each query runs in its OWN child session (spark.newSession():
+        // shared SparkContext, isolated SessionState) — the streaming
+        // entry mutates spark.sql.shuffle.partitions around its query,
+        // and on a shared session that mutation leaks into whichever
+        // batch heavy happens to plan at the same moment
+        def runIn(n: String): Double = {
+          val s = spark.newSession()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(s, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
         }
+        // warm solo baselines measured HERE, sequentially: the sweep's
+        // per-entry numbers are first runs carrying JIT/codegen warm-up,
+        // and comparing a warm concurrent wall against cold solos would
+        // overstate the sharing win
+        val solo = names.map(n => n -> runIn(n))
         val pool = java.util.concurrent.Executors.newFixedThreadPool(names.size)
         val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
         val t0 = System.nanoTime()
         val futures = names.map { n =>
           pool.submit(new Runnable {
             override def run(): Unit = {
-              // one FAIR pool per query: FAIR mode schedules between
-              // pools — four jobs in one pool would still convoy FIFO
+              // one FAIR pool per query (local properties are
+              // thread-local on the shared SparkContext): FAIR mode
+              // schedules between pools — four jobs in one pool would
+              // still convoy FIFO
               spark.sparkContext.setLocalProperty("spark.scheduler.pool", n)
-              try { SparkEntry.queries(n)(spark, sfDir).count(); () }
+              try { runIn(n); () }
               catch { case e: Throwable =>
                 failures.add(s"$n: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
               }

@@ -98,30 +98,33 @@ object Multimodal {
       b(o) == s(0).toByte && b(o + 1) == s(1).toByte &&
       b(o + 2) == s(2).toByte && b(o + 3) == s(3).toByte
     if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var pos = 12
+    // LONG chunk positions throughout: a corrupt size near Int.MaxValue
+    // must read as a malformed payload (None -> stub fallback), not wrap
+    // negative past the loop guard and index b(negative)
+    var pos = 12L
     var rate = -1; var channels = -1; var bits = -1
-    var dataOff = -1; var dataLen = -1
+    var dataOff = -1L; var dataLen = -1L
     while (pos + 8 <= b.length) {
-      val size = u32(pos + 4)
-      if (size < 0 || size > Int.MaxValue) return None
+      val p = pos.toInt
+      val size = u32(p + 4)
       val body = pos + 8
-      if (tag(pos, "fmt ") && size >= 16 && body + 16 <= b.length) {
-        val fmtCode = u16(body)
+      if (tag(p, "fmt ") && size >= 16 && body + 16 <= b.length) {
+        val fmtCode = u16(body.toInt)
         if (fmtCode != 1) return None // PCM only
-        channels = u16(body + 2)
-        rate = u32(body + 4).toInt
-        bits = u16(body + 14)
-      } else if (tag(pos, "data")) {
-        dataOff = body; dataLen = size.toInt
+        channels = u16(body.toInt + 2)
+        rate = u32(body.toInt + 4).toInt
+        bits = u16(body.toInt + 14)
+      } else if (tag(p, "data")) {
+        dataOff = body; dataLen = size
       }
-      pos = body + size.toInt + (size.toInt & 1) // chunks pad to even
+      pos = body + size + (size & 1L) // chunks pad to even
     }
     if (rate <= 0 || channels <= 0 || bits != 16 ||
         dataOff < 0 || dataOff + dataLen > b.length) return None
-    val nSamples = dataLen / 2
+    val nSamples = (dataLen / 2).toInt // dataOff+dataLen <= b.length: fits Int
     var sumAbs = 0L
-    var i = dataOff
-    val end = dataOff + nSamples * 2
+    var i = dataOff.toInt
+    val end = dataOff.toInt + nSamples * 2
     while (i < end) {
       val s = ((b(i) & 0xFF) | (b(i + 1) << 8)).toShort.toInt
       sumAbs += math.abs(s)

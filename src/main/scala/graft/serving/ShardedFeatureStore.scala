@@ -76,6 +76,13 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
       recs.foreach { case (startPos, rec) =>
         val buf = ByteBuffer.wrap(rec)
         val keyLen = buf.getInt
+        // bounds BEFORE allocating: a mid-record parse in the stamp-slip
+        // window can yield a garbage keyLen, and new Array[Byte](1<<30)
+        // is an OutOfMemoryError that escapes the Exception-only
+        // reset-and-retry fence. A framing failure must be an exception
+        // the fence catches.
+        if (keyLen < 0 || keyLen > rec.length - 12)
+          throw new java.io.IOException(s"bad key framing: $keyLen of ${rec.length}")
         val keyBytes = new Array[Byte](keyLen)
         buf.get(keyBytes)
         val key = new String(keyBytes, StandardCharsets.UTF_8)

@@ -222,18 +222,33 @@ object ShardedServingBuffer {
     buf.array()
   }
 
+  /** Decode one row record. Every length field is bounds-checked against
+    * the remaining bytes BEFORE its allocation (a mid-record parse in a
+    * compaction race can yield garbage lengths, and an unchecked
+    * `new Array(1<<30)` is an OutOfMemoryError that escapes the reader's
+    * Exception-only reset-and-retry fence), and the record must consume
+    * EXACTLY its framed length — a misaligned parse that happens to
+    * decode cleanly but leaves bytes over is a detected race, not a row.
+    */
   def decodeRow(rec: Array[Byte])
       : (String, (Long, Array[Double], Array[String])) = {
     val buf = ByteBuffer.wrap(rec)
-    val keyLen = buf.getInt
+    def bounded(n: Int, unit: Int): Int = {
+      if (n < 0 || n.toLong * unit > buf.remaining())
+        throw new java.io.IOException(s"bad row framing: $n x $unit of ${buf.remaining()}")
+      n
+    }
+    val keyLen = bounded(buf.getInt, 1)
     val keyB = new Array[Byte](keyLen); buf.get(keyB)
     val ts = buf.getLong
-    val nums = Array.fill(buf.getInt)(buf.getDouble)
-    val strs = Array.fill(buf.getInt) {
+    val nums = Array.fill(bounded(buf.getInt, 8))(buf.getDouble)
+    val strs = Array.fill(bounded(buf.getInt, 4)) {
       val l = buf.getInt
       if (l < 0) null
-      else { val b = new Array[Byte](l); buf.get(b); new String(b, StandardCharsets.UTF_8) }
+      else { val b = new Array[Byte](bounded(l, 1)); buf.get(b); new String(b, StandardCharsets.UTF_8) }
     }
+    if (buf.remaining() != 0)
+      throw new java.io.IOException(s"row framing left ${buf.remaining()} bytes over")
     (new String(keyB, StandardCharsets.UTF_8), (ts, nums, strs))
   }
 }
