@@ -462,7 +462,7 @@ object Bench {
       val pb = new ProcessBuilder(javaBin, "-cp",
         System.getProperty("java.class.path"),
         "graft.serving.ReaderProbe", "qps", shardRoot, "8", keys.toString,
-        "3000", "key_", lo.toString, hi.toString)
+        "5000", "key_", lo.toString, hi.toString)
       pb.redirectOutput(out)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.start()
