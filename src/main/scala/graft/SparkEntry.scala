@@ -3167,6 +3167,38 @@ object SparkEntry {
                 f.feature_sums
          FROM documents d JOIN f USING (doc_id) ORDER BY d.doc_id""")
 
+    // TPC-H Q10 (returned-item reporting): 4-way join, date-windowed
+    // orders, returned lines only, revenue-ranked top 20 customers.
+    // Revenue in exact integer cent-products like Q3.
+    m += "q_tpch_q10" -> both("""
+      SELECT c_custkey, c_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cp,
+             n_name
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue_cp DESC, c_custkey LIMIT 20""")
+
+    // TPC-H Q13 (customer order-count distribution), adapted predicate
+    // (the spec filters on order comments; this corpus carries none, so
+    // the join-side filter is on priority): LEFT OUTER join so
+    // zero-order customers land in the c_count=0 bucket, then an
+    // aggregate OF the aggregate — the two-level groupBy shape.
+    m += "q_tpch_q13" -> both("""
+      SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+
     // REAL media decode (r10): deterministic P6/WAVE payloads are built
     // per doc (even ids image, odd ids audio), pushed through the
     // dispatching decodeMedia — actual byte-level header/plane/chunk

@@ -116,7 +116,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "Q6's range predicates missing from the scan node")
     assert(p6.contains("partial_"), "Q6 lost map-side partial aggregation")
     val p14 = plan("q_tpch_q14")
-    for (p <- Seq(p4, p6, p14)) {
+    val p10 = plan("q_tpch_q10")
+    assert(p10.contains("TakeOrderedAndProject"), "Q10's LIMIT lost TakeOrdered")
+    val p13 = plan("q_tpch_q13")
+    assert(p13.contains("LeftOuter") || p13.contains("RightOuter"),
+      "Q13 lost the outer join (zero-order customers must survive)")
+    for (p <- Seq(p4, p6, p14, p10, p13)) {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         "TPC-H entry fell back to an all-pairs join")
     }
