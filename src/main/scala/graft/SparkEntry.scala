@@ -930,6 +930,68 @@ object SparkEntry {
        AND r.ts_ms BETWEEN l.ts_ms - 86400000 AND l.ts_ms
       ORDER BY l.event_id, e_event_id"""))
 
+    // Stream-stream LEFT OUTER interval join: the canonical Spark form
+    // (equality key + time-range condition, watermarks both sides) —
+    // unmatched clicks emit their NULL row once the watermark passes the
+    // join window. The tail problem is real and handled the FLUSH_TS
+    // way: without a watermark push past max(ts) + range + delay, every
+    // unmatched click in the last ~25h of event time would stay in state
+    // forever and never emit — so each side gets one far-future sentinel
+    // row (filtered from the output), mirroring the reference's terminal
+    // MAX_WATERMARK flush. No bucket-explode here: the inner entry's bkt
+    // trick would DUPLICATE unmatched left rows (one per bucket copy).
+    m += "q_join_stream_stream_left" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{col, expr, lit, timestamp_millis}
+        val ev = s.sql(s"SELECT * FROM $eventsMsSpark")
+        val maxTs = ev.agg(org.apache.spark.sql.functions.max("ts_ms")).head().getLong(0)
+        val root = GraftSession.tempDir("graft_ssjl_")
+        def sentinel(cols: (String, org.apache.spark.sql.Column)*): DataFrame =
+          ev.limit(1).select(cols.map { case (n, c) => c.as(n) }: _*)
+        ev.where("event_type = 'click'").select("event_id", "user_id", "ts_ms")
+          .write.parquet(s"$root/l")
+        sentinel("event_id" -> lit(-1L), "user_id" -> lit(-1L),
+            "ts_ms" -> lit(maxTs + 172800000L))
+          .write.mode("append").parquet(s"$root/l")
+        ev.where("event_type = 'error'").select("event_id", "user_id", "ts_ms", "value_c")
+          .write.parquet(s"$root/r")
+        sentinel("event_id" -> lit(-1L), "user_id" -> lit(-1L),
+            "ts_ms" -> lit(maxTs + 172800000L), "value_c" -> lit(0L))
+          .write.mode("append").parquet(s"$root/r")
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        def side(sub: String): DataFrame =
+          s.readStream.schema(s.read.parquet(s"$root/$sub").schema)
+            .parquet(s"$root/$sub")
+            .withColumn("ts", timestamp_millis(col("ts_ms")))
+            .withWatermark("ts", "1 hour")
+        val joined = side("l").as("l").join(side("r").as("r"),
+          expr("""l.user_id = r.user_id
+                  AND r.ts >= l.ts - INTERVAL 24 HOURS AND r.ts <= l.ts"""),
+          "leftOuter")
+          .select(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
+            col("l.ts_ms").as("ts_ms"), col("r.event_id").as("e_event_id"),
+            col("r.value_c").as("e_value_c"))
+        val q = joined.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+        try q.processAllAvailable() finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
+        s.read.parquet(s"$root/out")
+          .where(col("event_id") =!= -1L)
+          .orderBy(col("event_id").asc, col("e_event_id").asc_nulls_first)
+      },
+      Some(s"""
+      SELECT l.event_id, l.user_id, l.ts_ms, r.event_id AS e_event_id, r.value_c AS e_value_c
+      FROM (SELECT event_id, user_id, ts_ms FROM $eventsMsDuck WHERE event_type = 'click') l
+      LEFT JOIN (SELECT * FROM $eventsMsDuck WHERE event_type = 'error') r
+        ON l.user_id = r.user_id
+       AND r.ts_ms BETWEEN l.ts_ms - 86400000 AND l.ts_ms
+      ORDER BY l.event_id ASC, e_event_id ASC NULLS FIRST"""))
+
     // ---------------- sorts / limits / set ops (SURVEY §2.8) --------------
     m += "q_orderby_limit" -> both("""
       SELECT o_orderkey, o_totalprice FROM orders
