@@ -473,16 +473,29 @@ object Bench {
         .map(_.group(1).toDouble)
         .getOrElse(sys.error(s"probe emitted no qps: $s"))
     }
+    // two interleaved attempts per configuration, max of each: a fresh
+    // JVM's measured window is hostage to C2-compile timing and box
+    // state (observed 42k..117k summed qps for identical code), and one
+    // unlucky draw permanently recording "sharding lost" is exactly the
+    // r8 coalescer-record failure mode. Max-of-2 measures steady-state
+    // capability; the interleaving keeps both configs under the same
+    // box conditions.
     val probeDir = new java.io.File(GraftSession.tempDir("graft_probe_"))
-    val oneOut = new java.io.File(probeDir, "one.json")
-    require(forkQps(0, 8, oneOut).waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
-    val oneNodeQps = qpsOf(oneOut)
-    val twoOutA = new java.io.File(probeDir, "two_a.json")
-    val twoOutB = new java.io.File(probeDir, "two_b.json")
-    val pa = forkQps(0, 4, twoOutA); val pb2 = forkQps(4, 8, twoOutB)
-    require(pa.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
-    require(pb2.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
-    val twoNodeQps = qpsOf(twoOutA) + qpsOf(twoOutB)
+    def oneNode(tag: String): Double = {
+      val f = new java.io.File(probeDir, s"one_$tag.json")
+      require(forkQps(0, 8, f).waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+      qpsOf(f)
+    }
+    def twoNode(tag: String): Double = {
+      val fa = new java.io.File(probeDir, s"two_a_$tag.json")
+      val fb = new java.io.File(probeDir, s"two_b_$tag.json")
+      val pa = forkQps(0, 4, fa); val pb2 = forkQps(4, 8, fb)
+      require(pa.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+      require(pb2.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+      qpsOf(fa) + qpsOf(fb)
+    }
+    val oneNodeQps = math.max(oneNode("1"), oneNode("2"))
+    val twoNodeQps = math.max(twoNode("1"), twoNode("2"))
 
     (storeQps, shardedQps, directQps, shardedLiveQps, liveQps, c.meanBatch,
       c.largestBatch, oneNodeQps, twoNodeQps)
