@@ -810,7 +810,12 @@ object Bench {
       name -> sec
     }
     // online-LSH attribution for the biggest streaming entry: how much
-    // state work the bucket index actually did during the sweep
+    // state work the bucket index actually did during the sweep.
+    // NOTE (ADVICE r10): Profile's counters are JVM-global statics
+    // mutated from task threads — the snapshot is only meaningful
+    // because this entry runs SOLO in local mode here (the catalog sweep
+    // is sequential and the entry is excluded from the concurrency
+    // phase); a concurrent or distributed run would interleave counts
     if (results.exists(r => r._1 == "q_dedup_minhash_streaming" && r._2 >= 0))
       BenchCounters.put("smh", graft.streaming.StreamingDedup.Profile.snapshot)
 

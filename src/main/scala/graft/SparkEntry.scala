@@ -3307,6 +3307,64 @@ object SparkEntry {
          FROM w JOIN wf USING (doc_id)
          ORDER BY doc_id""")
 
+    // REAL compressed-codec decode (r11): PNG/JPEG/BMP payloads are
+    // encoded per doc with the JDK's own ImageIO.write from seeded
+    // pixels, AIFF with AudioSystem.write from seeded PCM-16 samples,
+    // then pushed through decodeMedia's magic-byte dispatch into the
+    // JDK's javax.imageio / javax.sound readers. For the LOSSLESS
+    // formats (png/bmp/aiff) the oracle replays the decoded dims AND
+    // exact channel/sample sums as pure arithmetic in doc_id — a wrong
+    // pixel anywhere in the encode->decode round trip breaks the hash.
+    // JPEG pixel sums are lossy-DCT-defined, so jpeg rows pin
+    // format/width/height only (feat_sums masked to '').
+    m += "q_multimodal_jdk" -> op(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.{col, concat_ws, lit, transform, when}
+        val payloads = GraftSession.table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .map(id => (id, (id % 4) match {
+            case 0 => Multimodal.syntheticImage(id, "png")
+            case 1 => Multimodal.syntheticImage(id, "jpeg")
+            case 2 => Multimodal.syntheticImage(id, "bmp")
+            case _ => Multimodal.syntheticAiff(id)
+          }))
+          .toDF("doc_id", "payload")
+        Multimodal.decodeMedia(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("channels"), col("sample_rate"), col("n_samples"),
+            when(col("format") === "jpeg", lit(""))
+              .otherwise(concat_ws(",", transform(col("feat_sums"), v => v.cast("string"))))
+              .as("feat_sums"))
+          .orderBy("doc_id")
+      },
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+         img AS (SELECT doc_id, CAST(doc_id % 13 + 2 AS INT) AS width,
+                        CAST(doc_id % 7 + 2 AS INT) AS height,
+                        CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'bmp' END AS format
+                 FROM ids WHERE doc_id % 4 IN (0, 1, 2)),
+         sums AS (SELECT doc_id, j % 3 AS ch, sum((doc_id * 31 + j) % 256) AS s
+                  FROM (SELECT doc_id, unnest(range(0, 3 * width * height)) AS j
+                        FROM img WHERE format <> 'jpeg')
+                  GROUP BY doc_id, j % 3),
+         sa AS (SELECT doc_id, string_agg(CAST(s AS VARCHAR), ',' ORDER BY ch) AS feat_sums
+                FROM sums GROUP BY doc_id),
+         au AS (SELECT doc_id, CAST(doc_id % 50 + 10 AS BIGINT) AS n
+                FROM ids WHERE doc_id % 4 = 3),
+         af AS (SELECT doc_id, sum(abs((doc_id * 7 + 13 * i) % 2001 - 1000)) AS s
+                FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM au)
+                GROUP BY doc_id)
+         SELECT i.doc_id, i.format, i.width, i.height,
+                CAST(3 AS INT) AS channels, CAST(0 AS INT) AS sample_rate,
+                CAST(i.width * i.height AS BIGINT) AS n_samples,
+                CASE WHEN i.format = 'jpeg' THEN '' ELSE sa.feat_sums END AS feat_sums
+         FROM img i LEFT JOIN sa USING (doc_id)
+         UNION ALL
+         SELECT a.doc_id, 'aiff', CAST(0 AS INT), CAST(0 AS INT),
+                CAST(1 AS INT), CAST(8000 AS INT), a.n, CAST(af.s AS VARCHAR)
+         FROM au a JOIN af USING (doc_id)
+         ORDER BY doc_id""")
+
     m.result()
   }
 

@@ -7,16 +7,19 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-at-a-time per partition.
   *
-  * The decode boundary (r10): UNCOMPRESSED containers decode for real —
+  * The decode boundary (r11): REAL decode everywhere the JDK can do it —
   * [[decodePpm]] (binary PPM "P6": header parse + raw RGB planes) and
   * [[decodeWav]] (RIFF/WAVE chunk walk + 16-bit PCM samples) are pure
-  * byte parsers with no codec dependency, and [[decodeMedia]] dispatches
-  * on magic bytes. Only COMPRESSED codecs (png/jpeg/webp/mp3/h264)
-  * remain stubbed (`decodeStub` — this container ships no codec libs);
-  * the Spark-side shape is identical either way — binary schema,
-  * per-partition batched processing (the Scala analogue of
-  * `mapInPandas`), explicit output schema — so a production codec drops
-  * into the same dispatch.
+  * byte parsers with no dependency at all; PNG/JPEG/BMP/GIF/TIFF decode
+  * through the JDK's built-in `javax.imageio` readers ([[decodeImage]])
+  * and AIFF/AU (plus non-PCM WAVE variants) through
+  * `javax.sound.sampled.AudioSystem` ([[decodeAudio]]) — both ship with
+  * every stock JDK, zero added dependencies. [[decodeMedia]] dispatches
+  * on magic bytes. `decodeStub` is now reserved for codecs the JDK
+  * genuinely lacks (webp/mp3/h264/av1); the Spark-side shape is
+  * identical either way — binary schema, per-partition batched
+  * processing (the Scala analogue of `mapInPandas`), explicit output
+  * schema — so an external codec for those drops into the same dispatch.
   */
 object Multimodal {
 
@@ -138,6 +141,11 @@ object Multimodal {
     * image-curation pipeline, runnable with zero codec deps on
     * uncompressed data). Returns None for non-P6 input. */
   def resizePpm(b: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+    // target-dimension guard (ADVICE r10): the decoder paths return None
+    // on malformed INPUT, so malformed TARGETS must not be the one way to
+    // throw — non-positive dims would NegativeArraySizeException and
+    // large ones overflow 3*newW*newH in Int arithmetic
+    if (newW <= 0 || newH <= 0 || 3L * newW * newH > Int.MaxValue - 64L) return None
     decodePpm(b).map { case (w, h, _) =>
       // locate the plane start the same way the decoder did
       val headerEnd = {
@@ -172,6 +180,106 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // JDK-built-in codec decoders (javax.imageio / javax.sound.sampled) —
+  // present in every stock JDK, no external dependency
+  // ------------------------------------------------------------------
+
+  /** Magic-byte sniff for the formats the JDK's ImageIO readers cover.
+    * Returns the canonical format name, or None. Trusting our own sniff
+    * (not `reader.getFormatName`) keeps the emitted format string
+    * deterministic across JDK vendors. */
+  def sniffImageFormat(b: Array[Byte]): Option[String] = {
+    if (b.length < 4) None
+    else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) Some("jpeg")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+    else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xFF) == 0x2A && b(3) == 0) ||
+             (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xFF) == 0x2A)) Some("tiff")
+    else None
+  }
+
+  /** REAL compressed-image decode via the JDK's built-in `javax.imageio`
+    * readers (PNG/JPEG/BMP/GIF/TIFF — all present in a stock JDK).
+    * Returns (format, width, height, per-channel RGB sums) or None when
+    * the payload is not one of those formats or fails to decode. PNG/BMP
+    * /GIF are lossless, so the channel sums of a payload we encoded from
+    * seeded pixels replay EXACTLY — the oracle hook. JPEG dims/format
+    * are exact; its pixel sums are codec-defined (lossy DCT). */
+  def decodeImage(b: Array[Byte]): Option[(String, Int, Int, Array[Long])] =
+    sniffImageFormat(b).flatMap { fmt =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val img = reader.read(0)
+              val w = img.getWidth; val h = img.getHeight
+              // bulk ARGB grab — one array copy, not w*h getRGB calls
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              val sums = new Array[Long](3)
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                sums(0) += (p >> 16) & 0xFF
+                sums(1) += (p >> 8) & 0xFF
+                sums(2) += p & 0xFF
+                i += 1
+              }
+              Some((fmt, w, h, sums))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
+  /** REAL audio decode via `javax.sound.sampled.AudioSystem` for the
+    * containers the pure WAV parser doesn't cover: AIFF and AU (both
+    * JDK-built-in), plus any RIFF/WAVE variant `decodeWav` rejects
+    * (e.g. float PCM). Returns (container, sampleRate, channels,
+    * nSamples, sumAbs over 16-bit samples) or None. Non-16-bit streams
+    * decode metadata-only (sumAbs = 0). */
+  def decodeAudio(b: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    def tag4(o: Int, s: String) = b.length >= o + 4 &&
+      b(o) == s(0).toByte && b(o + 1) == s(1).toByte &&
+      b(o + 2) == s(2).toByte && b(o + 3) == s(3).toByte
+    val container =
+      if (tag4(0, "FORM") && (tag4(8, "AIFF") || tag4(8, "AIFC"))) "aiff"
+      else if (tag4(0, ".snd")) "au"
+      else if (tag4(0, "RIFF") && tag4(8, "WAVE")) "wav"
+      else return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val fmt = ais.getFormat
+        val data = ais.readAllBytes()
+        val sixteenBitPcm =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16
+        val nSamples = if (sixteenBitPcm) data.length / 2 else 0
+        var sumAbs = 0L
+        if (sixteenBitPcm) {
+          var i = 0
+          while (i + 1 < data.length) {
+            val s =
+              if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort.toInt
+              else ((data(i) & 0xFF) | (data(i + 1) << 8)).toShort.toInt
+            sumAbs += math.abs(s)
+            i += 2
+          }
+        }
+        Some((container, fmt.getSampleRate.toInt, fmt.getChannels, nSamples, sumAbs))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Output schema of the media decode stage: one row per payload with
     * the union of image and audio metadata (unused slots zeroed) plus
     * exact integer features (channel byte sums / abs-amplitude sum) so
@@ -186,10 +294,12 @@ object Multimodal {
     StructField("n_samples", LongType, nullable = false),
     StructField("feat_sums", ArrayType(LongType), nullable = false)))
 
-  /** Batched per-partition media decode with REAL parsers for
-    * uncompressed containers, dispatched on magic bytes: P6 -> PPM pixel
-    * planes, RIFF/WAVE -> PCM-16 samples, anything else -> the
-    * documented codec stub (format "stub/<ext>"). */
+  /** Batched per-partition media decode with REAL decoders, dispatched
+    * on magic bytes: P6 -> pure PPM parser, RIFF/WAVE -> pure PCM-16
+    * chunk walk, PNG/JPEG/BMP/GIF/TIFF -> JDK `javax.imageio`,
+    * AIFF/AU (+ non-PCM16 WAVE fallback) -> JDK `javax.sound.sampled`.
+    * Only formats the JDK has no codec for (webp/mp3/h264/...) reach the
+    * documented stub (format "stub/<ext>"). */
   def decodeMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val rows = df.select(col(idCol).cast("long"), col(payloadCol))
     val enc = Encoders.row(mediaSchema)
@@ -203,9 +313,17 @@ object Multimodal {
           case None => decodeWav(bytes) match {
             case Some((rate, ch, n, sumAbs)) =>
               Row(id, "wav", 0, 0, ch, rate, n.toLong, Seq(sumAbs))
-            case None =>
-              val (fmt, w, h, _) = decodeStub(bytes)
-              Row(id, s"stub/$fmt", w, h, 0, 0, 0L, Seq.empty[Long])
+            case None => decodeImage(bytes) match {
+              case Some((fmt, w, h, sums)) =>
+                Row(id, fmt, w, h, 3, 0, w.toLong * h, sums.toSeq)
+              case None => decodeAudio(bytes) match {
+                case Some((container, rate, ch, n, sumAbs)) =>
+                  Row(id, container, 0, 0, ch, rate, n.toLong, Seq(sumAbs))
+                case None =>
+                  val (fmt, w, h, _) = decodeStub(bytes)
+                  Row(id, s"stub/$fmt", w, h, 0, 0, 0L, Seq.empty[Long])
+              }
+            }
           }
         }
       }
@@ -247,6 +365,34 @@ object Multimodal {
     out
   }
 
+  /** Deterministic COMPRESSED image payload for doc `id`, encoded with
+    * the JDK's own `ImageIO.write` (`fmt` = "png" | "jpeg" | "bmp" |
+    * "gif"): dims and every pixel channel are the SAME arithmetic in
+    * `id` as [[syntheticPpm]] (channel j of the row-major RGB plane =
+    * (id*31 + j) % 256), so for the lossless formats (png/bmp) a DuckDB
+    * oracle replays the decoded width/height AND channel sums without
+    * touching bytes — the real ImageIO decode round-trip is what's under
+    * test. JPEG's sums are lossy-codec-defined; its dims/format still
+    * replay. */
+  def syntheticImage(id: Long, fmt: String): Array[Byte] = {
+    val w = (id % 13 + 2).toInt; val h = (id % 7 + 2).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < w * h) {
+      val j = 3L * p
+      val r = ((id * 31 + j) % 256).toInt
+      val g = ((id * 31 + j + 1) % 256).toInt
+      val b = ((id * 31 + j + 2) % 256).toInt
+      img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, fmt, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
   /** Deterministic PCM-16 WAVE payload for doc `id` (canonical 44-byte
     * header, mono, 8 kHz): sample i = (id*7 + 13i) % 2001 - 1000. Same
     * oracle-replayability contract as [[syntheticPpm]]. */
@@ -267,6 +413,29 @@ object Multimodal {
       i += 1
     }
     buf.array()
+  }
+
+  /** Deterministic AIFF payload for doc `id`, encoded with the JDK's own
+    * `AudioSystem.write` (mono PCM-16 big-endian, 8 kHz): sample i =
+    * (id*7 + 13i) % 2001 - 1000 — the SAME arithmetic as
+    * [[syntheticWav]], so the oracle replays the decoded sample count
+    * and |sample| sum while the real `javax.sound` container parse is
+    * what's under test. */
+  def syntheticAiff(id: Long): Array[Byte] = {
+    val n = (id % 50 + 10).toInt
+    val pcm = java.nio.ByteBuffer.allocate(2 * n) // AIFF PCM is big-endian
+    var i = 0
+    while (i < n) {
+      pcm.putShort((((id * 7 + 13L * i) % 2001) - 1000).toShort)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    bos.toByteArray
   }
 
   /** Frame-sampling stub for video-ish payloads: emits every `stride`-th

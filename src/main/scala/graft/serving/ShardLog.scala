@@ -153,7 +153,17 @@ final class ShardLogReader(val root: String, val numShards: Int,
 
   private def genStamp(shard: Int): Long = {
     val f = genFile(shard)
-    f.lastModified() ^ (f.length() << 52)
+    // nanosecond-resolution mtime (ADVICE r10): File.lastModified() is
+    // only guaranteed millisecond (some filesystems: second) granularity,
+    // and the gen sidecar's LENGTH is constant for gens 1-9, so two
+    // compactions inside one coarse mtime granule could slip the stamp.
+    // FileTime carries the filesystem's full timestamp resolution.
+    val mtimeNanos =
+      try Files.readAttributes(f.toPath,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+            .lastModifiedTime().to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: Exception => 0L } // absent gen file ⇒ gen 0
+    mtimeNanos ^ (f.length() << 52)
   }
 
   /** Parse any records appended since the last refresh and hand them to

@@ -153,6 +153,15 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
         case _: Exception if attempts > 0 =>
           reader.reset(shard)(() => index(shard).clear())
           refresh(shard)
+        case _: Exception =>
+          // Attempt exhaustion = 4 consecutive independent compaction
+          // races (probability (rewrites-per-read-window)^4). Degrade to
+          // a miss rather than throwing out of the FeatureLookup
+          // contract — a 500 from RequestServer mid-serving is strictly
+          // worse than one stale-looking miss the client will retry
+          // (ADVICE r10). Reset so the next lookup re-parses cleanly.
+          reader.reset(shard)(() => index(shard).clear())
+          done = true
       }
     }
     result

@@ -73,6 +73,30 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("JDK codecs: PNG/BMP round-trip exact pixels, JPEG dims, AIFF samples") {
+    for (id <- Seq(0L, 3L, 12L, 49L, 777L)) {
+      val w = (id % 13 + 2).toInt; val h = (id % 7 + 2).toInt
+      val expectSums = Array.tabulate(3)(c =>
+        (0 until w * h).map(p => (id * 31 + 3 * p + c) % 256).sum)
+      for (fmt <- Seq("png", "bmp")) { // lossless: exact channel sums
+        val Some((f, w2, h2, sums)) =
+          Multimodal.decodeImage(Multimodal.syntheticImage(id, fmt))
+        assert(f == fmt && w2 == w && h2 == h)
+        assert(sums.toSeq == expectSums.toSeq, s"id $id $fmt channel sums")
+      }
+      val Some((fj, wj, hj, _)) = // lossy: dims+format only
+        Multimodal.decodeImage(Multimodal.syntheticImage(id, "jpeg"))
+      assert(fj == "jpeg" && wj == w && hj == h)
+      val Some((container, rate, ch, n, sumAbs)) =
+        Multimodal.decodeAudio(Multimodal.syntheticAiff(id))
+      assert(container == "aiff" && rate == 8000 && ch == 1 && n == (id % 50 + 10).toInt)
+      assert(sumAbs == (0 until n).map(i => math.abs((id * 7 + 13L * i) % 2001 - 1000)).sum)
+    }
+    // sniff refuses non-image bytes; a sniffed-but-truncated PNG decodes to None
+    assert(Multimodal.sniffImageFormat("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Multimodal.syntheticImage(5L, "png").take(20)).isEmpty)
+  }
+
   test("nearest-neighbor PPM resize: dims change, pixels come from source grid") {
     val id = 17L
     val src = Multimodal.syntheticPpm(id) // 6x5
@@ -91,5 +115,10 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(sums2.toSeq == expect.toSeq)
     // resizing audio bytes is a type error, not garbage output
     assert(Multimodal.resizePpm(Multimodal.syntheticWav(id), 2, 2).isEmpty)
+    // malformed TARGET dims refuse like malformed input does (ADVICE r10):
+    // non-positive would NegativeArraySize, huge would overflow 3*w*h
+    assert(Multimodal.resizePpm(src, 0, 2).isEmpty)
+    assert(Multimodal.resizePpm(src, 3, -1).isEmpty)
+    assert(Multimodal.resizePpm(src, 1 << 16, 1 << 15).isEmpty)
   }
 }
