@@ -3261,6 +3261,102 @@ object SparkEntry {
       GROUP BY c_count
       ORDER BY custdist DESC, c_count DESC""")
 
+    // TPC-H Q19 (discounted revenue): the disjunctive-join-predicate
+    // shape no other entry exercises — an OR of per-branch ANDs mixing
+    // part columns with lineitem columns in the join's WHERE. Catalyst's
+    // CNF conversion (PushCNFPredicateThroughJoin) must derive the
+    // per-side residuals (p_brand IN (...) / quantity-range union) and
+    // push them below the join — the plan pin asserts the predicate
+    // prunes at the scans/join, never a filter above a cartesian.
+    // Adapted predicates (corpus has no p_container / l_shipmode /
+    // l_shipinstruct): container class -> p_size band, shipmode ->
+    // l_returnflag = 'N'. Revenue in exact integer cent-products.
+    m += "q_tpch_q19" -> both("""
+      SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cp
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity >= 1 AND l_quantity <= 11 AND l_returnflag = 'N')
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag = 'N')
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+             AND l_quantity >= 20 AND l_quantity <= 30 AND l_returnflag = 'N')""")
+
+    // TPC-H Q2 (minimum-cost supplier): the correlated scalar
+    // min-subquery against a 4-way dim chain (ps -> supplier -> nation
+    // -> region), evaluated once per outer part — Catalyst must plan it
+    // as an aggregate-then-join on ps_partkey, not a per-row re-scan.
+    // This corpus ships no partsupp, so ps derives from lineitem (the
+    // part-supplier pairs that actually traded, supply cost = cheapest
+    // observed line price in exact cents) — topology identical to the
+    // canonical form.
+    m += "q_tpch_q2" -> both("""
+      WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_cp
+                  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+             s_name, n_name, p_partkey, p_name
+      FROM part
+      JOIN ps ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD' AND r_name = 'ASIA'
+        AND ps_cost_cp = (SELECT min(ps2.ps_cost_cp)
+                          FROM ps ps2
+                          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+      ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+      LIMIT 100""")
+
+    // TPC-H Q16 (part/supplier relationship): NOT IN (null-aware anti
+    // join on the supplier blacklist) + count(DISTINCT supplier) per
+    // part class — the distinct-agg-after-anti-join shape. partsupp
+    // derives from lineitem as in Q2; the spec's comment-based supplier
+    // exclusion becomes an acctbal predicate (corpus has no comments).
+    m += "q_tpch_q16" -> both("""
+      WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+                  FROM lineitem)
+      SELECT p_brand, p_type, p_size,
+             CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+      FROM ps JOIN part ON p_partkey = ps_partkey
+      WHERE p_brand <> 'Brand#5'
+        AND p_type NOT IN ('PROMO', 'ECONOMY')
+        AND p_size IN (1, 4, 7, 10, 14, 19, 25, 31, 38, 45)
+        AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+
+    // TPC-H Q22 (global sales opportunity): anti join (customers with
+    // no orders) gated by a scalar-avg subquery over the SAME derived
+    // customer set — the shape where one CTE feeds both the outer scan
+    // and the uncorrelated scalar agg. Country code adapts to
+    // substr(c_name, 17, 2) (corpus has no c_phone; names are
+    // 'Customer#NNNNNNNNN', so positions 17-18 give a uniform 00-99
+    // code), and the "no orders in 7 years" anti join adapts to "no
+    // URGENT order" — this corpus's order generator covers EVERY
+    // customer, so the literal predicate is empty; the priority-
+    // restricted anti join keeps the identical left-anti topology with
+    // a non-trivial survivor set. Balances aggregate in exact cents;
+    // the single avg is one IEEE division of exact integers —
+    // deterministic across engines.
+    m += "q_tpch_q22" -> both("""
+      WITH cust AS (SELECT c_custkey, substr(c_name, 17, 2) AS cntrycode,
+                           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                    FROM customer
+                    WHERE substr(c_name, 17, 2) IN ('13','31','23','29','30','18','17'))
+      SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+             CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+      FROM cust c
+      WHERE bal_c > (SELECT avg(bal_c) FROM cust WHERE bal_c > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c.c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      GROUP BY cntrycode
+      ORDER BY cntrycode""")
+
     // REAL media decode (r10): deterministic P6/WAVE payloads are built
     // per doc (even ids image, odd ids audio), pushed through the
     // dispatching decodeMedia — actual byte-level header/plane/chunk

@@ -127,6 +127,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("TPC-H Q19/Q2/Q16/Q22: disjunctive pushdown, min-subquery de-correlation, anti joins") {
+    assume(haveData)
+    val p19 = plan("q_tpch_q19")
+    // the OR-of-ANDs must be pruned by CNF conversion: each side's
+    // derivable disjunction reaches its scan (brand alternatives on
+    // part, quantity-range union on lineitem) — never a filter above a
+    // cartesian of the two tables
+    assert(p19.contains("Brand#12") || p19.toLowerCase.contains("p_brand"),
+      "Q19's brand disjunction missing from the part side of the plan")
+    assert(p19.contains("l_quantity"), "Q19's quantity disjunction missing")
+    val p2 = plan("q_tpch_q2")
+    // the correlated min-subquery must de-correlate to agg-then-join
+    assert(p2.contains("HashAggregate"), "Q2's min subquery lost the aggregate rewrite")
+    assert(p2.contains("TakeOrderedAndProject"), "Q2's LIMIT lost TakeOrdered")
+    val p16 = plan("q_tpch_q16")
+    assert(p16.contains("LeftAnti"), "Q16's NOT IN lost the anti-join rewrite")
+    assert(p16.contains("distinct") || p16.contains("Expand") || p16.contains("count("),
+      "Q16's count(DISTINCT) shape missing")
+    val p22 = plan("q_tpch_q22")
+    assert(p22.contains("LeftAnti"), "Q22's NOT EXISTS lost the anti join")
+    for (p <- Seq(p19, p2, p16, p22)) {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "TPC-H entry fell back to an all-pairs join")
+    }
+  }
+
   test("TPC-H Q1/Q17/Q20: partial agg, de-correlated avg join, nested-semi chain") {
     assume(haveData)
     val p1 = plan("q_tpch_q1")
