@@ -784,10 +784,40 @@ object Bench {
     def runWorkload(name: String): Boolean =
       wl.map(_.contains(name)).getOrElse(only.isEmpty)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    // Outlier self-defense (r11): the r10 official record passed the
+    // start-load gate (box idle) yet still ran 1.9x the committed clean
+    // run — one-off harness stalls inside single entries (31 s for a
+    // 3 s streaming entry) contaminating the permanent ledger with no
+    // way to tell stall from regression. Reference = the committed
+    // clean record's per-entry seconds (BENCH_local.json in the repo —
+    // experiments redirect via SPARK_GRAFT_BENCH_OUT, so the tracked
+    // file IS the clean run by convention). Any first run >3x its
+    // reference (and >1 s over it) re-runs once; the record keeps BOTH
+    // numbers in `outliers` and the queries map takes the min — a real
+    // regression reproduces on the retry, a stall doesn't.
+    val refTimes: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "/root/repo/BENCH_local.json"))
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val qi = txt.indexOf("\"queries\":{")
+        // the reference only means anything at the SAME scale factor —
+        // a 10x scale run would trip every heavy entry otherwise
+        if (qi < 0 || !txt.contains("\"sf\":" + "\"" + sfDir + "\"")) Map.empty
+        else {
+          val start = qi + "\"queries\":{".length
+          val body = txt.substring(start, txt.indexOf('}', start))
+          "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Exception => Map.empty }
+    val outliers = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(e => only.forall(_.contains(e._1)) && wl.isEmpty)
       .map { case (name, fn) =>
-      val secs = (1 to repeat).map { _ =>
+      def timedRun(): Double = {
         // counters reflect ONE run even under _REPEAT (cardinalities are
         // deterministic, so last run == first run for the counts)
         if (name == "q_dedup_minhash_streaming")
@@ -800,12 +830,23 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val sec = secs.head
+      val secs = (1 to repeat).map(_ => timedRun())
+      val first = secs.head
+      val sec =
+        if (repeat == 1 && first > 0 &&
+            refTimes.get(name).exists(r => first > 3 * r && first - r > 1.0)) {
+          val retry = timedRun()
+          outliers(name) = (first, retry)
+          if (retry > 0) math.min(first, retry) else first
+        } else first
       // one line per query AS IT COMPLETES: the driver's tail capture
       // truncated the single-line summary JSON mid-`queries` in r5, losing
       // 21 per-query numbers from the permanent record — these short lines
       // survive any tail window, and the summary stays for whole-file reads
-      if (repeat == 1) println(f"""{"q":${jstr(name)},"s":$sec%.3f}""")
+      if (outliers.contains(name)) {
+        val (f, rt) = outliers(name)
+        println(f"""{"q":${jstr(name)},"s":$sec%.3f,"outlier_first":$f%.3f,"outlier_retry":$rt%.3f}""")
+      } else if (repeat == 1) println(f"""{"q":${jstr(name)},"s":$sec%.3f}""")
       else println(s"""{"q":${jstr(name)},"s":${secs.map(s => f"$s%.3f").mkString("[", ",", "]")}}""")
       name -> sec
     }
@@ -950,7 +991,12 @@ object Bench {
     // committed JSON, not just a clippable stderr tail
     val counters = BenchCounters.snapshot.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"concurrency":$concurrency,"errors":$es,"n_failed":${errors.size},"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"cores":$cores},"contaminated":$contaminatedStart,"counters":$counters,"sf":"$sfDir"}"""
+    // entries that tripped the 3x-vs-committed-reference retry: both
+    // numbers survive so a stall is distinguishable from a regression
+    val outliersJson = outliers.toSeq
+      .map { case (k, (f, r)) => jstr(k) + f""":{"first":$f%.3f,"retry":$r%.3f}""" }
+      .mkString("{", ",", "}")
+    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"concurrency":$concurrency,"errors":$es,"n_failed":${errors.size},"outliers":$outliersJson,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"cores":$cores},"contaminated":$contaminatedStart,"counters":$counters,"sf":"$sfDir"}"""
     println(summary)
     // belt-and-braces: the whole summary also lands in a file that a
     // truncated stdout capture can't damage — in-repo, so the round

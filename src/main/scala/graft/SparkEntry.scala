@@ -1380,19 +1380,31 @@ object SparkEntry {
         val q = agg.writeStream.outputMode("append").format("parquet")
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-        def landed: Long =
-          try s.read.parquet(s"$root/out").count() catch { case _: Exception => -1L }
         try {
           q.processAllAvailable()
-          // Loop until the landed count is STABLE across a flush round
-          // (at least two rounds: one to advance the watermark past every
-          // event, one to commit what that advancement released). No
-          // batch pre-count — the timed entry bills only stream + flush
-          // work, so its bench number is comparable round over round.
-          var prev = -1L; var cur = landed; var i = 0
-          while (i < 6 && (cur != prev || i < 2)) {
+          // Bounded deterministic flush protocol (r11 — the old variant
+          // looped "until the landed parquet count stabilizes", re-listing
+          // and re-counting the output directory every round; its round
+          // count was timing-dependent by construction and swung the
+          // official bench 3.4 -> 31.5 s). Exactly TWO flush rounds do the
+          // semantic work: round 1 advances the watermark past every real
+          // event, round 2 gives the engine a batch in which that
+          // advancement evicts + emits every closed session. Completion is
+          // then read from StreamingQueryProgress — watermark at/past the
+          // flush sentinel and session state drained down to the one open
+          // sentinel session per user — with at most two fallback rounds,
+          // never from polling landed files.
+          val nUsers = flush.count()
+          def progressDone: Boolean = Option(q.lastProgress).exists { p =>
+            val wmOk = Option(p.eventTime.get("watermark")).exists(w =>
+              java.time.Instant.parse(w).toEpochMilli >= flushTs - 1000L)
+            val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+            wmOk && stateRows <= nUsers
+          }
+          var round = 0
+          while (round < 2 || (round < 4 && !progressDone)) {
             flush.write.mode("append").parquet(s"$root/in"); q.processAllAvailable()
-            prev = cur; cur = landed; i += 1
+            round += 1
           }
         } finally q.stop()
         s.read.parquet(s"$root/out")
