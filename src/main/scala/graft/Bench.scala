@@ -33,14 +33,15 @@ object Bench {
     * the reference's batch-arrival shape; this one isolates the engine's
     * throughput from the micro-batch floor (~1 s/trigger x 21 files).
     */
-  private def streamingEngineBound(spark: org.apache.spark.sql.SparkSession): (Long, Double) = {
+  private def streamingEngineBound(spark: org.apache.spark.sql.SparkSession,
+                                   records: Long = 20000L,
+                                   countersKey: String = "engine_triggers"): (Long, Double) = {
     import graft.sources.Datagen
     import graft.streaming.SlidingWindows
     import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions.col
 
-    val records = 20000L
     val startMs = 1704067200000L; val stepMs = 25L
     // tmpfs when available: this variant exists to isolate ENGINE
     // throughput, and the reference's comparison point keeps operator
@@ -108,7 +109,7 @@ object Bench {
       }
       val commitMs = progs.flatMap(_.stateOperators.toSeq)
         .map(_.commitTimeMs).sum
-      BenchCounters.put("engine_triggers",
+      BenchCounters.put(countersKey,
         s"triggers=${progs.length} " +
           trig.toSeq.sortBy(_._1).map { case (k, v) => s"${k}Ms=$v" }.mkString(" ") +
           s" stateCommitMs=$commitMs")
@@ -873,7 +874,19 @@ object Bench {
         val (recsEb, secEb) = streamingEngineBound(spark)
         BenchCounters.put("engine_profile",
           graft.streaming.EngineProfile.snapshot)
-        f"""{"records":$recs,"elapsed_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f,"keys":4,"range_ms":1000,"batch_records":1000,"engine_bound_elapsed_sec":$secEb%.3f,"engine_bound_records_per_sec":${recsEb / secEb}%.1f}"""
+        // large-batch variant (r11): README attributes the ~20-22k rec/s
+        // engine-bound plateau to fixed per-trigger costs (~800 ms of
+        // state-commit/WAL/planning) and claims the ~8 us/row fn cost is
+        // what scales at production batch sizes. One 500k-rows-in-one-
+        // trigger run converts that extrapolation into a measurement —
+        // if the claim holds, rec/s here lands severalfold above the
+        // 20k-record engine-bound number.
+        graft.streaming.EngineProfile.reset()
+        val (recsLb, secLb) = streamingEngineBound(spark, records = 500000L,
+          countersKey = "engine_triggers_large_batch")
+        BenchCounters.put("engine_profile_large_batch",
+          graft.streaming.EngineProfile.snapshot)
+        f"""{"records":$recs,"elapsed_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f,"keys":4,"range_ms":1000,"batch_records":1000,"engine_bound_elapsed_sec":$secEb%.3f,"engine_bound_records_per_sec":${recsEb / secEb}%.1f,"large_batch_records":$recsLb,"large_batch_elapsed_sec":$secLb%.3f,"large_batch_records_per_sec":${recsLb / secLb}%.1f}"""
       } catch { case e: Throwable =>
         errors("streaming_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
