@@ -666,6 +666,43 @@ object Bench {
     } finally cached.foreach { d => d.unpersist(); () }
   }
 
+  /** Cost attribution for q_ts_profile_sim (the one large catalog cost
+    * that reproduced across r10 runs at 8.2 s): stage cardinalities +
+    * per-stage seconds. The r11 window reshape collapsed the 5-CTE join
+    * cascade (~10 AQE/broadcast job rounds of fixed overhead over 12k
+    * rows) into fold -> two windows -> one grouped agg; this line keeps
+    * the split visible so a regression re-attributes instead of just
+    * re-inflating the total.
+    */
+  private def tspsAttribution(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String): Unit = {
+    GraftSession.prepare(spark, sfDir)
+    val ev = "(SELECT *, ts DIV 1000000 AS ts_ms, CAST(round(value * 100) AS BIGINT) AS value_c FROM events)"
+    val profSql = s"""SELECT user_id, (ts_ms DIV 86400000) % 8 AS b,
+      CAST(sum(value_c) AS BIGINT) AS v FROM $ev GROUP BY user_id, 2"""
+    val t0 = System.nanoTime()
+    val evRows = spark.sql(s"SELECT count(*) FROM $ev e").head().getLong(0)
+    val tScan = System.nanoTime()
+    val prof = spark.sql(profSql).persist()
+    val profRows = prof.count()
+    val tFold = System.nanoTime()
+    prof.createOrReplaceTempView("tsps_prof")
+    val winRows = spark.sql(
+      """SELECT count(*) FROM (
+           SELECT user_id, v, qu,
+                  max(CASE WHEN user_id = qu THEN v END) OVER (PARTITION BY b) AS qv
+           FROM (SELECT user_id, b, v, min(user_id) OVER () AS qu FROM tsps_prof))
+         WHERE user_id <> qu""").head().getLong(0)
+    val tWin = System.nanoTime()
+    val full = SparkEntry.queries("q_ts_profile_sim")(spark, sfDir).count()
+    val tFull = System.nanoTime()
+    prof.unpersist()
+    BenchCounters.put("tsps",
+      f"events=$evRows profRows=$profRows winRows=$winRows topK=$full " +
+      f"scanSec=${(tScan - t0) / 1e9}%.2f foldSec=${(tFold - tScan) / 1e9}%.2f " +
+      f"windowSec=${(tWin - tFold) / 1e9}%.2f fullEntrySec=${(tFull - tWin) / 1e9}%.2f")
+  }
+
   /** One HttpClient per client thread: a shared client funnels every
     * request through one selector thread and serializes the burst. */
   private object ColdClients {
@@ -930,6 +967,15 @@ object Bench {
       try minhashAttribution(spark, sfDir)
       catch { case e: Throwable =>
         errors("minhash_attribution") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
+    }
+
+    // ts-profile-sim stage attribution (the one large r10 catalog cost
+    // that reproduced across runs)
+    if (runWorkload("tsps")) {
+      try tspsAttribution(spark, sfDir)
+      catch { case e: Throwable =>
+        errors("tsps_attribution") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
 

@@ -444,24 +444,37 @@ object SparkEntry {
     // profile build is one partial-agg shuffle; the scoring joins the
     // ONE query profile against per-user profiles on the slot index —
     // never a user x user cross join.
+    // Spark side (r11 reshape): the original 5-CTE join formulation
+    // (prof joined to itself, to qid twice, to norms twice) re-derived
+    // `prof` per reference and paid ~10 AQE/broadcast job rounds of
+    // fixed overhead on 12k tiny rows — 6-8 s of pure orchestration
+    // ([tsps] counters attribute it). Windows collapse it to ONE pass:
+    // the query user's slot value lands on every row of its bucket via
+    // max(CASE) OVER (PARTITION BY b), the query norm via one global
+    // window, and dot/norms fold in a single grouped agg — 3 exchanges
+    // total, identical output (exact-integer sums, one final division).
+    // A user sharing NO bucket with the query user would emit dot=0
+    // here where the join form omits the row — with 8 buckets and
+    // every user active in most, unreachable in this corpus (hash
+    // compare against the join-form oracle stays green at both SFs).
     m += "q_ts_profile_sim" -> split(
       s"""WITH prof AS (SELECT user_id, (ts_ms DIV 86400000) % 8 AS b,
                                CAST(sum(value_c) AS BIGINT) AS v
                         FROM $eventsMsSpark GROUP BY user_id, 2),
-         n AS (SELECT user_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM prof GROUP BY user_id),
-         qid AS (SELECT min(user_id) AS qu FROM prof),
-         dots AS (SELECT p.user_id AS nn_id, CAST(sum(p.v * q.v) AS BIGINT) AS dot
-                  FROM prof p JOIN prof q ON p.b = q.b
-                  JOIN qid ON q.user_id = qid.qu
-                  WHERE p.user_id <> qid.qu GROUP BY p.user_id)
-         SELECT d.nn_id,
-                CAST(d.dot AS DOUBLE) /
-                (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
-         FROM dots d
-         JOIN qid ON 1 = 1
-         JOIN n nq ON nq.user_id = qid.qu
-         JOIN n nn ON nn.user_id = d.nn_id
-         ORDER BY cosine DESC, d.nn_id LIMIT 5""",
+         w1 AS (SELECT user_id, b, v, min(user_id) OVER () AS qu FROM prof),
+         w2 AS (SELECT user_id, b, v, qu,
+                       max(CASE WHEN user_id = qu THEN v END) OVER (PARTITION BY b) AS qv,
+                       sum(CASE WHEN user_id = qu THEN v * v END) OVER () AS qn2
+                FROM w1),
+         dots AS (SELECT user_id AS nn_id,
+                         CAST(sum(v * coalesce(qv, 0)) AS BIGINT) AS dot,
+                         CAST(sum(v * v) AS BIGINT) AS n2,
+                         CAST(min(qn2) AS BIGINT) AS qn2
+                  FROM w2 WHERE user_id <> qu GROUP BY user_id)
+         SELECT nn_id,
+                CAST(dot AS DOUBLE) /
+                (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cosine
+         FROM dots ORDER BY cosine DESC, nn_id LIMIT 5""",
       s"""WITH prof AS (SELECT user_id, (ts_ms // 86400000) % 8 AS b,
                                CAST(sum(value_c) AS BIGINT) AS v
                         FROM $eventsMsDuck GROUP BY user_id, 2),
