@@ -14,6 +14,18 @@ import org.apache.spark.sql.types.StructType
   * declared StructType — the decode path is shared with tests that feed a
   * memory-stream stand-in through [[decode]], so the transform is
   * exercised without a broker.
+  *
+  * Broker-backed integration (the reference's testcontainers suite,
+  * kafka/integration_tests.rs) is NOT runnable in this build sandbox —
+  * verified r11: no kafka broker/client artifacts exist anywhere on the
+  * box (`find / -iname "*kafka*.jar"` is empty — neither kafka_2.13 for
+  * an embedded KRaft broker nor even spark-sql-kafka for the connector
+  * itself), and dependency resolution is offline. [[stream]] compiles
+  * against the stable `format("kafka")` string-and-options surface, so
+  * it runs unchanged on any real deployment where the standard
+  * spark-sql-kafka-0-10 package is on the classpath; [[options]] +
+  * [[decode]] (the parts with graft-specific logic) are what the
+  * broker-free spec pins.
   */
 object Kafka {
 
