@@ -666,6 +666,44 @@ object Bench {
     } finally cached.foreach { d => d.unpersist(); () }
   }
 
+  /** ANN build/search scale attribution ([ann] counters): IVF-Flat and
+    * PQ measured as SEPARATE build and search phases over the full
+    * embeddings table — the catalog entries fold both into one recall
+    * check, so index build/search slopes at 10x corpus were unmeasured
+    * (r10 verdict). IVF build includes writing + reloading the
+    * cell-partitioned parquet artifact so the search path is the
+    * statically partition-pruned one a production deployment uses.
+    */
+  private def annAttribution(spark: org.apache.spark.sql.SparkSession,
+                             sfDir: String): Unit = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = GraftSession.table(spark, sfDir, "embeddings")
+    val nVec = emb.count()
+    val queries = emb.where(col("vec_id") < 100)
+    val nQ = queries.count()
+    val root = GraftSession.tempDir("graft_ann_")
+    val t0 = System.nanoTime()
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 64)
+    Similarity.saveIndex(idx, s"$root/ivf")
+    val t1 = System.nanoTime()
+    val loaded = Similarity.loadIndex(spark, s"$root/ivf")
+    val ivfRows = Similarity.ivfSearch(loaded, queries, "vec_id", "embedding",
+      k = 5, nprobe = 24).count()
+    val t2 = System.nanoTime()
+    val pqIdx = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, codesPerSub = 16)
+    pqIdx.codes.count() // materialize the encoding — that IS the build
+    val t3 = System.nanoTime()
+    val pqRows = Similarity.pqSearch(pqIdx, queries, "vec_id", "embedding",
+      k = 5, shortlist = 16).count()
+    val t4 = System.nanoTime()
+    pqIdx.free()
+    BenchCounters.put("ann",
+      f"vectors=$nVec queries=$nQ ivfRows=$ivfRows pqRows=$pqRows " +
+      f"ivfBuildSec=${(t1 - t0) / 1e9}%.2f ivfSearchSec=${(t2 - t1) / 1e9}%.2f " +
+      f"pqBuildSec=${(t3 - t2) / 1e9}%.2f pqSearchSec=${(t4 - t3) / 1e9}%.2f")
+  }
+
   /** Cost attribution for q_ts_profile_sim (the one large catalog cost
     * that reproduced across r10 runs at 8.2 s): stage cardinalities +
     * per-stage seconds. The r11 window reshape collapsed the 5-CTE join
@@ -967,6 +1005,14 @@ object Bench {
       try minhashAttribution(spark, sfDir)
       catch { case e: Throwable =>
         errors("minhash_attribution") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
+    }
+
+    // ANN build/search scale attribution (unmeasured at 10x until r11)
+    if (runWorkload("ann")) {
+      try annAttribution(spark, sfDir)
+      catch { case e: Throwable =>
+        errors("ann_attribution") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
 

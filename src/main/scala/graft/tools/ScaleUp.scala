@@ -84,6 +84,22 @@ object ScaleUp {
           df.withColumn("user_id", col("user_id") + lit(i * userOffset))
             .withColumn("event_id", col("event_id") + lit(i * eventOffset))
         }
+      },
+      "embeddings" -> {
+        // per-copy cyclic rotation of the embedding dims: every copy is
+        // a different set of unit vectors (norm-preserving, so cosine
+        // geometry stays representative) rather than 10 exact clones of
+        // each point — a 10x replication would hand every ANN probe 10
+        // coincident neighbors and make recall trivially flat
+        val vecOffset = idOffset("embeddings", "vec_id")
+        copies("embeddings") { (df, i) =>
+          val shift = i * 7
+          df.withColumn("vec_id", col("vec_id") + lit(i * vecOffset))
+            .withColumn("embedding", expr(
+              s"concat(slice(embedding, ($shift % size(embedding)) + 1, " +
+              s"size(embedding) - ($shift % size(embedding))), " +
+              s"slice(embedding, 1, $shift % size(embedding)))"))
+        }
       })
 
     GraftSession.tables.foreach { t =>
