@@ -3382,6 +3382,142 @@ object SparkEntry {
       GROUP BY cntrycode
       ORDER BY cntrycode""")
 
+    // TPC-H Q7 (volume shipping): the two-nation-pair disjunction over a
+    // 5-way join with a year rollup — nation joins twice (supplier side
+    // and customer side), and the pair predicate is a symmetric OR that
+    // must not block the small-dim broadcasts. Volume in exact integer
+    // cent-products.
+    m += "q_tpch_q7" -> both("""
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(sum(volume_cp) AS BIGINT) AS revenue_cp
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) *
+                   (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume_cp
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+                OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+              AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""")
+
+    // TPC-H Q8 (national market share): the 7-way join with nation on
+    // BOTH fact sides again, a region gate on the customer side, and a
+    // share = conditional-sum / total-sum per year. Numerator and
+    // denominator emit as exact integers plus ONE double division.
+    m += "q_tpch_q8" -> both("""
+      SELECT o_year,
+             CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_cp ELSE 0 END) AS BIGINT) AS nation_cp,
+             CAST(sum(volume_cp) AS BIGINT) AS total_cp,
+             CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_cp ELSE 0 END) AS DOUBLE) /
+             CAST(sum(volume_cp) AS DOUBLE) AS mkt_share
+      FROM (SELECT CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) *
+                   (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume_cp,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+              AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+      GROUP BY o_year
+      ORDER BY o_year""")
+
+    // TPC-H Q9 (product type profit): LIKE-filtered part over the ps
+    // chain (derived from lineitem as in Q2 — this corpus ships no
+    // partsupp) with profit = revenue minus supply cost, rolled up by
+    // nation and year. amount_cp = extprice_c*(100-disc_c) -
+    // ps_cost_c*100*qty keeps everything in exact cent-percent units
+    // (quantities are integral in this corpus).
+    m += "q_tpch_q9" -> both("""
+      WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_c
+                  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT nation, o_year, CAST(sum(amount_cp) AS BIGINT) AS sum_profit_cp
+      FROM (SELECT n_name AS nation,
+                   CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) *
+                   (100 - CAST(round(l_discount * 100) AS BIGINT)) -
+                   ps_cost_c * 100 * CAST(round(l_quantity) AS BIGINT) AS amount_cp
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%')
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC""")
+
+    // TPC-H Q11 (important stock identification): per-part value within
+    // one nation, kept only when above a scalar fraction-of-total
+    // subquery over the SAME joined relation — the HAVING-vs-global-
+    // scalar shape. ps value derives from lineitem (sum of traded line
+    // price per part-supplier pair, exact cents).
+    m += "q_tpch_q11" -> both("""
+      WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_c
+                  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT ps_partkey, CAST(sum(val_c) AS BIGINT) AS value_c
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_13'
+      GROUP BY ps_partkey
+      HAVING sum(val_c) > (SELECT sum(val_c) * 0.001
+                           FROM ps
+                           JOIN supplier ON s_suppkey = ps_suppkey
+                           JOIN nation ON s_nationkey = n_nationkey
+                           WHERE n_name = 'NATION_13')
+      ORDER BY value_c DESC, ps_partkey""")
+
+    // TPC-H Q12 (shipping mode and order priority): the orders-lineitem
+    // join with a two-way conditional count by line class. Adapted
+    // (corpus has no l_shipmode/l_receiptdate/l_commitdate): the mode
+    // pair becomes l_returnflag IN ('A','R') and "received after
+    // committed" becomes "shipped after ordered".
+    m += "q_tpch_q12" -> both("""
+      SELECT l_returnflag AS ship_class,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag IN ('A', 'R')
+        AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+        AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+
+    // TPC-H Q15 (top supplier): the revenue-view shape — one derived
+    // aggregate consumed twice, once as the join input and once under a
+    // scalar max subquery; ties all surface (ORDER BY suppkey, no
+    // LIMIT), matching the spec's semantics.
+    m += "q_tpch_q15" -> both("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue_cp
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue_cp
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue_cp = (SELECT max(total_revenue_cp) FROM revenue)
+      ORDER BY s_suppkey""")
+
     // REAL media decode (r10): deterministic P6/WAVE payloads are built
     // per doc (even ids image, odd ids audio), pushed through the
     // dispatching decodeMedia — actual byte-level header/plane/chunk

@@ -153,6 +153,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("TPC-H Q7/Q8/Q9/Q11/Q12/Q15: dim broadcasts survive, scalar aggs de-correlate") {
+    assume(haveData)
+    val p7 = plan("q_tpch_q7")
+    // the symmetric nation-pair OR must not break the five-way join
+    // into a nested loop; nation joins twice and both stay hashed
+    val p8 = plan("q_tpch_q8")
+    val p9 = plan("q_tpch_q9")
+    assert(p9.toLowerCase.contains("like") || p9.contains("Contains"),
+      "Q9's p_name LIKE filter vanished from the plan")
+    val p11 = plan("q_tpch_q11")
+    assert(p11.contains("HashAggregate"), "Q11 lost its aggregates")
+    val p12 = plan("q_tpch_q12")
+    assert(p12.contains("PushedFilters: [") && p12.contains("l_returnflag"),
+      "Q12's returnflag IN filter lost scan pushdown")
+    val p15 = plan("q_tpch_q15")
+    assert(p15.contains("HashAggregate"), "Q15's revenue view lost the aggregate")
+    for (p <- Seq(p7, p8, p9, p11, p12, p15)) {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "TPC-H entry fell back to an all-pairs join")
+    }
+  }
+
   test("TPC-H Q1/Q17/Q20: partial agg, de-correlated avg join, nested-semi chain") {
     assume(haveData)
     val p1 = plan("q_tpch_q1")
