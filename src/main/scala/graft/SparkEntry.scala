@@ -3622,6 +3622,47 @@ object SparkEntry {
          FROM au a JOIN af USING (doc_id)
          ORDER BY doc_id""")
 
+    // REAL compressed-image RESIZE (r11): per doc, a seeded PNG is
+    // nearest-neighbor-resized through decode -> explicit pixel loop ->
+    // PNG re-encode (resizeImage), then decoded AGAIN by the dispatch —
+    // two full ImageIO round trips. NN selection is pure arithmetic in
+    // doc_id (sy = y*h/h2, sx = x*w/w2 over the seeded plane), so the
+    // oracle replays the resized channel sums without touching bytes.
+    m += "q_multimodal_resize" -> op(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.{col, concat_ws, transform}
+        val payloads = GraftSession.table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val w2 = (id % 5 + 1).toInt; val h2 = (id % 3 + 1).toInt
+            (id, Multimodal.resizeImage(
+              Multimodal.syntheticImage(id, "png"), w2, h2).get)
+          }
+          .toDF("doc_id", "payload")
+        Multimodal.decodeMedia(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            concat_ws(",", transform(col("feat_sums"), v => v.cast("string")))
+              .as("feat_sums"))
+          .orderBy("doc_id")
+      },
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+         dims AS (SELECT doc_id, CAST(doc_id % 13 + 2 AS INT) AS w,
+                         CAST(doc_id % 7 + 2 AS INT) AS h,
+                         CAST(doc_id % 5 + 1 AS INT) AS w2,
+                         CAST(doc_id % 3 + 1 AS INT) AS h2 FROM ids),
+         px AS (SELECT doc_id, w, h, w2, h2,
+                       unnest(range(0, 3 * w2 * h2)) AS k FROM dims),
+         sums AS (SELECT doc_id, k % 3 AS c,
+                         sum((doc_id * 31 +
+                              3 * (((k // 3) // w2 * h // h2) * w +
+                                   ((k // 3) % w2 * w // w2)) + k % 3) % 256) AS s
+                  FROM px GROUP BY doc_id, k % 3),
+         sa AS (SELECT doc_id, string_agg(CAST(s AS VARCHAR), ',' ORDER BY c) AS feat_sums
+                FROM sums GROUP BY doc_id)
+         SELECT d.doc_id, 'png' AS format, d.w2 AS width, d.h2 AS height, sa.feat_sums
+         FROM dims d JOIN sa USING (doc_id) ORDER BY doc_id""")
+
     m.result()
   }
 

@@ -280,6 +280,42 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Nearest-neighbor resize of any ImageIO-decodable payload
+    * (PNG/JPEG/BMP/GIF/TIFF), re-encoded as PNG — the compressed-format
+    * counterpart of [[resizePpm]], with the SAME explicit pixel loop
+    * (Graphics2D scaling filters vary by implementation; an own NN loop
+    * plus lossless PNG re-encode keeps the byte output deterministic
+    * for a given input). Returns None for non-image payloads or
+    * malformed target dims. */
+  def resizeImage(b: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+    if (newW <= 0 || newH <= 0 || 3L * newW * newH > Int.MaxValue - 64L) return None
+    sniffImageFormat(b).flatMap { _ =>
+      try {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (src == null) None
+        else {
+          val w = src.getWidth; val h = src.getHeight
+          val out = new java.awt.image.BufferedImage(
+            newW, newH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < newH) {
+            val sy = (y.toLong * h / newH).toInt
+            var x = 0
+            while (x < newW) {
+              val sx = (x.toLong * w / newW).toInt
+              out.setRGB(x, y, src.getRGB(sx, sy) & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case _: Exception => None }
+    }
+  }
+
   /** Output schema of the media decode stage: one row per payload with
     * the union of image and audio metadata (unused slots zeroed) plus
     * exact integer features (channel byte sums / abs-amplitude sum) so

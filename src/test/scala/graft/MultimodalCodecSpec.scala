@@ -97,6 +97,25 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Multimodal.syntheticImage(5L, "png").take(20)).isEmpty)
   }
 
+  test("NN resize of a compressed image replays the generating arithmetic") {
+    val id = 17L // 6x5 source
+    val src = Multimodal.syntheticImage(id, "png")
+    val Some((_, w, h, _)) = Multimodal.decodeImage(src)
+    val Some(resized) = Multimodal.resizeImage(src, 3, 2)
+    val Some((fmt, w2, h2, sums)) = Multimodal.decodeImage(resized)
+    assert(fmt == "png" && w2 == 3 && h2 == 2)
+    val expect = new Array[Long](3)
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3) {
+      val sy = y.toLong * h / 2; val sx = x.toLong * w / 3
+      expect(c) += (id * 31 + 3 * (sy * w + sx) + c) % 256
+    }
+    assert(sums.toSeq == expect.toSeq)
+    // audio bytes and malformed targets refuse
+    assert(Multimodal.resizeImage(Multimodal.syntheticAiff(id), 2, 2).isEmpty)
+    assert(Multimodal.resizeImage(src, 0, 2).isEmpty)
+    assert(Multimodal.resizeImage(src, 1 << 16, 1 << 15).isEmpty)
+  }
+
   test("nearest-neighbor PPM resize: dims change, pixels come from source grid") {
     val id = 17L
     val src = Multimodal.syntheticPpm(id) // 6x5
