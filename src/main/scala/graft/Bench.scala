@@ -715,11 +715,10 @@ object Bench {
   private def tspsAttribution(spark: org.apache.spark.sql.SparkSession,
                               sfDir: String): Unit = {
     GraftSession.prepare(spark, sfDir)
-    val ev = "(SELECT *, ts DIV 1000000 AS ts_ms, CAST(round(value * 100) AS BIGINT) AS value_c FROM events)"
-    val profSql = s"""SELECT user_id, (ts_ms DIV 86400000) % 8 AS b,
-      CAST(sum(value_c) AS BIGINT) AS v FROM $ev GROUP BY user_id, 2"""
+    // the entry's OWN fold SQL — not a copy that could silently drift
+    val profSql = SparkEntry.tspsProfSql
     val t0 = System.nanoTime()
-    val evRows = spark.sql(s"SELECT count(*) FROM $ev e").head().getLong(0)
+    val evRows = spark.sql("SELECT count(*) FROM events").head().getLong(0)
     val tScan = System.nanoTime()
     val prof = spark.sql(profSql).persist()
     val profRows = prof.count()
@@ -909,10 +908,16 @@ object Bench {
       val secs = (1 to repeat).map(_ => timedRun())
       val first = secs.head
       val sec =
+        // r > 0: a failed entry in the reference record (-1.0) must not
+        // become a permanent always-retry once the entry recovers
         if (repeat == 1 && first > 0 &&
-            refTimes.get(name).exists(r => first > 3 * r && first - r > 1.0)) {
+            refTimes.get(name).exists(r => r > 0 && first > 3 * r && first - r > 1.0)) {
           val retry = timedRun()
           outliers(name) = (first, retry)
+          // the TIMED run succeeded; a transiently-failed retry must not
+          // stamp the record as a failed entry (n_failed/errors describe
+          // the sweep, and the sweep's run was fine)
+          if (retry < 0) errors.remove(name)
           if (retry > 0) math.min(first, retry) else first
         } else first
       // one line per query AS IT COMPLETES: the driver's tail capture

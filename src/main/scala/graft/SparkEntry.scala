@@ -66,6 +66,14 @@ object SparkEntry {
   private def evQ(sql: String): Q =
     split(sql.replace("__EV__", eventsMsSpark), sql.replace("__EV__", eventsMsDuck))
 
+  /** The q_ts_profile_sim profile fold, shared with Bench.tspsAttribution
+    * so the published attribution can never drift from the entry it
+    * measures. */
+  private[graft] val tspsProfSql: String =
+    s"""SELECT user_id, (ts_ms DIV 86400000) % 8 AS b,
+        CAST(sum(value_c) AS BIGINT) AS v
+        FROM $eventsMsSpark GROUP BY user_id, 2"""
+
   private lazy val catalog: Map[String, Q] = {
 
     val m = Map.newBuilder[String, Q]
@@ -453,14 +461,11 @@ object SparkEntry {
     // max(CASE) OVER (PARTITION BY b), the query norm via one global
     // window, and dot/norms fold in a single grouped agg — 3 exchanges
     // total, identical output (exact-integer sums, one final division).
-    // A user sharing NO bucket with the query user would emit dot=0
-    // here where the join form omits the row — with 8 buckets and
-    // every user active in most, unreachable in this corpus (hash
-    // compare against the join-form oracle stays green at both SFs).
+    // HAVING count(qv) > 0 keeps the join form's row set exactly: a
+    // user sharing NO bucket with the query user is omitted (the join
+    // form has no match for it), not emitted with dot=0.
     m += "q_ts_profile_sim" -> split(
-      s"""WITH prof AS (SELECT user_id, (ts_ms DIV 86400000) % 8 AS b,
-                               CAST(sum(value_c) AS BIGINT) AS v
-                        FROM $eventsMsSpark GROUP BY user_id, 2),
+      s"""WITH prof AS ($tspsProfSql),
          w1 AS (SELECT user_id, b, v, min(user_id) OVER () AS qu FROM prof),
          w2 AS (SELECT user_id, b, v, qu,
                        max(CASE WHEN user_id = qu THEN v END) OVER (PARTITION BY b) AS qv,
@@ -470,7 +475,8 @@ object SparkEntry {
                          CAST(sum(v * coalesce(qv, 0)) AS BIGINT) AS dot,
                          CAST(sum(v * v) AS BIGINT) AS n2,
                          CAST(min(qn2) AS BIGINT) AS qn2
-                  FROM w2 WHERE user_id <> qu GROUP BY user_id)
+                  FROM w2 WHERE user_id <> qu GROUP BY user_id
+                  HAVING count(qv) > 0)
          SELECT nn_id,
                 CAST(dot AS DOUBLE) /
                 (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cosine

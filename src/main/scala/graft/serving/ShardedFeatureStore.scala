@@ -150,16 +150,26 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
       attempts -= 1
       try { result = read(); done = true }
       catch {
+        case _: InterruptedException =>
+          // an interrupt is a shutdown signal, not a compaction race —
+          // degrade to a miss but keep the thread's interrupt status
+          Thread.currentThread().interrupt()
+          done = true
         case _: Exception if attempts > 0 =>
           reader.reset(shard)(() => index(shard).clear())
           refresh(shard)
-        case _: Exception =>
+        case e: Exception =>
           // Attempt exhaustion = 4 consecutive independent compaction
           // races (probability (rewrites-per-read-window)^4). Degrade to
           // a miss rather than throwing out of the FeatureLookup
           // contract — a 500 from RequestServer mid-serving is strictly
           // worse than one stale-looking miss the client will retry
-          // (ADVICE r10). Reset so the next lookup re-parses cleanly.
+          // (ADVICE r10). Reset so the next lookup re-parses cleanly —
+          // but say so on stderr: a DETERMINISTIC failure (corrupt log,
+          // decode bug) would otherwise be indistinguishable from the
+          // key not existing, on every lookup, forever.
+          System.err.println(s"[sharded-store] shard $shard: 4 read attempts " +
+            s"failed (${e.getClass.getSimpleName}: ${e.getMessage}) — serving miss")
           reader.reset(shard)(() => index(shard).clear())
           done = true
       }

@@ -129,22 +129,29 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("TPC-H Q19/Q2/Q16/Q22: disjunctive pushdown, min-subquery de-correlation, anti joins") {
     assume(haveData)
+    def scanPushed(p: String, col: String): Boolean =
+      p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains(col))
     val p19 = plan("q_tpch_q19")
     // the OR-of-ANDs must be pruned by CNF conversion: each side's
-    // derivable disjunction reaches its scan (brand alternatives on
-    // part, quantity-range union on lineitem) — never a filter above a
-    // cartesian of the two tables
-    assert(p19.contains("Brand#12") || p19.toLowerCase.contains("p_brand"),
-      "Q19's brand disjunction missing from the part side of the plan")
-    assert(p19.contains("l_quantity"), "Q19's quantity disjunction missing")
+    // derivable disjunction reaches its SCAN's PushedFilters (brand
+    // alternatives on part, quantity-range union on lineitem) — a
+    // residual filter above the join mentioning the columns is NOT
+    // enough, the assertion is on the scan lines themselves
+    assert(scanPushed(p19, "p_brand"),
+      "Q19's brand disjunction never reached the part scan's PushedFilters")
+    assert(scanPushed(p19, "l_quantity"),
+      "Q19's quantity-range union never reached the lineitem scan's PushedFilters")
     val p2 = plan("q_tpch_q2")
     // the correlated min-subquery must de-correlate to agg-then-join
     assert(p2.contains("HashAggregate"), "Q2's min subquery lost the aggregate rewrite")
     assert(p2.contains("TakeOrderedAndProject"), "Q2's LIMIT lost TakeOrdered")
     val p16 = plan("q_tpch_q16")
     assert(p16.contains("LeftAnti"), "Q16's NOT IN lost the anti-join rewrite")
-    assert(p16.contains("distinct") || p16.contains("Expand") || p16.contains("count("),
-      "Q16's count(DISTINCT) shape missing")
+    // count(DISTINCT supplier) plans as a two-level aggregate whose
+    // first level keys on the distinct column alongside the group keys
+    assert(p16.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("ps_suppkey") && l.contains("p_brand")),
+      "Q16's count(DISTINCT ps_suppkey) lost the keyed de-dup aggregate level")
     val p22 = plan("q_tpch_q22")
     assert(p22.contains("LeftAnti"), "Q22's NOT EXISTS lost the anti join")
     for (p <- Seq(p19, p2, p16, p22)) {
@@ -155,13 +162,20 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("TPC-H Q7/Q8/Q9/Q11/Q12/Q15: dim broadcasts survive, scalar aggs de-correlate") {
     assume(haveData)
+    def scanPushed(p: String, col: String): Boolean =
+      p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains(col))
     val p7 = plan("q_tpch_q7")
     // the symmetric nation-pair OR must not break the five-way join
-    // into a nested loop; nation joins twice and both stay hashed
+    // into a nested loop; the pair predicate survives into the plan
+    assert(p7.contains("NATION_13") && p7.contains("NATION_19"),
+      "Q7's nation-pair predicate vanished from the plan")
     val p8 = plan("q_tpch_q8")
+    // the two dim gates are plain equalities and must reach their scans
+    assert(scanPushed(p8, "r_name"), "Q8's region gate lost scan pushdown")
+    assert(scanPushed(p8, "p_type"), "Q8's part-type gate lost scan pushdown")
     val p9 = plan("q_tpch_q9")
-    assert(p9.toLowerCase.contains("like") || p9.contains("Contains"),
-      "Q9's p_name LIKE filter vanished from the plan")
+    assert(scanPushed(p9, "p_name"),
+      "Q9's p_name LIKE filter never reached the part scan (StringContains pushdown)")
     val p11 = plan("q_tpch_q11")
     assert(p11.contains("HashAggregate"), "Q11 lost its aggregates")
     val p12 = plan("q_tpch_q12")
