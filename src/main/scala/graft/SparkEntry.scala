@@ -1011,6 +1011,67 @@ object SparkEntry {
        AND r.ts_ms BETWEEN l.ts_ms - 86400000 AND l.ts_ms
       ORDER BY l.event_id ASC, e_event_id ASC NULLS FIRST"""))
 
+    // Stream-stream FULL OUTER interval join (r11 — completes the
+    // stream-stream family: inner, left, full): unmatched rows of BOTH
+    // sides emit NULL-padded once the watermark passes their join
+    // window, which makes the tail problem two-sided — each side's
+    // sentinel pushes the OTHER side's expiry watermark, and the
+    // sentinels match each other (same key, same ts), so the filter
+    // drops the one (-1, -1) pair instead of two half-NULL rows.
+    m += "q_join_stream_stream_full" -> Q(
+      (s, dir) => {
+        GraftSession.prepare(s, dir)
+        import org.apache.spark.sql.functions.{coalesce, col, expr, lit, timestamp_millis}
+        val ev = s.sql(s"SELECT * FROM $eventsMsSpark")
+        val maxTs = ev.agg(org.apache.spark.sql.functions.max("ts_ms")).head().getLong(0)
+        val root = GraftSession.tempDir("graft_ssjf_")
+        def sentinel(cols: (String, org.apache.spark.sql.Column)*): DataFrame =
+          ev.limit(1).select(cols.map { case (n, c) => c.as(n) }: _*)
+        ev.where("event_type = 'click'").select("event_id", "user_id", "ts_ms")
+          .write.parquet(s"$root/l")
+        sentinel("event_id" -> lit(-1L), "user_id" -> lit(-1L),
+            "ts_ms" -> lit(maxTs + 172800000L))
+          .write.mode("append").parquet(s"$root/l")
+        ev.where("event_type = 'error'").select("event_id", "user_id", "ts_ms", "value_c")
+          .write.parquet(s"$root/r")
+        sentinel("event_id" -> lit(-1L), "user_id" -> lit(-1L),
+            "ts_ms" -> lit(maxTs + 172800000L), "value_c" -> lit(0L))
+          .write.mode("append").parquet(s"$root/r")
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        def side(sub: String): DataFrame =
+          s.readStream.schema(s.read.parquet(s"$root/$sub").schema)
+            .parquet(s"$root/$sub")
+            .withColumn("ts", timestamp_millis(col("ts_ms")))
+            .withWatermark("ts", "1 hour")
+        val joined = side("l").as("l").join(side("r").as("r"),
+          expr("""l.user_id = r.user_id
+                  AND r.ts >= l.ts - INTERVAL 24 HOURS AND r.ts <= l.ts"""),
+          "fullOuter")
+          .select(col("l.event_id").as("l_event_id"), col("l.user_id").as("l_user_id"),
+            col("l.ts_ms").as("l_ts_ms"), col("r.event_id").as("r_event_id"),
+            col("r.value_c").as("r_value_c"))
+        val q = joined.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+        try q.processAllAvailable() finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
+        s.read.parquet(s"$root/out")
+          .where(coalesce(col("l_event_id"), lit(0L)) =!= -1L &&
+                 coalesce(col("r_event_id"), lit(0L)) =!= -1L)
+          .orderBy(col("l_event_id").asc_nulls_first, col("r_event_id").asc_nulls_first)
+      },
+      Some(s"""
+      SELECT l.event_id AS l_event_id, l.user_id AS l_user_id, l.ts_ms AS l_ts_ms,
+             r.event_id AS r_event_id, r.value_c AS r_value_c
+      FROM (SELECT event_id, user_id, ts_ms FROM $eventsMsDuck WHERE event_type = 'click') l
+      FULL JOIN (SELECT * FROM $eventsMsDuck WHERE event_type = 'error') r
+        ON l.user_id = r.user_id
+       AND r.ts_ms BETWEEN l.ts_ms - 86400000 AND l.ts_ms
+      ORDER BY l_event_id ASC NULLS FIRST, r_event_id ASC NULLS FIRST"""))
+
     // ---------------- sorts / limits / set ops (SURVEY §2.8) --------------
     m += "q_orderby_limit" -> both("""
       SELECT o_orderkey, o_totalprice FROM orders
