@@ -152,4 +152,44 @@ class PropertySpec extends AnyFunSuite {
         assert(sparkSide(k) == ShardedFeatureStore.shardOf(k, n), s"'$k' @ $n"))
     }
   }
+
+  test("PNG/BMP encode->decode round-trips random pixel planes exactly") {
+    import graft.operators.Multimodal
+    val genDims = for {
+      w <- Gen.chooseNum(1, 40); h <- Gen.chooseNum(1, 40)
+    } yield (w, h)
+    for (seed <- 1L to 12L) {
+      val (w, h) = sample(genDims, seed)
+      val px = sample(Gen.listOfN(3 * w * h, Gen.chooseNum(0, 255)), seed + 1000).toArray
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < w * h) {
+        img.setRGB(p % w, p / w, (px(3 * p) << 16) | (px(3 * p + 1) << 8) | px(3 * p + 2))
+        p += 1
+      }
+      val expect = Array.tabulate(3)(c =>
+        (0 until w * h).map(i => px(3 * i + c).toLong).sum)
+      for (fmt <- Seq("png", "bmp")) {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        val Some((f, w2, h2, sums)) = Multimodal.decodeImage(bos.toByteArray)
+        assert(f == fmt && w2 == w && h2 == h, s"seed $seed $fmt dims")
+        assert(sums.toSeq == expect.toSeq, s"seed $seed $fmt channel sums")
+      }
+      // random NN resize target preserves the pixel-selection arithmetic
+      val (w3, h3) = sample(genDims, seed + 2000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val Some(resized) = Multimodal.resizeImage(bos.toByteArray, w3, h3)
+      val Some((_, rw, rh, rsums)) = Multimodal.decodeImage(resized)
+      assert(rw == w3 && rh == h3)
+      val rexpect = new Array[Long](3)
+      for (y <- 0 until h3; x <- 0 until w3; c <- 0 until 3) {
+        val sy = (y.toLong * h / h3).toInt; val sx = (x.toLong * w / w3).toInt
+        rexpect(c) += px(3 * (sy * w + sx) + c).toLong
+      }
+      assert(rsums.toSeq == rexpect.toSeq, s"seed $seed resize ${w}x$h->${w3}x$h3")
+    }
+  }
 }
