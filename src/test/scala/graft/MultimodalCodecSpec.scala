@@ -97,6 +97,27 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Multimodal.syntheticImage(5L, "png").take(20)).isEmpty)
   }
 
+  test("GIF and TIFF round-trip through the JDK writers/readers") {
+    // GIF: palette format — seed from a 4-color palette so the writer's
+    // 256-color quantizer is lossless and sums replay exactly
+    val w = 9; val h = 7
+    val palette = Array(0x102030, 0x405060, 0x708090, 0xA0B0C0)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (p <- 0 until w * h) img.setRGB(p % w, p / w, palette(p % 4))
+    val expect = Array.tabulate(3)(c =>
+      (0 until w * h).map { p =>
+        ((palette(p % 4) >> (16 - 8 * c)) & 0xFF).toLong
+      }.sum)
+    for (fmt <- Seq("gif", "tiff")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+      val Some((f, w2, h2, sums)) = Multimodal.decodeImage(bos.toByteArray)
+      assert(f == fmt && w2 == w && h2 == h, s"$fmt dims/format")
+      assert(sums.toSeq == expect.toSeq, s"$fmt channel sums")
+    }
+  }
+
   test("NN resize of a compressed image replays the generating arithmetic") {
     val id = 17L // 6x5 source
     val src = Multimodal.syntheticImage(id, "png")
