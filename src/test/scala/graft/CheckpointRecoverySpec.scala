@@ -104,4 +104,76 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     val boundaryTs = events(300)._1
     assert(want.exists { case (ts, _, _, s, _) => ts >= boundaryTs && s > 0 })
   }
+
+  test("stream-stream LEFT OUTER interval join survives kill/restart exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, timestamp_millis}
+    implicit val sqlCtx = spark.sqlContext
+
+    // left rows every 700 ms across 4 keys; right rows every 1100 ms on
+    // a key subset — some left rows match several rights, some none
+    val base = 1704067200000L
+    val lefts = (0 until 200).map(i => (100L + i, (i % 4).toLong, base + 700L * i))
+    val rights = (0 until 120).map(i => (900L + i, (i % 3).toLong, base + 1100L * i, 10L + i))
+    val sentinelTs = base + 700L * 200 + 3600000L
+
+    val root = Files.createTempDirectory("graft_ckpt_ssj_").toString
+    val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+
+    val lMem = MemoryStream[(Long, Long, Long)]
+    val rMem = MemoryStream[(Long, Long, Long, Long)]
+    val l = lMem.toDF().toDF("l_event_id", "user_id", "l_ts_ms")
+      .withColumn("l_ts", timestamp_millis(col("l_ts_ms"))).withWatermark("l_ts", "1 second")
+    val r = rMem.toDF().toDF("r_event_id", "r_user_id", "r_ts_ms", "r_value")
+      .withColumn("r_ts", timestamp_millis(col("r_ts_ms"))).withWatermark("r_ts", "1 second")
+    val joined = l.join(r,
+      expr("""user_id = r_user_id
+              AND r_ts >= l_ts - INTERVAL 5 SECONDS AND r_ts <= l_ts"""),
+      "leftOuter")
+      .select("l_event_id", "user_id", "l_ts_ms", "r_event_id", "r_value")
+
+    def start() = joined.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    // phase 1: first halves of BOTH sides (join state holds unmatched +
+    // in-window rows of each), committed, then "kill"
+    val q1 = start()
+    lMem.addData(lefts.take(100): _*); rMem.addData(rights.take(60): _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // phase 2: restart — matches across the kill boundary must come
+    // from RESTORED join state; then the two-sided sentinel tail push
+    val q2 = start()
+    lMem.addData(lefts.drop(100): _*); rMem.addData(rights.drop(60): _*)
+    q2.processAllAvailable()
+    lMem.addData((-1L, -1L, sentinelTs)); rMem.addData((-1L, -1L, sentinelTs, 0L))
+    q2.processAllAvailable()
+    lMem.addData((-2L, -1L, sentinelTs + 1)); rMem.addData((-2L, -1L, sentinelTs + 1, 0L))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir).collect()
+      .filter(r0 => r0.getLong(0) > 0)
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2),
+        if (r0.isNullAt(3)) -1L else r0.getLong(3),
+        if (r0.isNullAt(4)) -1L else r0.getLong(4))).toSeq.sorted
+
+    // plain-Scala batch reference
+    val want = lefts.flatMap { case (lid, u, lts) =>
+      val ms = rights.filter { case (_, ru, rts, _) =>
+        ru == u && rts >= lts - 5000 && rts <= lts }
+      if (ms.isEmpty) Seq((lid, u, lts, -1L, -1L))
+      else ms.map { case (rid, _, _, v) => (lid, u, lts, rid, v) }
+    }.sorted
+    assert(got.size == want.size,
+      s"exactly-once across restart: got ${got.size}, want ${want.size}")
+    assert(got == want)
+    // the boundary really was spanned: some post-restart left rows match
+    // pre-restart right rows (and vice versa)
+    val boundaryPairs = want.count { case (lid, _, _, rid, _) =>
+      rid >= 0 && ((lid >= 200 && rid < 960) || (lid < 200 && rid >= 960)) }
+    assert(boundaryPairs > 0, "no cross-boundary matches — test lost its point")
+  }
 }
