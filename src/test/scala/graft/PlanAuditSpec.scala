@@ -145,6 +145,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the correlated min-subquery must de-correlate to agg-then-join
     assert(p2.contains("HashAggregate"), "Q2's min subquery lost the aggregate rewrite")
     assert(p2.contains("TakeOrderedAndProject"), "Q2's LIMIT lost TakeOrdered")
+    // ps is materialized ONCE: the double-referenced CTE must not
+    // re-derive (and re-scan the fact table) per reference
+    assert(!p2.contains("lineitem"),
+      "Q2's ps lost its materialization — the plan re-scans lineitem")
     val p16 = plan("q_tpch_q16")
     assert(p16.contains("LeftAnti"), "Q16's NOT IN lost the anti-join rewrite")
     // count(DISTINCT supplier) plans as a two-level aggregate whose
@@ -178,6 +182,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "Q9's p_name LIKE filter never reached the part scan (StringContains pushdown)")
     val p11 = plan("q_tpch_q11")
     assert(p11.contains("HashAggregate"), "Q11 lost its aggregates")
+    assert(!p11.contains("lineitem"),
+      "Q11's ps lost its materialization — the plan re-scans lineitem")
     val p12 = plan("q_tpch_q12")
     assert(p12.contains("PushedFilters: [") && p12.contains("l_returnflag"),
       "Q12's returnflag IN filter lost scan pushdown")
