@@ -195,6 +195,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF search over a saved index prunes the scan to the probed cells") {
+    assume(haveData)
+    import org.apache.spark.sql.functions.col
+    val emb = GraftSession.table(spark, dir, "embeddings")
+    val idx = graft.operators.Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_pin_").toString
+    graft.operators.Similarity.saveIndex(idx, root)
+    val loaded = graft.operators.Similarity.loadIndex(spark, root)
+    val search = graft.operators.Similarity.ivfSearch(loaded,
+      emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 3, nprobe = 4)
+    val p = search.queryExecution.executedPlan.toString
+    // the probed-cell set must reach the index scan as a PARTITION
+    // filter (static pruning) — a dynamic-pruning expression that
+    // degenerates to `true` under AQE re-reads the whole index
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("__cell") && l.contains(" IN (")),
+      "saved-index search lost static cell pruning — full index scan")
+    assert(!p.contains("dynamicpruningexpression(true)"),
+      "degenerate dynamic pruning present — the static prune did not replace it")
+  }
+
   test("TPC-H Q1/Q17/Q20: partial agg, de-correlated avg join, nested-semi chain") {
     assume(haveData)
     val p1 = plan("q_tpch_q1")
