@@ -85,6 +85,34 @@ object ScaleUp {
             .withColumn("event_id", col("event_id") + lit(i * eventOffset))
         }
       },
+      // TPC-H fact chain (r11): copies with FK-CONSISTENT offsets —
+      // orders' o_custkey moves with customer's copy offset, lineitem's
+      // l_orderkey/l_partkey/l_suppkey with orders'/part's/supplier's —
+      // so every copy is an independent sub-corpus with the original's
+      // join selectivity (10x facts at constant per-key density, the
+      // same growth contract as the documents rotation)
+      "part" -> {
+        val pOffset = idOffset("part", "p_partkey")
+        copies("part") { (df, i) =>
+          df.withColumn("p_partkey", col("p_partkey") + lit(i * pOffset))
+        }
+      },
+      "orders" -> {
+        val oOffset = idOffset("orders", "o_orderkey")
+        copies("orders") { (df, i) =>
+          df.withColumn("o_orderkey", col("o_orderkey") + lit(i * oOffset))
+            .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L))
+        }
+      },
+      "lineitem" -> {
+        val oOffset = idOffset("orders", "o_orderkey")
+        val pOffset = idOffset("part", "p_partkey")
+        copies("lineitem") { (df, i) =>
+          df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oOffset))
+            .withColumn("l_partkey", col("l_partkey") + lit(i * pOffset))
+            .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000L))
+        }
+      },
       "embeddings" -> {
         // per-copy cyclic rotation of the embedding dims: every copy is
         // a different set of unit vectors (norm-preserving, so cosine
