@@ -3389,50 +3389,37 @@ object SparkEntry {
     // optimizer won't save you from. The Spark side materializes ps
     // ONCE (localCheckpoint — one scan, both references read the
     // materialized rows); the DuckDB oracle keeps the canonical CTE.
-    m += "q_tpch_q2" -> op(
-      (s, dir) => {
-        GraftSession.prepare(s, dir)
-        s.sql("""SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                        min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_cp
-                 FROM lineitem GROUP BY l_partkey, l_suppkey""")
-          .localCheckpoint().createOrReplaceTempView("q2_ps")
-        s.sql("""
-          SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
-                 s_name, n_name, p_partkey, p_name
-          FROM part
-          JOIN q2_ps ON p_partkey = ps_partkey
-          JOIN supplier ON s_suppkey = ps_suppkey
-          JOIN nation ON n_nationkey = s_nationkey
-          JOIN region ON r_regionkey = n_regionkey
-          WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD' AND r_name = 'ASIA'
-            AND ps_cost_cp = (SELECT min(ps2.ps_cost_cp)
-                              FROM q2_ps ps2
-                              JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
-                              JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
-                              JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
-                              WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
-          ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
-          LIMIT 100""")
-      },
-      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_cp
-                  FROM lineitem GROUP BY l_partkey, l_suppkey)
-      SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
-             s_name, n_name, p_partkey, p_name
-      FROM part
-      JOIN ps ON p_partkey = ps_partkey
-      JOIN supplier ON s_suppkey = ps_suppkey
-      JOIN nation ON n_nationkey = s_nationkey
-      JOIN region ON r_regionkey = n_regionkey
-      WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD' AND r_name = 'ASIA'
-        AND ps_cost_cp = (SELECT min(ps2.ps_cost_cp)
-                          FROM ps ps2
-                          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
-                          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
-                          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
-                          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
-      ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
-      LIMIT 100""")
+    // One source of truth for both engines (the evQ/__EV__ convention):
+    // __PS__ is the materialized temp view on the Spark side and the
+    // canonical CTE name on the DuckDB side.
+    locally {
+      val psSql = """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                            min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_cp
+                     FROM lineitem GROUP BY l_partkey, l_suppkey"""
+      val outer = """
+        SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+               s_name, n_name, p_partkey, p_name
+        FROM part
+        JOIN __PS__ ON p_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD' AND r_name = 'ASIA'
+          AND ps_cost_cp = (SELECT min(ps2.ps_cost_cp)
+                            FROM __PS__ ps2
+                            JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                            JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                            JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                            WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+        ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+        LIMIT 100"""
+      m += "q_tpch_q2" -> op(
+        (s, dir) => {
+          s.sql(psSql).localCheckpoint().createOrReplaceTempView("q2_ps")
+          s.sql(outer.replace("__PS__", "q2_ps"))
+        },
+        s"WITH ps AS ($psSql)\n" + outer.replace("__PS__", "ps"))
+    }
 
     // TPC-H Q16 (part/supplier relationship): NOT IN (null-aware anti
     // join on the supplier blacklist) + count(DISTINCT supplier) per
@@ -3564,42 +3551,30 @@ object SparkEntry {
     // price per part-supplier pair, exact cents).
     // same double-reference materialization as Q2 (ps feeds the grouped
     // rollup AND the fraction-of-total scalar): one fact scan, not two
-    m += "q_tpch_q11" -> op(
-      (s, dir) => {
-        GraftSession.prepare(s, dir)
-        s.sql("""SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_c
-                 FROM lineitem GROUP BY l_partkey, l_suppkey""")
-          .localCheckpoint().createOrReplaceTempView("q11_ps")
-        s.sql("""
-          SELECT ps_partkey, CAST(sum(val_c) AS BIGINT) AS value_c
-          FROM q11_ps
-          JOIN supplier ON s_suppkey = ps_suppkey
-          JOIN nation ON s_nationkey = n_nationkey
-          WHERE n_name = 'NATION_13'
-          GROUP BY ps_partkey
-          HAVING sum(val_c) > (SELECT sum(val_c) * 0.001
-                               FROM q11_ps
-                               JOIN supplier ON s_suppkey = ps_suppkey
-                               JOIN nation ON s_nationkey = n_nationkey
-                               WHERE n_name = 'NATION_13')
-          ORDER BY value_c DESC, ps_partkey""")
-      },
-      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_c
-                  FROM lineitem GROUP BY l_partkey, l_suppkey)
-      SELECT ps_partkey, CAST(sum(val_c) AS BIGINT) AS value_c
-      FROM ps
-      JOIN supplier ON s_suppkey = ps_suppkey
-      JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_13'
-      GROUP BY ps_partkey
-      HAVING sum(val_c) > (SELECT sum(val_c) * 0.001
-                           FROM ps
-                           JOIN supplier ON s_suppkey = ps_suppkey
-                           JOIN nation ON s_nationkey = n_nationkey
-                           WHERE n_name = 'NATION_13')
-      ORDER BY value_c DESC, ps_partkey""")
+    locally {
+      val psSql = """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_c
+                     FROM lineitem GROUP BY l_partkey, l_suppkey"""
+      val outer = """
+        SELECT ps_partkey, CAST(sum(val_c) AS BIGINT) AS value_c
+        FROM __PS__
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_13'
+        GROUP BY ps_partkey
+        HAVING sum(val_c) > (SELECT sum(val_c) * 0.001
+                             FROM __PS__
+                             JOIN supplier ON s_suppkey = ps_suppkey
+                             JOIN nation ON s_nationkey = n_nationkey
+                             WHERE n_name = 'NATION_13')
+        ORDER BY value_c DESC, ps_partkey"""
+      m += "q_tpch_q11" -> op(
+        (s, dir) => {
+          s.sql(psSql).localCheckpoint().createOrReplaceTempView("q11_ps")
+          s.sql(outer.replace("__PS__", "q11_ps"))
+        },
+        s"WITH ps AS ($psSql)\n" + outer.replace("__PS__", "ps"))
+    }
 
     // TPC-H Q12 (shipping mode and order priority): the orders-lineitem
     // join with a two-way conditional count by line class. Adapted

@@ -25,8 +25,14 @@ import graft.GraftSession
   *  - `events`: user_id/event_id offset per copy, timestamps untouched —
   *    10x keys at the original per-key density (the horizontal-growth
   *    axis keyed operators shard on).
-  *  - everything else: copied as-is (present for prepare(), not scaled —
-  *    none of the heavy entries read them).
+  *  - `part`/`orders`/`lineitem` (r11): the TPC-H fact chain, copied
+  *    with FK-consistent key offsets (o_custkey follows customer's copy
+  *    offset, lineitem's keys follow orders/part/supplier) — each copy
+  *    is an independent sub-corpus at the original join selectivity.
+  *  - `embeddings` (r11): per-copy cyclic dimension rotation —
+  *    norm-preserving new unit vectors, not coincident clones.
+  *  - `region`/`nation`: copied as-is (tiny dims; per-copy FKs into
+  *    them intentionally unchanged, preserving nation density).
   *
   * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> <factor>
   */
@@ -61,6 +67,14 @@ object ScaleUp {
         .agg(max(col(idCol))).head().getLong(0) + 1
 
     val docOffset = idOffset("documents", "doc_id")
+    // EVERY key offset derives from the actual max id (see idOffset
+    // note) — including the dim/fact chain below, where the SAME val is
+    // shared by the dim table and every fact FK referencing it, so FK
+    // consistency cannot drift between duplicated expressions
+    val custOffset = idOffset("customer", "c_custkey")
+    val suppOffset = idOffset("supplier", "s_suppkey")
+    val ordOffset = idOffset("orders", "o_orderkey")
+    val partOffset = idOffset("part", "p_partkey")
     val scaled: Map[String, DataFrame] = Map(
       "documents" -> copies("documents") { (df, i) =>
         val (from, to) = rotated(i)
@@ -69,12 +83,12 @@ object ScaleUp {
       },
       "customer" -> copies("customer") { (df, i) =>
         val (from, to) = rotated(i)
-        df.withColumn("c_custkey", col("c_custkey") + lit(i * 1000000L))
+        df.withColumn("c_custkey", col("c_custkey") + lit(i * custOffset))
           .withColumn("c_name", translate(col("c_name"), from, to))
       },
       "supplier" -> copies("supplier") { (df, i) =>
         val (from, to) = rotated(i)
-        df.withColumn("s_suppkey", col("s_suppkey") + lit(i * 1000000L))
+        df.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppOffset))
           .withColumn("s_name", translate(col("s_name"), from, to))
       },
       "events" -> {
@@ -91,27 +105,17 @@ object ScaleUp {
       // so every copy is an independent sub-corpus with the original's
       // join selectivity (10x facts at constant per-key density, the
       // same growth contract as the documents rotation)
-      "part" -> {
-        val pOffset = idOffset("part", "p_partkey")
-        copies("part") { (df, i) =>
-          df.withColumn("p_partkey", col("p_partkey") + lit(i * pOffset))
-        }
+      "part" -> copies("part") { (df, i) =>
+        df.withColumn("p_partkey", col("p_partkey") + lit(i * partOffset))
       },
-      "orders" -> {
-        val oOffset = idOffset("orders", "o_orderkey")
-        copies("orders") { (df, i) =>
-          df.withColumn("o_orderkey", col("o_orderkey") + lit(i * oOffset))
-            .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L))
-        }
+      "orders" -> copies("orders") { (df, i) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordOffset))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * custOffset))
       },
-      "lineitem" -> {
-        val oOffset = idOffset("orders", "o_orderkey")
-        val pOffset = idOffset("part", "p_partkey")
-        copies("lineitem") { (df, i) =>
-          df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oOffset))
-            .withColumn("l_partkey", col("l_partkey") + lit(i * pOffset))
-            .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000L))
-        }
+      "lineitem" -> copies("lineitem") { (df, i) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordOffset))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * partOffset))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppOffset))
       },
       "embeddings" -> {
         // per-copy cyclic rotation of the embedding dims: every copy is

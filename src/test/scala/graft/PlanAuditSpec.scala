@@ -209,8 +209,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the probed-cell set must reach the index scan as a PARTITION
     // filter (static pruning) — a dynamic-pruning expression that
     // degenerates to `true` under AQE re-reads the whole index
+    // OptimizeIn rewrites In -> InSet above the conversion threshold
+    // (default 10 values), printed as "INSET" — accept both spellings
     assert(p.linesIterator.exists(l =>
-        l.contains("PartitionFilters") && l.contains("__cell") && l.contains(" IN (")),
+        l.contains("PartitionFilters") && l.contains("__cell") &&
+        (l.contains(" IN (") || l.contains(" INSET "))),
       "saved-index search lost static cell pruning — full index scan")
     assert(!p.contains("dynamicpruningexpression(true)"),
       "degenerate dynamic pruning present — the static prune did not replace it")
