@@ -2763,6 +2763,62 @@ object SparkEntry {
          FROM c12 JOIN c1 ON c12.w1 = c1.w1
          ORDER BY c_bigram DESC, w1, w2 LIMIT 50""")
 
+    // LM-based quality filtering (the CCNet/RedPajama pass: score every
+    // document against a language model trained on the corpus itself and
+    // flag improbable text), re-expressed engine-exact: instead of
+    // per-token log-perplexity (transcendentals are the one thing the
+    // bit-identical-doubles contract can't carry across engines), each
+    // bigram is tested against a rational probability threshold by
+    // integer cross-multiplication — P_smoothed = (c12+1)/(c1+V) < 1/200
+    // iff (c12+1)*200 < c1+V — and the doc's score is its exact
+    // improbable-bigram fraction. Scale shape: the token-scale bigram
+    // relation joins a model whose size is bounded by vocab^2
+    // (corpus-size-independent — the broadcastable side at 100 TB); two
+    // partial-agg shuffles build the model, one keyed join scores.
+    m += "q_lm_quality" -> split(
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+         bg AS (SELECT doc_id, element_at(t, i - 1) AS w1, element_at(t, i) AS w2
+                FROM (SELECT doc_id, t, explode(sequence(2, size(t))) AS i
+                      FROM toks WHERE size(t) >= 2)),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+                 FROM bg GROUP BY w1, w2),
+         c1 AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_prefix
+                FROM c12 GROUP BY w1),
+         v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM c1),
+         scored AS (
+           SELECT bg.doc_id,
+                  CASE WHEN (c_bigram + 1) * 200 < c_prefix + vocab
+                       THEN 1 ELSE 0 END AS unlikely
+           FROM bg
+           JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+           JOIN c1 ON bg.w1 = c1.w1
+           CROSS JOIN v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(unlikely) AS BIGINT) AS n_unlikely,
+                CAST((1000 * sum(unlikely)) DIV count(*) AS BIGINT) AS permille_unlikely
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bg AS (SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
+                FROM (SELECT doc_id, t, unnest(generate_series(2, len(t))) AS i
+                      FROM toks WHERE len(t) >= 2)),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+                 FROM bg GROUP BY w1, w2),
+         c1 AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_prefix
+                FROM c12 GROUP BY w1),
+         v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM c1),
+         scored AS (
+           SELECT bg.doc_id,
+                  CASE WHEN (c_bigram + 1) * 200 < c_prefix + vocab
+                       THEN 1 ELSE 0 END AS unlikely
+           FROM bg
+           JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+           JOIN c1 ON bg.w1 = c1.w1
+           CROSS JOIN v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(unlikely) AS BIGINT) AS n_unlikely,
+                CAST((1000 * sum(unlikely)) // count(*) AS BIGINT) AS permille_unlikely
+         FROM scored GROUP BY doc_id ORDER BY doc_id""")
+
     // Temperature-sampled domain mixing (the LLaMA/Pile-style alpha=0.5
     // epoch weighting): per-source token totals -> sqrt-damped share ->
     // integer token budget per source out of a 1M-token target. All
