@@ -17,11 +17,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val savedActive = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder().master("local[2]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+    val base = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // `spark.sql.extensions` is a STATIC conf read from the
+    // SparkContext at session construction: it takes effect when THIS
+    // spec owns context creation (standalone run — the real
+    // spark-submit shape), but in a shared-JVM full suite an earlier
+    // spec's context already exists without it, so the conf is silently
+    // ignored. Exercise the same GraftExtensions injection through
+    // whichever route the environment allows — config when we created
+    // the context, withExtensions against a pre-existing one.
+    val s =
+      if (org.apache.spark.SparkEnv.get == null) // no live SparkContext
+        base.config("spark.sql.extensions", "graft.GraftExtensions").getOrCreate()
+      else
+        base.withExtensions(new GraftExtensions).getOrCreate()
     try {
       // a rewritten-to-native aggregate, a TypedImperativeAggregate, and
       // a codegen'd scalar kernel — one of each registration kind
