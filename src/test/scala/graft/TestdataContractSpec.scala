@@ -77,6 +77,42 @@ class TestdataContractSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-shape premises of the TPC-H adaptations still hold") {
+    // The r11 TPC-H entries adapt spec predicates to THIS corpus's
+    // shape; a driver testdata regen that changes these would leave the
+    // entries oracle-green but semantically hollow (empty results still
+    // hash-match). This canary makes such a drift loud at round start.
+    withSession { s =>
+      GraftSession.prepare(s, dir)
+      // Q22: cntrycode = substr(c_name, 17, 2) assumes 'Customer#%09d'
+      val badNames = s.sql(
+        "SELECT count(*) FROM customer WHERE c_name NOT RLIKE '^Customer#[0-9]{9}$'")
+        .head().getLong(0)
+      assert(badNames == 0, "customer name format drifted — Q22's cntrycode is garbage")
+      // Q22: 'no orders' adapted to 'no URGENT order' BECAUSE every
+      // customer has orders; both halves must stay true
+      val orderless = s.sql(
+        """SELECT count(*) FROM customer c WHERE NOT EXISTS
+           (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)""").head().getLong(0)
+      assert(orderless == 0,
+        "customers without orders appeared — Q22 should revert to the spec's literal anti join")
+      val nonUrgent = s.sql(
+        """SELECT count(*) FROM customer c WHERE NOT EXISTS
+           (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+            AND o_orderpriority = '1-URGENT')""").head().getLong(0)
+      assert(nonUrgent > 0, "every customer has an URGENT order — Q22's survivor set is empty")
+      // Q9: the LIKE '%red%' part filter must select a non-trivial set
+      val redParts = s.sql("SELECT count(*) FROM part WHERE p_name LIKE '%red%'")
+        .head().getLong(0)
+      assert(redParts > 0, "p_name vocabulary drifted — Q9's LIKE filter is empty")
+      // Q7/Q11/Q21: the named-nation parameters must stay populated
+      val pairSupp = s.sql(
+        """SELECT count(*) FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name IN ('NATION_13', 'NATION_19')""").head().getLong(0)
+      assert(pairSupp > 0, "NATION_13/NATION_19 lost their suppliers — retune Q7/Q11 params")
+    }
+  }
+
   test("tsRangeMs bound reaches the parquet scan as a PushedFilter") {
     assume(new java.io.File(dir).isDirectory, s"$dir not present; skipping")
     withSession { s =>
