@@ -73,8 +73,18 @@ object ShardLog {
     val ch = FileChannel.open(dir.resolve(logName),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.APPEND)
-    try { ch.write(ByteBuffer.wrap(framedRecords)); ch.size() }
-    finally ch.close()
+    val size = try { ch.write(ByteBuffer.wrap(framedRecords)); ch.size() }
+               finally ch.close()
+    // Forensic sidecar: which JVM last appended to this shard. The design
+    // claim is that writers are Spark TASKS (executor JVMs), never the
+    // driver — on a real cluster a driver-side write would mean the data
+    // took a collect() detour. Best-effort (a failed stamp must not fail
+    // the append); LocalClusterSpec asserts the recorded pids are real
+    // executor JVMs distinct from the driver.
+    try Files.write(dir.resolve("writer.pid"),
+      ProcessHandle.current().pid().toString.getBytes(StandardCharsets.UTF_8))
+    catch { case _: Exception => () }
+    size
   }
 
   /** Frame one record: [int recLen][payload]. */
