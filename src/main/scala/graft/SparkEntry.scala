@@ -1595,15 +1595,28 @@ object SparkEntry {
           ev.where("event_id % 2 = 1").coalesce(1)
             .write.mode("append").parquet(s"$root/in")
           q.processAllAvailable() // stragglers: closed windows drop them
-          // flush sentinels close every real window
-          s.range(2).select(lit(-1L).as("event_id"), lit(0L).as("user_id"),
-            lit(flushTs).as("ts_ms"), lit(0L).as("value_c"))
-            .write.mode("append").parquet(s"$root/in")
-          q.processAllAvailable()
-          s.range(1).select(lit(-2L).as("event_id"), lit(0L).as("user_id"),
-            lit(flushTs + 1).as("ts_ms"), lit(0L).as("value_c"))
-            .write.mode("append").parquet(s"$root/in")
-          q.processAllAvailable()
+          // Bounded flush protocol (the r11 q_sessionize_streaming
+          // pattern, ported here r12): exactly two sentinel rounds do the
+          // semantic work — round 1 advances the watermark past every
+          // real window, round 2 gives the engine a batch in which that
+          // advancement evicts + emits them. Completion is read from
+          // StreamingQueryProgress — watermark at/past the sentinel
+          // minus the 7-day lateness delay, window state drained down to
+          // the sentinel's own (filtered-out) window — with at most two
+          // fallback rounds, never from polling landed files.
+          def progressDone: Boolean = Option(q.lastProgress).exists { p =>
+            val wmOk = Option(p.eventTime.get("watermark")).exists(w =>
+              java.time.Instant.parse(w).toEpochMilli >= flushTs - delayMs - 1000L)
+            wmOk && p.stateOperators.map(_.numRowsTotal).sum <= 1L
+          }
+          val sentinel = s.range(1).select(lit(-1L).as("event_id"),
+            lit(0L).as("user_id"), lit(flushTs).as("ts_ms"), lit(0L).as("value_c"))
+          var round = 0
+          while (round < 2 || (round < 4 && !progressDone)) {
+            sentinel.write.mode("append").parquet(s"$root/in")
+            q.processAllAvailable()
+            round += 1
+          }
         } finally q.stop()
         s.read.parquet(s"$root/out").orderBy("win_start")
       },
