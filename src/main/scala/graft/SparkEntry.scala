@@ -23,6 +23,30 @@ object SparkEntry {
   private def sqlQuery(sparkSql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { GraftSession.prepare(spark, dir); spark.sql(sparkSql) }
 
+  /** Materialize a double-referenced derivation ONCE, recompute-
+    * survivably: persist(DISK_ONLY) + a count barrier, registered as a
+    * temp view both references read. Through r11 this was
+    * localCheckpoint, which has the same single-scan plan shape but
+    * stores blocks WITHOUT lineage — at real scale one lost executor
+    * fails the query instead of recomputing (VERDICT r11 #3).
+    * DISK_ONLY keeps lineage (a lost block re-derives from the source
+    * scan) and the count barrier populates every block before either
+    * reference plans, so the fact table is still scanned exactly once
+    * on the happy path. The previous invocation's blocks are
+    * unpersisted first — repeated Verify/Bench invocations must not
+    * accumulate executor-disk cache entries. */
+  private val materialized =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def materializeView(s: SparkSession, view: String, sql: String): Unit = {
+    val old = materialized.remove(view)
+    if (old != null)
+      try old.unpersist(blocking = false) catch { case _: Exception => () }
+    val df = s.sql(sql).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    df.count()
+    materialized.put(view, df)
+    df.createOrReplaceTempView(view)
+  }
+
   /** Flagship query on sf=0.001 (README.md:105-146 shape: join + windowed
     * aggregates + ML top/cate functions); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -3456,8 +3480,10 @@ object SparkEntry {
     // twice with no exchange reuse (verified: 2 lineitem FileScans, 0
     // ReusedExchange) — at 100 TB that is the double fact scan the
     // optimizer won't save you from. The Spark side materializes ps
-    // ONCE (localCheckpoint — one scan, both references read the
-    // materialized rows); the DuckDB oracle keeps the canonical CTE.
+    // ONCE (persist(DISK_ONLY) + count barrier, see materializeView —
+    // one scan, both references read the materialized blocks, and a
+    // lost executor recomputes from lineage instead of failing the
+    // query); the DuckDB oracle keeps the canonical CTE.
     // One source of truth for both engines (the evQ/__EV__ convention):
     // __PS__ is the materialized temp view on the Spark side and the
     // canonical CTE name on the DuckDB side.
@@ -3484,7 +3510,7 @@ object SparkEntry {
         LIMIT 100"""
       m += "q_tpch_q2" -> op(
         (s, dir) => {
-          s.sql(psSql).localCheckpoint().createOrReplaceTempView("q2_ps")
+          materializeView(s, "q2_ps", psSql)
           s.sql(outer.replace("__PS__", "q2_ps"))
         },
         s"WITH ps AS ($psSql)\n" + outer.replace("__PS__", "ps"))
@@ -3639,7 +3665,7 @@ object SparkEntry {
         ORDER BY value_c DESC, ps_partkey"""
       m += "q_tpch_q11" -> op(
         (s, dir) => {
-          s.sql(psSql).localCheckpoint().createOrReplaceTempView("q11_ps")
+          materializeView(s, "q11_ps", psSql)
           s.sql(outer.replace("__PS__", "q11_ps"))
         },
         s"WITH ps AS ($psSql)\n" + outer.replace("__PS__", "ps"))

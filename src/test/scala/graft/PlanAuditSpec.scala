@@ -33,6 +33,28 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Count FileScans of a table that would EXECUTE in this plan — i.e.
+    * outside InMemoryTableScan subtrees. A persisted materialization
+    * prints its cached BUILD plan (including the original fact scan)
+    * under every InMemoryRelation in the plan string, so a string
+    * `contains` cannot distinguish "re-scans the fact table" from
+    * "reads the cache whose lineage mentions it"; this walks the
+    * physical tree (children + subqueries) and stops at cache reads. */
+  private def liveScans(name: String, table: String): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(n: SparkPlan): Int = n match {
+      case _: InMemoryTableScanExec => 0
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case f: FileSourceScanExec =>
+        if (f.toString.contains(s"$table.parquet")) 1 else 0
+      case other =>
+        other.children.map(walk).sum + other.subqueries.map(walk).sum
+    }
+    walk(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+  }
+
   test("filter predicates reach the parquet scan as PushedFilters") {
     assume(haveData)
     for (q <- Seq("q_filter", "q_where_between", "q_where_in")) {
@@ -146,8 +168,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p2.contains("HashAggregate"), "Q2's min subquery lost the aggregate rewrite")
     assert(p2.contains("TakeOrderedAndProject"), "Q2's LIMIT lost TakeOrdered")
     // ps is materialized ONCE: the double-referenced CTE must not
-    // re-derive (and re-scan the fact table) per reference
-    assert(!p2.contains("lineitem"),
+    // re-derive (and re-scan the fact table) per reference. Both
+    // references must read the persisted blocks (disk level — lineage
+    // kept, a lost executor recomputes instead of failing the query),
+    // and NO lineitem scan may be live in the query's own execution
+    // (the only lineitem scan already ran, once, in the count barrier)
+    assert(p2.contains("InMemoryTableScan") && p2.contains("StorageLevel(disk"),
+      "Q2's ps references stopped reading the disk-persisted materialization")
+    assert(liveScans("q_tpch_q2", "lineitem") == 0,
       "Q2's ps lost its materialization — the plan re-scans lineitem")
     val p16 = plan("q_tpch_q16")
     assert(p16.contains("LeftAnti"), "Q16's NOT IN lost the anti-join rewrite")
@@ -182,7 +210,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "Q9's p_name LIKE filter never reached the part scan (StringContains pushdown)")
     val p11 = plan("q_tpch_q11")
     assert(p11.contains("HashAggregate"), "Q11 lost its aggregates")
-    assert(!p11.contains("lineitem"),
+    assert(p11.contains("InMemoryTableScan") && p11.contains("StorageLevel(disk"),
+      "Q11's ps references stopped reading the disk-persisted materialization")
+    assert(liveScans("q_tpch_q11", "lineitem") == 0,
       "Q11's ps lost its materialization — the plan re-scans lineitem")
     val p12 = plan("q_tpch_q12")
     assert(p12.contains("PushedFilters: [") && p12.contains("l_returnflag"),
