@@ -1117,6 +1117,13 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // serving reads that exhausted their attempt budget and degraded to
+    // misses (ADVICE r11): zero on a healthy run — any nonzero count in
+    // a record is a store-corruption signal, not noise
+    locally {
+      val ex = graft.serving.ShardedFeatureStore.exhaustedReads.sum()
+      if (ex > 0) BenchCounters.put("store_exhausted_reads", ex.toString)
+    }
     calib("end") = MachineHealth.score()
     val loadEnd = sysLoad
     val cores = Runtime.getRuntime.availableProcessors()

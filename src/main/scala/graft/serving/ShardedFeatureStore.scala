@@ -68,6 +68,23 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
     Array.fill(numShards)(new ConcurrentHashMap[String, Loc]())
   private val reader = new ShardLogReader(root, numShards, "data.log")
 
+  // ADVICE r11: attempt exhaustion degrades to a serving miss by
+  // contract (a 500 mid-serving is worse than one stale-looking miss),
+  // but a DETERMINISTIC failure — corrupt log, decode bug — would then
+  // be an unbounded silent-miss stream distinguishable from "key
+  // absent" only by scraping stderr. Consecutive exhaustions per shard
+  // feed a pollable alarm; any successful payload read resets the
+  // shard's streak (a compaction-race exhaustion is one-off by nature,
+  // a deterministic one repeats). Bench surfaces the global count in
+  // the record's counters when nonzero.
+  private val consecExhaust =
+    new java.util.concurrent.atomic.AtomicLongArray(numShards)
+
+  /** Shards currently failing reads deterministically: >= 3 consecutive
+    * 4-attempt exhaustions with no successful read between. */
+  def alarmedShards: Seq[Int] =
+    (0 until numShards).filter(consecExhaust.get(_) >= 3)
+
   /** Tail any new log records into the offset index. Record codec:
     * [int keyLen][key][long ts][json payload]; the held Loc points at
     * the payload bytes within the file. */
@@ -148,7 +165,7 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
     var done = false
     while (!done) {
       attempts -= 1
-      try { result = read(); done = true }
+      try { result = read(); done = true; consecExhaust.set(shard, 0L) }
       catch {
         case _: InterruptedException =>
           // an interrupt is a shutdown signal, not a compaction race —
@@ -170,6 +187,12 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
           // key not existing, on every lookup, forever.
           System.err.println(s"[sharded-store] shard $shard: 4 read attempts " +
             s"failed (${e.getClass.getSimpleName}: ${e.getMessage}) — serving miss")
+          val streak = consecExhaust.incrementAndGet(shard)
+          ShardedFeatureStore.exhaustedReads.increment()
+          if (streak == 3L)
+            System.err.println(s"[sharded-store] ALARM shard $shard: " +
+              "3 consecutive exhaustions — failure looks deterministic, " +
+              "not a compaction race (alarmedShards now reports it)")
           reader.reset(shard)(() => index(shard).clear())
           done = true
       }
@@ -190,6 +213,13 @@ final class ShardedFeatureStore(val root: String, val numShards: Int)
 }
 
 object ShardedFeatureStore {
+
+  /** Process-wide count of 4-attempt read exhaustions across every
+    * store instance — the monitorable "silent miss" metric (ADVICE
+    * r11). The bench writes it into the record's counters when
+    * nonzero; per-shard streak alarms live on the instance
+    * ([[ShardedFeatureStore.alarmedShards]]). */
+  val exhaustedReads = new java.util.concurrent.atomic.LongAdder()
 
   /** The key -> shard route — one stable hash on both the Spark write
     * path and the serving lookup path (the reference's RequestRoute,

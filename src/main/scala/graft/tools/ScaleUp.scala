@@ -125,12 +125,21 @@ object ScaleUp {
         // coincident neighbors and make recall trivially flat
         val vecOffset = idOffset("embeddings", "vec_id")
         copies("embeddings") { (df, i) =>
-          val shift = i * 7
-          df.withColumn("vec_id", col("vec_id") + lit(i * vecOffset))
-            .withColumn("embedding", expr(
-              s"concat(slice(embedding, ($shift % size(embedding)) + 1, " +
-              s"size(embedding) - ($shift % size(embedding))), " +
-              s"slice(embedding, 1, $shift % size(embedding)))"))
+          if (i == 0) df // the original corpus, unrotated
+          else {
+            // shift in [1, dim-1] for EVERY copy: the old i*7 was an
+            // exact clone whenever i*7 ≡ 0 mod dim (ADVICE r11 — e.g.
+            // dim 7 or 14 inside a 10x scale-up), silently defeating
+            // the "no coincident neighbors" contract the ANN recall
+            // measurement rests on. Derived from the actual embedding
+            // size, so no dim can zero it.
+            val shift = s"((($i - 1) % (size(embedding) - 1)) + 1)"
+            df.withColumn("vec_id", col("vec_id") + lit(i * vecOffset))
+              .withColumn("embedding", expr(
+                s"concat(slice(embedding, $shift + 1, " +
+                s"size(embedding) - $shift), " +
+                s"slice(embedding, 1, $shift))"))
+          }
         }
       })
 

@@ -192,4 +192,42 @@ class PropertySpec extends AnyFunSuite {
       assert(rsums.toSeq == rexpect.toSeq, s"seed $seed resize ${w}x$h->${w3}x$h3")
     }
   }
+
+  test("AIFF/AU encode->decode round-trips random PCM16 sample planes exactly") {
+    // the audio counterpart of the image round-trip above (VERDICT r11
+    // stretch): random 16-bit planes through the JDK's own encoders,
+    // then Multimodal.decodeAudio must replay rate/channels/count and
+    // the exact sum of absolute samples — both containers are lossless
+    // big-endian PCM, so any drift is a parser bug, not codec loss
+    import graft.operators.Multimodal
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val genShape = for {
+      channels <- Gen.chooseNum(1, 2)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      frames <- Gen.chooseNum(5, 400)
+    } yield (channels, rate, frames)
+    for (seed <- 1L to 12L) {
+      val (channels, rate, frames) = sample(genShape, seed)
+      val n = frames * channels
+      val samples = sample(Gen.listOfN(n,
+        Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt)), seed + 3000)
+      val pcm = java.nio.ByteBuffer.allocate(2 * n) // both containers: big-endian
+      samples.foreach(s => pcm.putShort(s.toShort))
+      val expectSum = samples.map(s => math.abs(s).toLong).sum
+      val fmt = new AudioFormat(rate.toFloat, 16, channels, true, true)
+      for ((fileType, name) <- Seq(
+          AudioFileFormat.Type.AIFF -> "aiff", AudioFileFormat.Type.AU -> "au")) {
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm.array()), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, fileType, bos)
+        val Some((container, rate2, ch2, n2, sum2)) =
+          Multimodal.decodeAudio(bos.toByteArray)
+        assert(container == name && rate2 == rate && ch2 == channels,
+          s"seed $seed $name header: got ($container, $rate2, $ch2)")
+        assert(n2 == n, s"seed $seed $name sample count: $n2 != $n")
+        assert(sum2 == expectSum, s"seed $seed $name sumAbs: $sum2 != $expectSum")
+      }
+    }
+  }
 }
