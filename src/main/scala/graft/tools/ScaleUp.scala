@@ -11,7 +11,7 @@ import graft.GraftSession
   * the DENSITY of the structure the heavy operators feed on stays
   * constant instead of exploding:
   *
-  *  - `documents`: per-copy alphabet rotation over the text (every
+  *  - `documents`: per-copy alphabet permutation over the text (every
   *    shingle changes, so copies are NOT near-dups of each other) with
   *    offset doc_ids — each copy is an independent population with the
   *    original's internal dup structure, so near-dup pair volume scales
@@ -19,9 +19,9 @@ import graft.GraftSession
   *    constant dup rate. A naive 10x replication would instead make
   *    every doc a 10-way near-dup cluster — a pair EXPLOSION no real
   *    corpus growth produces.
-  *  - `customer`/`supplier`: same rotation over names (letters+digits),
-  *    offset keys — fuzzy-join gram populations replicate without
-  *    cross-copy collisions.
+  *  - `customer`/`supplier`: same permutation over names
+  *    (letters+digits), offset keys — fuzzy-join gram populations
+  *    replicate without cross-copy collisions.
   *  - `events`: user_id/event_id offset per copy, timestamps untouched —
   *    10x keys at the original per-key density (the horizontal-growth
   *    axis keyed operators shard on).
@@ -42,11 +42,47 @@ object ScaleUp {
   private val Upper = Lower.toUpperCase
   private val Digits = "0123456789"
 
-  /** Per-copy deterministic rotation map (copy 0 = identity). */
+  /** Per-copy deterministic character bijection (copy 0 = identity).
+    *
+    * Through r11 this was an alphabet ROTATION by i*7 (letters) / i*3
+    * (digits) — which is the identity whenever the shift hits a multiple
+    * of the alphabet size: at factor 100, copies 26/52/78 repeat the
+    * letter map and EVERY 10th copy repeats the digit map. Customer and
+    * supplier names are mostly digits, so a 100x scale-up produced
+    * 10-way textual clone groups and the fuzzy-join candidate volume
+    * grew with copies squared — the measured 100x slope was the
+    * synthesizer's clones, not the operator (the same bug class ADVICE
+    * r11 flagged for the embedding rotation, one table over). Now each
+    * copy gets a seeded Fisher-Yates PERMUTATION of each alphabet
+    * (re-seeded in the astronomically-unlikely identity case), so no
+    * factor has a cycle and cross-copy texts share only
+    * coincidence-level n-grams, while within-copy structure is
+    * preserved exactly (bijection). */
   private def rotated(i: Int): (String, String) = {
-    def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
-    (Lower + Upper + Digits,
-      rot(Lower, i * 7) + rot(Upper, i * 7) + rot(Digits, i * 3))
+    val id = Lower + Upper + Digits
+    if (i == 0) (id, id)
+    else {
+      def shuffled(s: String, seed: Long): String = {
+        val arr = s.toCharArray
+        val rnd = new java.util.Random(seed)
+        var j = arr.length - 1
+        while (j > 0) {
+          val k = rnd.nextInt(j + 1)
+          val t = arr(j); arr(j) = arr(k); arr(k) = t
+          j -= 1
+        }
+        new String(arr)
+      }
+      def nonIdentity(s: String, seed: Long): String = {
+        var bump = 0L
+        var r = shuffled(s, seed)
+        while (r == s) { bump += 1; r = shuffled(s, seed + 7919L * bump) }
+        r
+      }
+      (id, nonIdentity(Lower, 1000003L * i) +
+        nonIdentity(Upper, 2000003L * i) +
+        nonIdentity(Digits, 3000017L * i))
+    }
   }
 
   def main(args: Array[String]): Unit = {
