@@ -7,27 +7,35 @@ import org.apache.spark.sql.functions._
 /** Fuzzy join / record linkage: match rows of two tables whose character
   * n-gram sets have Jaccard similarity >= a rational threshold num/den.
   *
-  * The scale path is PREFIX FILTERING (the PPJoin family's lossless
-  * candidate pruning): under any global total order on grams, two sets
-  * that share >= k elements must share one within each other's first
-  * (n - k + 1) grams — so candidates are generated by an equi-join on
-  * PREFIX grams only, with the prefix ordered rarest-first (global
-  * document frequency). Stop-grams shared by every record sort to the
-  * END of each record's gram list and never enter a prefix, so the
-  * candidate join never explodes on them — the same hot-key discipline
-  * as the LSH bucket caps, but provably lossless: the final exact
-  * verify of candidates returns EXACTLY the brute-force result, which
-  * is why the driver oracle can stay a plain cross-join replay.
+  * The scale path is EXTENDED prefix filtering (the PPJoin family's
+  * lossless candidate pruning, widened to the Delta=1 case of
+  * AdaptJoin's variable-length prefix — SIGMOD'12): under a global
+  * rarest-first total order on grams, two sets that share >= k >= 2
+  * elements must share a PAIR of grams within each other's first
+  * (n - k + 2), so candidates come from an equi-join on TWO-gram keys;
+  * records whose minimum overlap k is 1 (too few grams) fall back to
+  * the classic single-gram prefix join. Stop-grams shared by every
+  * record sort to the END of each record's gram list and never enter a
+  * prefix, so the candidate join never explodes on them — the same
+  * hot-key discipline as the LSH bucket caps, but provably lossless:
+  * the final exact verify of candidates returns EXACTLY the brute-force
+  * result, which is why the driver oracle can stay a plain cross-join
+  * replay. The pair key exists because single-gram fan-out is
+  * sum_g cntL(g)*cntR(g) — quadratic in rows once the gram vocabulary
+  * saturates (measured: ~1.2k live trigrams over 1.6M digit-heavy
+  * names), while squaring the key space keeps coincidental collisions
+  * rare at any corpus size.
   *
-  * Grams ride as packed ints (a*65536+b*256+c — injective for 1-byte
-  * chars), not 3-char strings: the verify stage's per-pair intersection
-  * is the hot loop and integer equality beats string compare ~10x.
+  * Grams ride as packed longs (21 bits per code point — injective for
+  * all of Unicode), not 3-char strings: the verify stage's per-pair
+  * intersection is the hot loop and integer equality beats string
+  * compare ~10x.
   *
-  * Shuffle budget: one gram-df aggregate, one window rank per side, one
-  * equi-join on prefix grams (length-filtered at the join — PPJoin+'s
-  * size bound kills size-incompatible candidates before the distinct),
-  * one distinct on candidate pairs, two id joins to re-attach gram
-  * arrays for the verify. Nothing is ever all-pairs.
+  * Shuffle budget: one gram-df aggregate, one window rank + exchange-
+  * reusing prefix-array aggregate per side, one equi-join on pair keys
+  * (+ one on single grams for the short-record fallback), one distinct
+  * on candidate pairs, two id joins to re-attach gram arrays for the
+  * verify. Nothing is ever all-pairs.
   */
 object FuzzyJoin {
 
@@ -70,39 +78,105 @@ object FuzzyJoin {
       .unionAll(r.select(explode(col("__rg")).as("__g")))
       .groupBy("__g").agg(count(lit(1)).as("__df"))
 
-    // per-record grams ranked rarest-first; prefix keeps rank <= n-k+1
-    // with k = ceil(n * num / den) the minimum possible overlap. The
-    // record's gram count rides along for the length filter below.
-    def prefix(side: DataFrame, idc: String, gc: String, nOut: String,
-               rankOut: String): DataFrame = {
+    // Candidate generation is the EXTENDED prefix filter (the Delta=1
+    // case of AdaptJoin's variable-length prefix, SIGMOD'12 "Can we
+    // beat the prefix filtering?"): a record keeps its rarest
+    // n - k + 2 grams (one MORE than the classic prefix), and a
+    // candidate must share a PAIR of grams inside both extended
+    // prefixes, joined on the two-gram key. Why this is lossless for
+    // k >= 2: a true match's overlap o >= k; let s1 < s2 be the two
+    // globally-smallest shared grams. If x's extended prefix missed
+    // s2, then <= k - 2 grams of x rank at-or-after s2 — but the
+    // shared set minus s1 has k - 1 grams there. Contradiction, so
+    // (s1, s2) sits inside BOTH extended prefixes and the pair join
+    // finds it. Why it exists: the classic single-gram join's fan-out
+    // is sum_g cntL(g)*cntR(g), which goes quadratic as soon as the
+    // gram VOCABULARY saturates (measured at sf10: ~1.2k live grams
+    // for 1.6M mostly-digit names made joinFanout grow ~x49 per data
+    // decade with the filters only shaving 3%). Squaring the key
+    // space (two grams) collapses coincidental collisions while every
+    // true match still lands on its (s1, s2) witness.
+    //
+    // Per-record prefix ARRAY (rarest-first): the df join + rank
+    // window already shuffle by record id; the groupBy reuses that
+    // partitioning (grouping on the id plus its functional dependents),
+    // so the array costs no extra exchange.
+    def prefixArr(side: DataFrame, idc: String, gc: String): DataFrame = {
       side.select(col(idc), explode(col(gc)).as("__g"), size(col(gc)).as("__n"))
         .join(dfs, "__g")
         .withColumn("__rank", row_number().over(
           Window.partitionBy(col(idc)).orderBy(col("__df"), col("__g"))))
-        .where(col("__rank") <= col("__n") - ((col("__n") * num + lit(den - 1)) / den).cast("int") + 1)
-        .select(col(idc), col("__g"), col("__n").as(nOut), col("__rank").as(rankOut))
+        .withColumn("__k", ((col("__n") * num + lit(den - 1)) / den).cast("int"))
+        .where(col("__rank") <= col("__n") - col("__k") + 2)
+        .groupBy(col(idc), col("__n"), col("__k"))
+        .agg(array_sort(collect_list(struct(col("__rank"), col("__g")))).as("__pref"))
     }
-    val prefL = prefix(l, "__lid", "__lg", "__ln", "__lrk")
-    val prefR = prefix(r, "__rid", "__rg", "__rn", "__rrk")
-    // Two lossless cuts AT the candidate join, both from the PPJoin
-    // family (the spec pins the output against brute force):
-    //  - length bound: J >= t forces min(|x|,|y|) >= t * max(|x|,|y|) —
-    //    size-incompatible pairs are dead on arrival;
-    //  - positional filter: a gram shared at ranks (rx, ry) of the
-    //    rarest-first orders can witness an overlap of at most
-    //    min(|x|-rx, |y|-ry) + 1 (this gram plus the shorter remaining
-    //    suffix), which must reach the minimum overlap
-    //    ceil(t/(1+t) * (|x|+|y|)). A true match's FIRST shared gram
-    //    always passes, so pruning the rows that fail loses no pair.
-    // Both run before the distinct + two id joins + verify — at sf0.1
-    // they cut candidate pairs 1.73M -> a fraction, and candidate
-    // fan-out is the measured driver of the sf1 scale slope.
-    val candsRaw = prefL.join(prefR, "__g")
-      .where(greatest(col("__ln"), col("__rn")) * num <=
-        least(col("__ln"), col("__rn")) * den)
+    val paL = prefixArr(l, "__lid", "__lg")
+    val paR = prefixArr(r, "__rid", "__rg")
+
+    // A record rides the pair path only when its minimum overlap k
+    // admits a two-gram witness (k >= 2) AND its extended prefix is
+    // short enough that the C(p, 2) pair expansion stays cheap — long
+    // sets (large documents) would pay a quadratic per-record explode
+    // for nothing, since their prefixes are high-entropy anyway. 64
+    // keeps the expansion <= ~2k rows/record, ~32x a classic explode.
+    val maxPairPrefix = 64
+    val pairClass = col("__k") >= 2 && size(col("__pref")) <= maxPairPrefix
+
+    // classic single-gram prefix rows (rank <= n - k + 1): the FALLBACK
+    // candidate path for records outside the pair class — a true match
+    // may share only ONE prefix gram with them, so they join on single
+    // grams against the WHOLE other side's classic prefix.
+    def singles(pa: DataFrame, idc: String, nOut: String, rankOut: String,
+                fbOut: String): DataFrame =
+      pa.select(col(idc), col("__n").as(nOut), (!pairClass).as(fbOut),
+          explode(expr("slice(__pref, 1, __n - __k + 1)")).as("__e"))
+        .select(col(idc), col("__e.__g").as("__g"), col(nOut),
+          col("__e.__rank").as(rankOut), col(fbOut))
+    val prefL = singles(paL, "__lid", "__ln", "__lrk", "__lfb")
+    val prefR = singles(paR, "__rid", "__rn", "__rrk", "__rfb")
+
+    // pair rows: every (g1, g2) combination inside the extended prefix,
+    // rk2 = the later gram's rarest-first rank (feeds the pair-level
+    // positional filter). Expression-level expansion — no extra shuffle.
+    def pairRows(pa: DataFrame, idc: String, nOut: String,
+                 rk2Out: String): DataFrame =
+      pa.where(pairClass)
+        .select(col(idc), col("__n").as(nOut), explode(expr(
+          """flatten(transform(__pref, (a, i) ->
+               transform(slice(__pref, i + 2, size(__pref) - i - 1),
+                 b -> named_struct('g1', a.__g, 'g2', b.__g,
+                                   'rk2', b.__rank))))"""))
+          .as("__p"))
+        .select(col(idc), col("__p.g1").as("__g1"), col("__p.g2").as("__g2"),
+          col(nOut), col("__p.rk2").as(rk2Out))
+    val pairL = pairRows(paL, "__lid", "__ln", "__lrk2")
+    val pairR = pairRows(paR, "__rid", "__rn", "__rrk2")
+
+    // Lossless cuts AT the candidate joins, from the PPJoin family (the
+    // spec pins the output against brute force):
+    //  - length bound: J >= t forces min(|x|,|y|) >= t * max(|x|,|y|);
+    //  - positional filter: grams shared from ranks (rx, ry) onward can
+    //    witness an overlap of at most min(|x|-rx, |y|-ry) + w (w = how
+    //    many shared grams the witness itself proves: 1 for the single
+    //    path, 2 for the pair path using the LATER gram's rank), which
+    //    must reach the minimum overlap ceil(t/(1+t) * (|x|+|y|)). A
+    //    true match's smallest witness always passes.
+    def lengthOk = greatest(col("__ln"), col("__rn")) * num <=
+      least(col("__ln"), col("__rn")) * den
+    val candsPair = pairL.join(pairR, Seq("__g1", "__g2"))
+      .where(lengthOk)
+      .where((least(col("__ln") - col("__lrk2"), col("__rn") - col("__rrk2")) + 2) *
+        (num + den) >= (col("__ln") + col("__rn")) * num)
+      .select(col("__lid"), col("__rid"))
+    val candsSmall = prefL.where(col("__lfb")).join(prefR, "__g")
+      .unionAll(prefL.join(prefR.where(col("__rfb")), "__g"))
+      .where(lengthOk)
       .where((least(col("__ln") - col("__lrk"), col("__rn") - col("__rrk")) + 1) *
         (num + den) >= (col("__ln") + col("__rn")) * num)
-    val cands = candsRaw.select("__lid", "__rid").distinct()
+      .select(col("__lid"), col("__rid"))
+    val candsRaw = candsPair.unionAll(candsSmall)
+    val cands = candsRaw.distinct()
 
     // exact verify: re-attach gram arrays, one intersection per
     // candidate. Plain equi-joins on the ids: AQE broadcasts a side from
