@@ -629,13 +629,13 @@ object Bench {
       GraftSession.table(spark, sfDir, "customer"), "c_custkey", "c_name",
       GraftSession.table(spark, sfDir, "supplier"), "s_suppkey", "s_name",
       num = 1, den = 3)
-    val cached = Seq(st.l, st.r, st.dfs, st.prefL, st.prefR, st.candsRaw, st.cands)
+    val cached = Seq(st.l, st.r, st.dfs, st.pairL, st.pairR, st.candsRaw, st.cands)
     cached.foreach(_.persist())
     try {
       val t0 = System.nanoTime()
       val line = s"left=${st.l.count()} right=${st.r.count()} " +
         s"grams=${st.dfs.count()} " +
-        s"prefixL=${st.prefL.count()} prefixR=${st.prefR.count()} " +
+        s"pairRowsL=${st.pairL.count()} pairRowsR=${st.pairR.count()} " +
         s"joinFanout=${st.candsRaw.count()} candPairs=${st.cands.count()} " +
         s"verified=${st.verified.count()}"
       BenchCounters.put("fuzzy",

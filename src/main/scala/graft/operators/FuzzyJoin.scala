@@ -60,7 +60,7 @@ object FuzzyJoin {
     * duplicating (and silently diverging from) the operator. */
   private[graft] final case class Stages(
       l: DataFrame, r: DataFrame, dfs: DataFrame,
-      prefL: DataFrame, prefR: DataFrame,
+      pairL: DataFrame, pairR: DataFrame,
       candsRaw: DataFrame, cands: DataFrame, verified: DataFrame)
 
   private[graft] def stages(left: DataFrame, lidCol: String, lnameCol: String,
@@ -120,28 +120,32 @@ object FuzzyJoin {
     // sets (large documents) would pay a quadratic per-record explode
     // for nothing, since their prefixes are high-entropy anyway. 64
     // keeps the expansion <= ~2k rows/record, ~32x a classic explode.
+    // Both class predicates are pure functions of the record's gram
+    // count n, so the FALLBACK class is selectable straight off l/r
+    // WITHOUT the df-ranked lineage: since exact Jaccard needs the
+    // candidate superset only, fallback records join on ALL their
+    // grams (a lossless superset of the classic prefix) against the
+    // other side's ALL grams — Spark does not reuse the ranked
+    // subtree across plan references (the HOF lambdas defeat exchange
+    // canonicalization; measured: 3 references = 3 full recomputes,
+    // 29 exchanges), so the expensive dfs-join + rank-window + array
+    // aggregate must be referenced EXACTLY once per side. The cost of
+    // skipping the rank discipline on the fallback is bounded by the
+    // class itself: k < 2 records have <= den/num grams and the
+    // length filter caps their partners at (den/num)^2 grams;
+    // oversized-prefix records are long texts, the wrong tool's
+    // domain (use the minhash family) — documented, not optimized.
     val maxPairPrefix = 64
-    val pairClass = col("__k") >= 2 && size(col("__pref")) <= maxPairPrefix
-
-    // classic single-gram prefix rows (rank <= n - k + 1): the FALLBACK
-    // candidate path for records outside the pair class — a true match
-    // may share only ONE prefix gram with them, so they join on single
-    // grams against the WHOLE other side's classic prefix.
-    def singles(pa: DataFrame, idc: String, nOut: String, rankOut: String,
-                fbOut: String): DataFrame =
-      pa.select(col(idc), col("__n").as(nOut), (!pairClass).as(fbOut),
-          explode(expr("slice(__pref, 1, __n - __k + 1)")).as("__e"))
-        .select(col(idc), col("__e.__g").as("__g"), col(nOut),
-          col("__e.__rank").as(rankOut), col(fbOut))
-    val prefL = singles(paL, "__lid", "__ln", "__lrk", "__lfb")
-    val prefR = singles(paR, "__rid", "__rn", "__rrk", "__rfb")
+    def kOf(n: Column): Column = ((n * num + lit(den - 1)) / den).cast("int")
+    def fallbackClass(n: Column): Column =
+      kOf(n) < 2 || (n - kOf(n) + 2) > maxPairPrefix
 
     // pair rows: every (g1, g2) combination inside the extended prefix,
     // rk2 = the later gram's rarest-first rank (feeds the pair-level
     // positional filter). Expression-level expansion — no extra shuffle.
     def pairRows(pa: DataFrame, idc: String, nOut: String,
                  rk2Out: String): DataFrame =
-      pa.where(pairClass)
+      pa.where(!fallbackClass(col("__n")))
         .select(col(idc), col("__n").as(nOut), explode(expr(
           """flatten(transform(__pref, (a, i) ->
                transform(slice(__pref, i + 2, size(__pref) - i - 1),
@@ -153,15 +157,43 @@ object FuzzyJoin {
     val pairL = pairRows(paL, "__lid", "__ln", "__lrk2")
     val pairR = pairRows(paR, "__rid", "__rn", "__rrk2")
 
+    // all-grams rows straight off l/r (cheap lineage — scan + grams3
+    // only) for the fallback joins
+    def allGrams(side: DataFrame, idc: String, gc: String, nOut: String,
+                 klass: Column => Column): DataFrame =
+      side.select(col(idc), col(gc), size(col(gc)).as(nOut))
+        .where(klass(col(nOut)))
+        .select(col(idc), explode(col(gc)).as("__g"), col(nOut))
+
+    // The fallback join's PARTNER side must not explode the whole
+    // table when the fallback class is empty (at a 100x scale-up the
+    // un-pruned partner explode+sort alone cost ~minutes at local[4]):
+    // the length filter bounds a fallback record's partners from the
+    // threshold ALONE, so the partner side prunes statically —
+    //  - k < 2 records have n <= den/num grams, their partners
+    //    n <= (den/num)^2;
+    //  - oversized-prefix records have n >= minOversizedN, their
+    //    partners n >= minOversizedN * num / den.
+    // A partner passing the disjunction for the WRONG class dies at
+    // the per-pair length filter, so the union stays lossless.
+    val minOversizedN = Iterator.from(1)
+      .find(n => n - ((n * num + den - 1) / den) + 2 > maxPairPrefix).get
+    val sPartnerMaxN = (den.toLong * den) / (num.toLong * num)
+    val oPartnerMinN = (minOversizedN.toLong * num + den - 1) / den
+    def partnerClass(n: Column): Column =
+      n <= sPartnerMaxN || n >= oPartnerMinN
+
     // Lossless cuts AT the candidate joins, from the PPJoin family (the
     // spec pins the output against brute force):
     //  - length bound: J >= t forces min(|x|,|y|) >= t * max(|x|,|y|);
-    //  - positional filter: grams shared from ranks (rx, ry) onward can
-    //    witness an overlap of at most min(|x|-rx, |y|-ry) + w (w = how
-    //    many shared grams the witness itself proves: 1 for the single
-    //    path, 2 for the pair path using the LATER gram's rank), which
-    //    must reach the minimum overlap ceil(t/(1+t) * (|x|+|y|)). A
-    //    true match's smallest witness always passes.
+    //  - positional filter (pair path): grams shared from ranks
+    //    (rx, ry) onward can witness an overlap of at most
+    //    min(|x|-rx, |y|-ry) + 2 (the two witness grams plus the
+    //    shorter remaining suffix — every other shared gram sorts
+    //    after the pair in BOTH records, the global order being one),
+    //    which must reach the minimum overlap
+    //    ceil(t/(1+t) * (|x|+|y|)). A true match's smallest witness
+    //    pair always passes.
     def lengthOk = greatest(col("__ln"), col("__rn")) * num <=
       least(col("__ln"), col("__rn")) * den
     val candsPair = pairL.join(pairR, Seq("__g1", "__g2"))
@@ -169,11 +201,12 @@ object FuzzyJoin {
       .where((least(col("__ln") - col("__lrk2"), col("__rn") - col("__rrk2")) + 2) *
         (num + den) >= (col("__ln") + col("__rn")) * num)
       .select(col("__lid"), col("__rid"))
-    val candsSmall = prefL.where(col("__lfb")).join(prefR, "__g")
-      .unionAll(prefL.join(prefR.where(col("__rfb")), "__g"))
+    val candsSmall = allGrams(l, "__lid", "__lg", "__ln", fallbackClass)
+      .join(allGrams(r, "__rid", "__rg", "__rn", partnerClass), "__g")
+      .unionAll(
+        allGrams(l, "__lid", "__lg", "__ln", partnerClass)
+          .join(allGrams(r, "__rid", "__rg", "__rn", fallbackClass), "__g"))
       .where(lengthOk)
-      .where((least(col("__ln") - col("__lrk"), col("__rn") - col("__rrk")) + 1) *
-        (num + den) >= (col("__ln") + col("__rn")) * num)
       .select(col("__lid"), col("__rid"))
     val candsRaw = candsPair.unionAll(candsSmall)
     val cands = candsRaw.distinct()
@@ -188,7 +221,7 @@ object FuzzyJoin {
       .withColumn("__uni",
         (size(col("__lg")) + size(col("__rg"))).cast("long") - col("__inter"))
       .where(col("__inter") * den >= col("__uni") * num)
-    Stages(l, r, dfs, prefL, prefR, candsRaw, cands, verified)
+    Stages(l, r, dfs, pairL, pairR, candsRaw, cands, verified)
   }
 
   /** `(lid, rid, inter, uni)` for every cross-table pair with

@@ -81,4 +81,31 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.contains((1L, 10L))) // the exact duplicate pair must match
   }
+
+  test("fallback classes (k < 2 tiny sets, oversized prefixes) stay lossless") {
+    import spark.implicits._
+    // tiny: "abcd" has 2 grams -> k = ceil(2/3) = 1 < 2, so a true match
+    // may share only ONE gram and the pair path would lose it — these
+    // records must ride the single-gram fallback. "abc"/"abcd": J = 1/2.
+    // oversized: >64-gram extended prefixes (k >= 2 but the C(p,2)
+    // expansion is capped) — built from distinct-trigram alphabets with
+    // a one-char edit, J well above 1/3; their partners must survive
+    // the static partner-class pruning (n >= minOversizedN * num / den).
+    val alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    val longA = (0 until 60).map(i => alpha(i % alpha.length)).mkString +
+      (0 until 60).map(i => alpha((i * 7 + 3) % alpha.length)).mkString
+    val longB = longA.updated(57, '#') // one edit: J stays >> 1/3
+    val l = Seq((1L, "abc"), (2L, "xyz"), (3L, longA)).toDF("lid", "lname")
+    val r = Seq((10L, "abcd"), (20L, "xyzw"), (30L, longB), (40L, longA))
+      .toDF("rid", "rname")
+    val got = FuzzyJoin.jaccardJoin(l, "lid", "lname", r, "rid", "rname",
+        num = 1, den = 3)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expect = brute(l, "lid", "lname", r, "rid", "rname", 1, 3)
+      .map(t => (t._1, t._2))
+    assert(expect.contains((1L, 10L)), "tiny-set true match must exist in oracle")
+    assert(expect.contains((3L, 30L)), "oversized true match must exist in oracle")
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+  }
 }
