@@ -1,0 +1,162 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.SparkEnv
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+import org.apache.spark.sql.SparkSession
+
+import graft.{GraftSession, SparkEntry}
+
+/** Executor-loss resilience proof: run multi-stage catalog entries on
+  * `local-cluster[2,2,1024]` (two real forked executor JVMs), SIGKILL
+  * one executor JVM while its stages are in flight, and assert that
+  *
+  *  1. the standalone Worker relaunched a replacement executor (a NEW
+  *     pid appears in the post-kill census),
+  *  2. every query completed despite the lost tasks and lost shuffle
+  *     files (FetchFailed -> stage resubmission is the recovery path
+  *     a 1000-executor cluster exercises daily), and
+  *  3. the answers are IDENTICAL to an undisturbed single-JVM run —
+  *     the determinism-under-retry claim (e.g. the salted join's
+  *     row-content salt, every hash-based sample/split) tested for
+  *     real instead of asserted.
+  *
+  * Forked by ChaosClusterSpec for the same reason as ClusterProbe: a
+  * local-cluster SparkContext cannot share a JVM with the suite's
+  * local[*] context. Reference parity: volga's cluster harness kills
+  * workers mid-run (src/runtime/tests/cluster_harness/) — this is the
+  * Spark-standalone rendition.
+  */
+object ChaosProbe {
+
+  /** Multi-stage, multi-shuffle entries — enough in-flight stages that
+    * a mid-run kill reliably lands on active work. (Not q_fuzzy_join:
+    * sf0.001's name universe has no J >= 1/3 matches, so its rows>0
+    * assertion can't hold there.) */
+  val entryNames: Seq[String] = Seq(
+    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_cluster")
+
+  private val addOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+
+  private def execPids(spark: SparkSession): Set[Long] =
+    spark.sparkContext.parallelize(1 to 64, 16)
+      .mapPartitions(_ => Iterator(ProcessHandle.current().pid()))
+      .collect().toSet
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outJson = args(1)
+    val driverPid = ProcessHandle.current().pid()
+    val mapper = new ObjectMapper()
+    val report = mapper.createObjectNode()
+    report.put("driver_pid", driverPid)
+    val failures = report.putArray("failures")
+
+    val cp = System.getProperty("java.class.path")
+    val cluster = GraftSession.builder("local-cluster[2,2,1024]")
+      .config("spark.executor.extraClassPath", cp)
+      .config("spark.executor.extraJavaOptions",
+        (addOpens :+ "-Duser.timezone=UTC").mkString(" "))
+      .config("spark.executor.memory", "1024m")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    cluster.sparkContext.setLogLevel("WARN")
+
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (cluster.sparkContext.statusTracker.getExecutorInfos.length < 3 &&
+           System.nanoTime() < deadline) Thread.sleep(200)
+    require(cluster.sparkContext.statusTracker.getExecutorInfos.length >= 3,
+      "executors did not register within 120s")
+
+    val beforePids = execPids(cluster) - driverPid
+    report.put("executors_before", beforePids.toSeq.sorted.mkString(","))
+
+    // arm the assassin: once >= 2 stages of the victim query have been
+    // submitted, SIGKILL one executor JVM (losing its running tasks AND
+    // its shuffle files — the FetchFailed recovery path)
+    val stagesSeen = new AtomicInteger(0)
+    cluster.sparkContext.addSparkListener(new SparkListener {
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+        stagesSeen.incrementAndGet(); ()
+      }
+    })
+    val victim = beforePids.min
+    @volatile var killedAt = -1L
+    val assassin = new Thread(() => {
+      while (stagesSeen.get() < 2) Thread.sleep(20)
+      Thread.sleep(150) // let tasks of those stages actually start
+      new ProcessBuilder("kill", "-9", victim.toString).start().waitFor()
+      killedAt = System.nanoTime()
+    }, "executor-assassin")
+    assassin.setDaemon(true)
+    assassin.start()
+
+    val clusterRows = entryNames.flatMap { name =>
+      try {
+        val rows = SparkEntry.queries(name)(cluster, sfDir)
+          .collect().toSeq.map(_.toSeq)
+        Some(name -> rows.sortBy(_.mkString("|")))
+      } catch {
+        case e: Throwable =>
+          failures.add(s"cluster/$name: ${e.getClass.getName}: ${e.getMessage}")
+          None
+      }
+    }.toMap
+    assassin.join(2000)
+
+    report.put("victim_pid", victim)
+    report.put("victim_killed", killedAt > 0)
+    val victimHandle = ProcessHandle.of(victim)
+    report.put("victim_alive_after",
+      victimHandle.isPresent && victimHandle.get().isAlive)
+    val afterPids = execPids(cluster) - driverPid
+    report.put("executors_after", afterPids.toSeq.sorted.mkString(","))
+    report.put("replacement_spawned", (afterPids -- beforePids).nonEmpty)
+
+    cluster.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    // undisturbed single-JVM oracle
+    val local = GraftSession.builder("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    local.sparkContext.setLogLevel("WARN")
+    val localRows = entryNames.flatMap { name =>
+      try {
+        val rows = SparkEntry.queries(name)(local, sfDir)
+          .collect().toSeq.map(_.toSeq)
+        Some(name -> rows.sortBy(_.mkString("|")))
+      } catch {
+        case e: Throwable =>
+          failures.add(s"local/$name: ${e.getClass.getName}: ${e.getMessage}")
+          None
+      }
+    }.toMap
+    local.stop()
+
+    val entriesNode = report.putObject("entries")
+    entryNames.foreach { name =>
+      val n = entriesNode.putObject(name)
+      n.put("cluster_rows", clusterRows.get(name).map(_.length).getOrElse(-1))
+      n.put("local_rows", localRows.get(name).map(_.length).getOrElse(-1))
+      n.put("equal", clusterRows.contains(name) && localRows.contains(name) &&
+        clusterRows(name) == localRows(name))
+    }
+
+    Files.write(Paths.get(outJson),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(report))
+    System.exit(0)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.ChaosProbe
+
+/** Runs [[graft.tools.ChaosProbe]] — multi-stage catalog entries on
+  * `local-cluster[2,2,1024]` with one executor JVM SIGKILLed mid-query —
+  * in its own forked JVM, and asserts:
+  *
+  *  1. the victim really died and the standalone Worker relaunched a
+  *     replacement executor (a new pid in the post-kill census);
+  *  2. every probed query completed despite the lost tasks and lost
+  *     shuffle files (FetchFailed -> stage resubmission);
+  *  3. answers are identical to an undisturbed single-JVM run — the
+  *     determinism-under-retry claim, tested instead of asserted.
+  *
+  * Forked for the same reason as LocalClusterSpec: a local-cluster
+  * SparkContext cannot share a JVM with the suite's local[*] context.
+  */
+class ChaosClusterSpec extends AnyFunSuite {
+
+  test("queries survive an executor SIGKILL with identical answers " +
+       "(local-cluster[2,2,1024])") {
+    ChaosProbe.entryNames.foreach(n =>
+      assert(SparkEntry.queries.contains(n), s"probe entry $n not in catalog"))
+
+    val root = GraftSession.tempDir("graft_chaos_spec_")
+    val outJson = Paths.get(root, "chaos.json")
+    val errFile = Paths.get(root, "chaos_err.txt").toFile
+    val outFile = Paths.get(root, "chaos_out.txt").toFile
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx4g", "-Duser.timezone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.ChaosProbe",
+      "/root/testdata/sf0.001", outJson.toString))
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.environment().put("SPARK_WORKER_DIR", Paths.get(root, "work").toString)
+    pb.environment().put("SPARK_LOG_DIR", Paths.get(root, "logs").toString)
+    pb.environment().put("SPARK_LOCAL_IP", "127.0.0.1")
+    pb.redirectOutput(outFile)
+    pb.redirectError(errFile)
+    val proc = pb.start()
+    val finished = proc.waitFor(15, TimeUnit.MINUTES)
+    if (!finished) proc.destroyForcibly()
+    def tail(f: java.io.File): String = {
+      val s = try new String(Files.readAllBytes(f.toPath)) catch { case _: Exception => "" }
+      s.takeRight(4000)
+    }
+    assert(finished, s"chaos probe did not finish; stderr tail:\n${tail(errFile)}")
+    assert(proc.exitValue() == 0,
+      s"chaos probe exited ${proc.exitValue()}; stderr tail:\n${tail(errFile)}")
+    assert(Files.exists(outJson), s"no chaos report; stderr tail:\n${tail(errFile)}")
+
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(outJson))
+    val report = node.toPrettyString
+
+    assert(node.get("failures").size() == 0, s"chaos failures: $report")
+    assert(node.get("victim_killed").asBoolean(), s"victim not killed: $report")
+    assert(!node.get("victim_alive_after").asBoolean(),
+      s"victim survived the SIGKILL: $report")
+    assert(node.get("replacement_spawned").asBoolean(),
+      s"no replacement executor relaunched: $report")
+    ChaosProbe.entryNames.foreach { name =>
+      val e = node.get("entries").get(name)
+      assert(e != null, s"entry $name missing from report: $report")
+      assert(e.get("cluster_rows").asInt() > 0,
+        s"$name returned no rows on the wounded cluster: $report")
+      assert(e.get("equal").asBoolean(),
+        s"$name differs after executor loss: $report")
+    }
+  }
+}
