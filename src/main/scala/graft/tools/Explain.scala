@@ -14,7 +14,10 @@ object Explain {
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(entry)(spark, sfDir)
-    df.count() // materialize so AQE finalizes the plan it actually ran
+    // execute THIS QueryExecution (df.count() would plan a separate
+    // query and leave this one's AdaptiveSparkPlan un-finalized — the
+    // printout would show the INITIAL plan, not what actually ran)
+    df.queryExecution.toRdd.count()
     val plan = df.queryExecution.executedPlan.toString
     println(s"[explain] $entry exchanges=" +
       "Exchange hashpartitioning".r.findAllIn(plan).length +
