@@ -85,5 +85,18 @@ class ChaosClusterSpec extends AnyFunSuite {
       assert(e.get("equal").asBoolean(),
         s"$name differs after executor loss: $report")
     }
+
+    // streaming phase: a second executor SIGKILLed while the FMGWS
+    // streaming entry's micro-batches were in flight — state reloads
+    // from the checkpoint on a surviving executor, output unchanged
+    assert(node.get("stream_victim_killed").asBoolean(),
+      s"streaming-phase victim not killed: $report")
+    assert(!node.get("stream_victim_alive_after").asBoolean(),
+      s"streaming-phase victim survived: $report")
+    val stream = node.get("stream")
+    assert(stream.get("cluster_rows").asInt() > 0,
+      s"streaming entry returned no rows on the wounded cluster: $report")
+    assert(stream.get("equal").asBoolean(),
+      s"streaming entry differs after executor loss: $report")
   }
 }
