@@ -796,7 +796,15 @@ object Bench {
     // checkpoint beyond MachineHealth.ratioGate x the start score — or
     // an end load past the gate below — stamps the record contaminated.
     val calib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    calib("start") = MachineHealth.score()
+    // I/O probe alongside the CPU score (VERDICT r12 #1: the +30 s clean
+    // drift hit I/O-heavy entries uniformly while the CPU ratio read
+    // 1.01 — disk contention is a separate contamination dimension)
+    val calibIo = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def checkpoint(name: String): Unit = {
+      calib(name) = MachineHealth.score()
+      calibIo(name) = MachineHealth.ioScore()
+    }
+    checkpoint("start")
 
     // warm the session before timing: first-query costs (codegen compiler
     // init, parquet listing, function registration) otherwise bill to
@@ -955,7 +963,7 @@ object Bench {
     if (results.exists(r => r._1 == "q_dedup_minhash_streaming" && r._2 >= 0))
       BenchCounters.put("smh", graft.streaming.StreamingDedup.Profile.snapshot)
 
-    if (results.nonEmpty) calib("after_catalog") = MachineHealth.score()
+    if (results.nonEmpty) checkpoint("after_catalog")
 
     // streaming window workload (reference window_operator_benchmark.rs):
     // cadence-bound (one file per trigger, the reference's batch-arrival
@@ -1004,7 +1012,7 @@ object Bench {
     // the numbers most sensitive to machine luck (the r11 record's
     // saturating-coalescer phase reversed r10's verdict under
     // contention), so this phase gets its own before/after stamps
-    if (runWorkload("request")) calib("before_request") = MachineHealth.score()
+    if (runWorkload("request")) checkpoint("before_request")
     val request =
       if (!runWorkload("request")) "null" else
       try {
@@ -1016,7 +1024,7 @@ object Bench {
         errors("request_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
       }
-    if (runWorkload("request")) calib("after_request") = MachineHealth.score()
+    if (runWorkload("request")) checkpoint("after_request")
 
     // fuzzy-join stage attribution (the steepest sf1 slope): one
     // counters line so scale growth attributes to a named stage
@@ -1124,7 +1132,7 @@ object Bench {
       val ex = graft.serving.ShardedFeatureStore.exhaustedReads.sum()
       if (ex > 0) BenchCounters.put("store_exhausted_reads", ex.toString)
     }
-    calib("end") = MachineHealth.score()
+    checkpoint("end")
     val loadEnd = sysLoad
     val cores = Runtime.getRuntime.availableProcessors()
     // end-load gate: the bench's own final phases (serving workloads) are
@@ -1138,14 +1146,26 @@ object Bench {
       else calib.toSeq.drop(1).map(_._2).max / calib("start")
     val contaminatedCalib =
       calib.toSeq.drop(1).exists(c => MachineHealth.degraded(calib("start"), c._2))
+    val calibIoRatioWorst =
+      if (calibIo.size < 2) 1.0
+      else calibIo.toSeq.drop(1).map(_._2).max / calibIo("start")
+    val contaminatedIo =
+      calibIo.toSeq.drop(1).exists(c => MachineHealth.ioDegraded(calibIo("start"), c._2))
     val contaminated =
-      contaminatedStart || contaminatedCalib || loadEnd > loadEndGate
+      contaminatedStart || contaminatedCalib || contaminatedIo ||
+        loadEnd > loadEndGate
     if (contaminatedCalib)
       System.err.println(f"[bench] calibration degraded mid-run " +
         f"(worst ratio $calibRatioWorst%.2f > ${MachineHealth.ratioGate}) — " +
         "record stamped contaminated")
+    if (contaminatedIo)
+      System.err.println(f"[bench] I/O calibration degraded mid-run " +
+        f"(worst ratio $calibIoRatioWorst%.2f > ${MachineHealth.ioRatioGate}) — " +
+        "record stamped contaminated")
     val calibJson = (calib.toSeq.map { case (k, v) => jstr(k) + f":$v%.1f" } :+
       f""""ratio_worst":$calibRatioWorst%.2f""").mkString("{", ",", "}")
+    val calibIoJson = (calibIo.toSeq.map { case (k, v) => jstr(k) + f":$v%.1f" } :+
+      f""""ratio_worst":$calibIoRatioWorst%.2f""").mkString("{", ",", "}")
     // per-entry attribution counters ([ssj] state metrics, ...) — in the
     // committed JSON, not just a clippable stderr tail
     val counters = BenchCounters.snapshot.toSeq.sortBy(_._1)
@@ -1155,7 +1175,7 @@ object Bench {
     val outliersJson = outliers.toSeq
       .map { case (k, (f, r)) => jstr(k) + f""":{"first":$f%.3f,"retry":$r%.3f}""" }
       .mkString("{", ",", "}")
-    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"concurrency":$concurrency,"errors":$es,"n_failed":${errors.size},"outliers":$outliersJson,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"cores":$cores},"calibration":$calibJson,"contaminated":$contaminated,"counters":$counters,"sf":"$sfDir"}"""
+    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"concurrency":$concurrency,"errors":$es,"n_failed":${errors.size},"outliers":$outliersJson,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"cores":$cores},"calibration":$calibJson,"calibration_io":$calibIoJson,"contaminated":$contaminated,"counters":$counters,"sf":"$sfDir"}"""
     println(summary)
     // belt-and-braces: the whole summary also lands in a file that a
     // truncated stdout capture can't damage — in-repo, so the round

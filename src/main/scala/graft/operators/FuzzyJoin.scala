@@ -176,10 +176,18 @@ object FuzzyJoin {
     //    partners n >= minOversizedN * num / den.
     // A partner passing the disjunction for the WRONG class dies at
     // the per-pair length filter, so the union stays lossless.
-    val minOversizedN = Iterator.from(1)
-      .find(n => n - ((n * num + den - 1) / den) + 2 > maxPairPrefix).get
+    // At t = 1 (num == den) the extended prefix is always exactly 2
+    // grams, so NO record is ever oversized — the search predicate
+    // n - n + 2 > 64 is constantly false and Iterator.find would spin
+    // forever (through Int wraparound). Degrade both bounds to "never".
+    val minOversizedN: Long =
+      if (num == den) Long.MaxValue
+      else Iterator.from(1)
+        .find(n => n - ((n * num + den - 1) / den) + 2 > maxPairPrefix).get.toLong
     val sPartnerMaxN = (den.toLong * den) / (num.toLong * num)
-    val oPartnerMinN = (minOversizedN.toLong * num + den - 1) / den
+    val oPartnerMinN =
+      if (num == den) Long.MaxValue
+      else (minOversizedN * num + den - 1) / den
     def partnerClass(n: Column): Column =
       n <= sPartnerMaxN || n >= oPartnerMinN
 

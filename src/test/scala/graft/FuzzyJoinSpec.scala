@@ -108,4 +108,21 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got == expect,
       s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
   }
+
+  test("threshold 1.0 (num == den) terminates and finds exact duplicates only") {
+    // ADVICE r12: at t = 1 the oversized-prefix search predicate
+    // n - n + 2 > 64 is constantly false — the driver used to spin
+    // forever deriving minOversizedN. The degenerate threshold must
+    // degrade the bound to "never" and still return the exact result.
+    import spark.implicits._
+    val l = Seq((1L, "abcdef"), (2L, "ghijkl"), (3L, "abcdef")).toDF("lid", "lname")
+    val r = Seq((10L, "abcdef"), (20L, "abcdex")).toDF("rid", "rname")
+    val got = FuzzyJoin.jaccardJoin(l, "lid", "lname", r, "rid", "rname",
+        num = 1, den = 1)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expect = brute(l, "lid", "lname", r, "rid", "rname", 1, 1)
+      .map(t => (t._1, t._2))
+    assert(expect == Set((1L, 10L), (3L, 10L)))
+    assert(got == expect)
+  }
 }

@@ -19,7 +19,18 @@ class MachineHealthSpec extends AnyFunSuite {
   private val iters = 20000000L
 
   test("calibration gate fires under synthetic CPU load and clears after") {
-    val idle = MachineHealth.score(iters)
+    // Wall-clock-sensitive: on an already-contended box the "idle"
+    // baseline is inflated and the recovery assertion below can fail
+    // for reasons unrelated to the code. Skip (don't fail) unless a
+    // quick pre-check says the box is actually quiet: two back-to-back
+    // calibrations must agree within the gate's own margin.
+    val pre1 = MachineHealth.score(iters)
+    val pre2 = MachineHealth.score(iters)
+    assume(math.max(pre1, pre2) / math.min(pre1, pre2) < MachineHealth.ratioGate,
+      f"box not idle (back-to-back calibrations $pre1%.1f / $pre2%.1f ms " +
+        "disagree past the gate); skipping wall-clock-sensitive spec")
+
+    val idle = math.min(pre1, pre2)
     assert(idle > 0.0)
 
     val stop = new AtomicBoolean(false)
@@ -47,5 +58,18 @@ class MachineHealthSpec extends AnyFunSuite {
     assert(!MachineHealth.degraded(idle, after),
       f"score did not recover once the load stopped: " +
         f"idle $idle%.1f ms, after $after%.1f ms")
+  }
+
+  test("I/O probe runs, cleans up its temp file, and returns a finite score") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-iocal-spec")
+    try {
+      val ms = MachineHealth.ioScore(mb = 8, dir = dir.toString, reps = 1)
+      assert(ms > 0.0 && ms < 60000.0, f"implausible io score $ms%.1f ms")
+      assert(!java.nio.file.Files.list(dir).iterator().hasNext,
+        "probe left its temp file behind")
+    } finally {
+      java.nio.file.Files.list(dir).forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.delete(dir)
+    }
   }
 }
