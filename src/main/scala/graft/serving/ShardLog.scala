@@ -63,18 +63,55 @@ object ShardLog {
       catch { case _: Exception => 0L }
   }
 
+  /** Committed length of a shard log — the size stamped by the last
+    * append/compaction that COMPLETED; -1 when no stamp exists (a log
+    * that predates the stamp, or none yet). Bytes past this offset were
+    * written by an appender that died mid-write. */
+  def committedLen(root: String, shard: Int, logName: String): Long = {
+    val f = shardDir(root, shard).resolve(logName + ".len").toFile
+    if (!f.exists()) -1L
+    else
+      try new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim.toLong
+      catch { case _: Exception => -1L }
+  }
+
+  private def stampLen(dir: Path, logName: String, len: Long): Unit =
+    Files.write(dir.resolve(logName + ".len"),
+      String.valueOf(len).getBytes(StandardCharsets.UTF_8))
+
   /** Append pre-framed record bytes to a shard log in one channel write;
     * returns the log size after the append (the compaction trigger
-    * input). Caller holds the single-writer invariant. */
+    * input). Caller holds the single-writer invariant.
+    *
+    * TORN-TAIL REPAIR (r13, chaos phase 3): a writer SIGKILLed between
+    * the kernel writes of one large append leaves a PARTIAL frame at the
+    * tail — and unlike an in-flight write, a dead writer never completes
+    * it. If the retried task then appended after those bytes, every
+    * reader would wedge at the torn frame forever (or worse, parse the
+    * torn frame's length prefix across the retry's bytes and deliver
+    * garbage). So each completed append stamps the resulting size into a
+    * `<log>.len` sidecar, and the NEXT append truncates anything past
+    * the last stamp before writing — the single-writer invariant makes
+    * the truncation safe (only the dead writer's unstamped bytes go),
+    * and a reader that raced past them resets via the existing
+    * shrink/decode fences. A SIGKILL between append and stamp truncates
+    * COMPLETE frames — but only frames of the very task that failed,
+    * which Spark re-runs: the retry re-appends the same reduced batch.
+    */
   def append(root: String, shard: Int, logName: String,
              framedRecords: Array[Byte]): Long = {
     val dir = shardDir(root, shard)
     Files.createDirectories(dir)
     val ch = FileChannel.open(dir.resolve(logName),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-      StandardOpenOption.APPEND)
-    val size = try { ch.write(ByteBuffer.wrap(framedRecords)); ch.size() }
-               finally ch.close()
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val size = try {
+      val committed = committedLen(root, shard, logName)
+      if (committed >= 0 && ch.size() > committed) ch.truncate(committed)
+      ch.position(ch.size())
+      ch.write(ByteBuffer.wrap(framedRecords))
+      ch.size()
+    } finally ch.close()
+    stampLen(dir, logName, size)
     // Forensic sidecar: which JVM last appended to this shard. The design
     // claim is that writers are Spark TASKS (executor JVMs), never the
     // driver — on a real cluster a driver-side write would mean the data
@@ -130,6 +167,11 @@ object ShardLog {
       Files.write(tmp, out)
       Files.move(tmp, log, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // re-stamp the committed length BEFORE the gen bump: same fencing
+      // argument as the move — anyone trusting the new gen must also see
+      // the new stamp (the stamp only gates the single WRITER, but keep
+      // the orderings aligned)
+      stampLen(dir, logName, out.length.toLong)
       Files.write(dir.resolve("gen"),
         String.valueOf(genOf(root, shard) + 1).getBytes(StandardCharsets.UTF_8))
     }

@@ -169,6 +169,122 @@ object StreamingDedup {
       .toDF("__lid", "__rid")
   }
 
+  /** [[minhashStreamingPairs]] on the `transformWithState` engine with
+    * APPEND-ONLY bucket state (VERDICT r12 "what's wrong" #2): the FMGWS
+    * engine's `GroupState[Array[Byte]]` is a whole-value store, so every
+    * arrival re-serializes its ENTIRE bucket — with ~1 state round-trip
+    * per (doc, band) row (the `smh` counters: 76.5k calls / 80k arrivals
+    * at sf0.1), the store traffic is O(bucket²) bytes over a bucket's
+    * lifetime. Here each member is its own `ListState` element:
+    * an arrival READS the membership once (it must — the LSH verify
+    * compares against every member) and APPENDS only itself, O(bucket)
+    * read + O(1) write — the same asymmetry the reference's bucket index
+    * exploits by appending to per-bucket segments
+    * (src/storage/index/bucket_index.rs). On RocksDB the append is a
+    * native merge op and changelog checkpointing ships only the delta.
+    *
+    * Math, arrival order, cap semantics, overflow marker, and emitted
+    * pair set are IDENTICAL to [[minhashStreamingPairs]]
+    * (StreamingDedupSpec pins engine equality), so the batch oracle
+    * verifies this engine too. Requires the RocksDB provider (column
+    * families) — set by this method, like [[SlidingWindowsTws]].
+    */
+  def minhashStreamingPairsTws(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 5, numHashes: Int = 128, bands: Int = 16,
+                               threshold: Double = 0.8,
+                               maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rpb = numHashes / bands
+    df.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    df.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    df.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+    val banded = df
+      .where(col(textCol).isNotNull)
+      .withColumn("__sig", signatureCol(textCol, k, numHashes))
+      .withColumn("__sigb", graft.functions.ArrayMath.packLongs(col("__sig")))
+      .select(col(idCol).cast("long").as("__id"), col("__sigb"),
+        explode(array((0 until bands).map { b =>
+          concat_ws(",", lit(b.toString) +: (0 until rpb).map(r =>
+            element_at(col("__sig"), b * rpb + r + 1).cast("string")): _*)
+        }: _*)).as("__bucket"))
+
+    import banded.sparkSession.implicits._
+    banded
+      .select(col("__bucket"), col("__id"), col("__sigb"))
+      .as[(String, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .transformWithState(
+        new MinhashBucketProcessor(numHashes, threshold, maxBucket),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF("__lid", "__rid")
+  }
+
+  /** Append-only LSH bucket state: one ListState element per member
+    * (8 id bytes + the packed signature). See [[minhashStreamingPairsTws]]. */
+  private final class MinhashBucketProcessor(numHashes: Int, threshold: Double,
+                                             maxBucket: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long, Array[Byte]), (Long, Long)] {
+
+    @transient private var members: org.apache.spark.sql.streaming.ListState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      members = getHandle.getListState[Array[Byte]]("members",
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, Long, Array[Byte])],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+      Profile.stateCalls.incrementAndGet()
+      // one full read per touched bucket per trigger — the comparisons
+      // need every member anyway; the WRITE below is what shrinks
+      val existing = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+      members.get().foreach { m =>
+        val buf = ByteBuffer.wrap(m)
+        val id = buf.getLong
+        val sig = new Array[Byte](numHashes * 8)
+        buf.get(sig)
+        existing += (id -> sig)
+      }
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val out = Vector.newBuilder[(Long, Long)]
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+        Profile.arrivals.incrementAndGet()
+        if (existing.exists(_._1 == id)) Profile.dupDeliveries.incrementAndGet()
+        else if (existing.size >= maxBucket) {
+          out += ((OverflowMarker, id))
+          Profile.overflows.incrementAndGet()
+        } else {
+          existing.foreach { case (mid, msig) =>
+            var eq = 0; var i = 0
+            while (i < numHashes) {
+              var same = true; var j = i * 8
+              while (same && j < i * 8 + 8) { same = msig(j) == sig(j); j += 1 }
+              if (same) eq += 1
+              i += 1
+            }
+            Profile.comparisons.incrementAndGet()
+            if (eq.toDouble / numHashes >= threshold) {
+              out += ((mid, id)); Profile.pairsEmitted.incrementAndGet()
+            }
+          }
+          existing += (id -> sig)
+          val packed = ByteBuffer.allocate(8 + numHashes * 8)
+          packed.putLong(id); packed.put(sig)
+          fresh += packed.array()
+        }
+      }
+      if (fresh.nonEmpty) members.appendList(fresh.toArray)
+      out.result().iterator
+    }
+  }
+
   /** Streaming embedding near-dup PAIRS — [[Dedup.embeddingLshAccepted]]
     * reshaped for a vector stream: an arriving embedding is checked
     * against every earlier arrival in its hyperplane bucket, online.

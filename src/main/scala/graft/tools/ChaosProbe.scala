@@ -170,6 +170,121 @@ object ChaosProbe {
     report.put("stream_stages_at_kill", stagesAtKill2)
     report.put("stream_stages_total", stagesSeen2.get())
 
+    // ---- phase 3 (r13): serving WRITE path chaos. The shard-log
+    // protocol's crash claims (gen fence, torn-tail stop, key+ts payload
+    // verify) had only cooperative-reader tests — here a shard-writer
+    // executor is SIGKILLed mid-`foreachBatch` upsert on the cluster, so
+    // its in-flight appends die with it (possibly mid-channel-write).
+    // Spark retries the lost tasks on a survivor; the retried append's
+    // committed-length stamp truncates any torn tail the corpse left
+    // (ShardLog.append r13). The assertion: after the stream drains, a
+    // fresh reader serves EVERY key the exact LWW row a batch replay
+    // computes — no torn record, no stale value, no wedged shard — with
+    // zero exhausted reads and zero alarmed shards.
+    val p3Pids = execPids(cluster) - driverPid
+    val victim3 = p3Pids.min
+    val stagesSeen3 = new AtomicInteger(0)
+    cluster.sparkContext.addSparkListener(new SparkListener {
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+        stagesSeen3.incrementAndGet(); ()
+      }
+    })
+    @volatile var killed3At = -1L
+    val assassin3 = new Thread(() => {
+      while (stagesSeen3.get() < 4) Thread.sleep(20)
+      Thread.sleep(100) // land inside a later batch's write tasks
+      new ProcessBuilder("kill", "-9", victim3.toString).start().waitFor()
+      killed3At = System.nanoTime()
+    }, "executor-assassin-3")
+    assassin3.setDaemon(true)
+    assassin3.start()
+
+    val storeRoot = GraftSession.tempDir("graft_chaos_store_")
+    val numShards = 8
+    val storeOk =
+      try {
+        GraftSession.prepare(cluster, sfDir)
+        // unique ts per key-update (event_id) makes the LWW expectation
+        // order-independent: max-ts row per key, no tie-break ambiguity
+        val ev = cluster.sql(
+          """SELECT CAST(user_id AS STRING) AS key, event_id AS ts_ms, value
+             FROM events""")
+        val inDir = GraftSession.tempDir("graft_chaos_sin_")
+        (0 until 6).foreach(i =>
+          ev.where(s"ts_ms % 6 = $i").coalesce(1)
+            .write.mode("append").parquet(s"$inDir/in"))
+        val stream = cluster.readStream
+          .schema(cluster.read.parquet(s"$inDir/in").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
+        val q = stream.writeStream
+          .foreachBatch(graft.serving.ShardedFeatureStore
+            .upsertBatch(storeRoot, numShards, "key", "ts_ms") _)
+          .option("checkpointLocation", s"$inDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        true
+      } catch {
+        case e: Throwable =>
+          failures.add(s"store/upsert: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+    assassin3.join(2000)
+
+    val storeNode = report.putObject("store")
+    storeNode.put("victim_pid", victim3)
+    storeNode.put("victim_killed", killed3At > 0)
+    val v3Handle = ProcessHandle.of(victim3)
+    storeNode.put("victim_alive_after",
+      v3Handle.isPresent && v3Handle.get().isAlive)
+    if (storeOk) {
+      // expected rows from a plain batch replay on the same session
+      val expected = cluster.sql(
+        """SELECT key, ts_ms, value FROM (
+             SELECT CAST(user_id AS STRING) AS key, event_id AS ts_ms, value,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) AS rn
+             FROM events) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val store = new graft.serving.ShardedFeatureStore(storeRoot, numShards)
+      val exhaustedBefore = graft.serving.ShardedFeatureStore.exhaustedReads.sum()
+      var mismatches = 0
+      expected.foreach { case (key, (ts, value)) =>
+        val got = store.get(key)
+        val ok = got.exists(e => e.tsMs == ts &&
+          (e.values.get("value") match {
+            case Some(d: Double) => math.abs(d - value) < 1e-12
+            case Some(n: Number) => math.abs(n.doubleValue() - value) < 1e-12
+            case _ => false
+          }))
+        if (!ok) {
+          mismatches += 1
+          if (mismatches <= 3)
+            failures.add(s"store/$key: expected ($ts, $value), got " +
+              got.map(e => s"(${e.tsMs}, ${e.values.get("value")})").getOrElse("miss"))
+        }
+      }
+      storeNode.put("keys_checked", expected.size)
+      storeNode.put("mismatches", mismatches)
+      storeNode.put("exhausted_reads",
+        graft.serving.ShardedFeatureStore.exhaustedReads.sum() - exhaustedBefore)
+      storeNode.put("alarmed_shards", store.alarmedShards.mkString(","))
+      storeNode.put("converged", mismatches == 0 &&
+        graft.serving.ShardedFeatureStore.exhaustedReads.sum() == exhaustedBefore &&
+        store.alarmedShards.isEmpty)
+      // the design claim: shard logs are written by executor JVMs only
+      val writerPids = (0 until numShards).flatMap { s =>
+        val f = graft.serving.ShardLog.shardDir(storeRoot, s)
+          .resolve("writer.pid").toFile
+        if (f.exists())
+          Some(new String(Files.readAllBytes(f.toPath)).trim.toLong)
+        else None
+      }.toSet
+      storeNode.put("writer_pids", writerPids.toSeq.sorted.mkString(","))
+      storeNode.put("writers_all_executors",
+        writerPids.nonEmpty && !writerPids.contains(driverPid))
+    }
+
     cluster.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

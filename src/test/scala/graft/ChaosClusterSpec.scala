@@ -98,5 +98,23 @@ class ChaosClusterSpec extends AnyFunSuite {
       s"streaming entry returned no rows on the wounded cluster: $report")
     assert(stream.get("equal").asBoolean(),
       s"streaming entry differs after executor loss: $report")
+
+    // phase 3: a THIRD executor SIGKILLed while it was a shard-log
+    // WRITER inside a foreachBatch upsert — the retried tasks repair any
+    // torn tail (committed-length stamp) and re-append; the store must
+    // converge to the exact batch-replay LWW rows with zero exhausted
+    // reads and zero alarmed shards, written by executor JVMs only
+    val store = node.get("store")
+    assert(store != null, s"no store phase in report: $report")
+    assert(store.get("victim_killed").asBoolean(),
+      s"store-phase victim not killed: $report")
+    assert(!store.get("victim_alive_after").asBoolean(),
+      s"store-phase victim survived: $report")
+    assert(store.get("keys_checked").asInt() > 0,
+      s"store phase checked no keys: $report")
+    assert(store.get("converged").asBoolean(),
+      s"store did not converge after writer SIGKILL: $report")
+    assert(store.get("writers_all_executors").asBoolean(),
+      s"a shard log was written by a non-executor JVM: $report")
   }
 }

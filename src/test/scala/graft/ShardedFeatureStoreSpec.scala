@@ -134,6 +134,57 @@ class ShardedFeatureStoreSpec extends AnyFunSuite {
     assert(reopened.size == 2)
   }
 
+  test("a dead writer's torn tail is truncated by the retried append; " +
+       "readers neither wedge nor serve garbage") {
+    // The SIGKILL failure mode chaos phase 3 exercises, pinned
+    // deterministically: a writer killed mid-channel-write leaves a
+    // PARTIAL frame at the tail that no one will ever complete. Without
+    // the committed-length stamp (r13) the next append landed AFTER the
+    // torn bytes and every reader either wedged at the torn frame
+    // forever (serving the stale pre-kill value) or parsed the torn
+    // length prefix across the retry's bytes and delivered garbage.
+    import java.nio.file.{Files, StandardOpenOption}
+    import graft.serving.ShardLog
+    val root = GraftSession.tempDir("graft_shard_torn_")
+    val store = new ShardedFeatureStore(root, numShards = 1)
+    val exhaustedBefore = ShardedFeatureStore.exhaustedReads.sum()
+    import spark.implicits._
+    def batch(rows: Seq[(String, Long, Double)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("key", "ts_ms", "f")
+
+    ShardedFeatureStore.upsertBatch(root, 1, "key", "ts_ms")(
+      batch(Seq(("a", 100L, 1.0), ("b", 100L, 2.0))), 0L)
+    assert(store.get("a").get.values("f") == 1.0) // reader has tailed
+
+    // simulate the corpse: a frame whose length prefix claims 4000 bytes
+    // but whose body was cut off mid-write — unstamped, because the
+    // writer died before completing the append
+    val log = ShardLog.shardDir(root, 0).resolve("data.log")
+    val lenBefore = Files.size(log)
+    val torn = java.nio.ByteBuffer.allocate(4 + 40)
+      .putInt(4000).put(Array.fill[Byte](40)(0x7f)).array()
+    Files.write(log, torn, StandardOpenOption.APPEND)
+    assert(ShardLog.committedLen(root, 0, "data.log") == lenBefore)
+
+    // the RETRIED task appends — must truncate the torn bytes first
+    ShardedFeatureStore.upsertBatch(root, 1, "key", "ts_ms")(
+      batch(Seq(("a", 200L, 5.0), ("b", 200L, 6.0))), 1L)
+
+    // both the tailed reader and a fresh one see the retry's rows —
+    // and the torn 0x7f bytes are nowhere in the log
+    assert(store.get("a").get.tsMs == 200L)
+    assert(store.get("a").get.values("f") == 5.0)
+    assert(store.get("b").get.values("f") == 6.0)
+    val fresh = new ShardedFeatureStore(root, numShards = 1)
+    assert(fresh.get("a").get.values("f") == 5.0)
+    assert(fresh.size == 2)
+    val bytes = Files.readAllBytes(log)
+    assert(!bytes.containsSlice(Array.fill[Byte](8)(0x7f)),
+      "torn bytes survived in the log")
+    assert(ShardLog.committedLen(root, 0, "data.log") == bytes.length)
+    assert(ShardedFeatureStore.exhaustedReads.sum() == exhaustedBefore)
+  }
+
   test("replaying a batch is idempotent: at-least-once foreachBatch restarts are safe") {
     import spark.implicits._
     val root = GraftSession.tempDir("graft_shard_replay_")
