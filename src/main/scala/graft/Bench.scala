@@ -633,7 +633,7 @@ object Bench {
     cached.foreach(_.persist())
     try {
       val t0 = System.nanoTime()
-      val line = s"left=${st.l.count()} right=${st.r.count()} " +
+      val line = s"width=${st.width} left=${st.l.count()} right=${st.r.count()} " +
         s"grams=${st.dfs.count()} " +
         s"pairRowsL=${st.pairL.count()} pairRowsR=${st.pairR.count()} " +
         s"joinFanout=${st.candsRaw.count()} candPairs=${st.cands.count()} " +

@@ -3184,12 +3184,36 @@ object SparkEntry {
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_SDD_PARTS", "8"))
+        // state-store provider knob (r13): the HDFS-backed default
+        // measures fastest at catalog state volumes (sf0.1 steady: 18.4
+        // vs 20.8 s), RocksDB overtakes once the store outgrows cheap
+        // in-heap maps (100x steady: 450 vs 665 s wall, per-trigger
+        // flatness 1.37 vs 1.99 — BENCH_steady_r13.json). A 100 TB
+        // deployment sets rocksdb; the committed bench series keeps the
+        // small-corpus optimum.
+        val savedProvider = s.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        if (sys.env.get("SPARK_GRAFT_SDD_PROVIDER").contains("rocksdb")) {
+          s.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+            "changelogCheckpointing.enabled", "true")
+          s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+            "trackTotalNumberOfRows", "false")
+        }
         val q = pairs(stream).writeStream.outputMode("append").format("parquet")
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
         try q.processAllAvailable() finally {
           q.stop()
           s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          if (sys.env.get("SPARK_GRAFT_SDD_PROVIDER").contains("rocksdb"))
+            savedProvider match {
+              case Some(p) => s.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", p)
+              case None => s.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
+            }
         }
         val losers = (try s.read.parquet(s"$root/out")
           catch { case _: Exception => s.emptyDataFrame.select() })

@@ -39,10 +39,14 @@ object ChaosProbe {
   val entryNames: Seq[String] = Seq(
     "q_dedup_minhash", "q_dedup_ngram", "q_dedup_cluster")
 
-  /** The streaming victim query for phase 2 (FMGWS sliding-window engine,
-    * HDFS-backed state store, checkpointed): the kill lands while its
-    * micro-batches are in flight. */
+  /** The streaming victim queries for phase 2: the FMGWS sliding-window
+    * engine (HDFS-backed state store) and, r13, its transformWithState
+    * twin (RocksDB changelog state) — the kill lands while each one's
+    * micro-batches are in flight, so BOTH state backends prove the
+    * reload-from-checkpoint-on-a-survivor path with byte-identical
+    * output. */
   val streamEntry = "q_window_streaming"
+  val streamEntryTws = "q_window_streaming_tws"
 
   private val addOpens: Seq[String] = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -135,40 +139,44 @@ object ChaosProbe {
     // task retry must reload the last committed state version from the
     // checkpoint on a surviving/replacement executor — the streaming
     // recovery path a real cluster exercises on every executor loss.
-    val midPids = execPids(cluster) - driverPid
-    val victim2 = midPids.max
-    val stagesSeen2 = new AtomicInteger(0)
-    cluster.sparkContext.addSparkListener(new SparkListener {
-      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
-        stagesSeen2.incrementAndGet(); ()
-      }
-    })
-    @volatile var killed2At = -1L
-    @volatile var stagesAtKill2 = -1
-    val assassin2 = new Thread(() => {
-      while (stagesSeen2.get() < 3) Thread.sleep(20)
-      Thread.sleep(100)
-      stagesAtKill2 = stagesSeen2.get()
-      new ProcessBuilder("kill", "-9", victim2.toString).start().waitFor()
-      killed2At = System.nanoTime()
-    }, "executor-assassin-2")
-    assassin2.setDaemon(true)
-    assassin2.start()
-    val streamClusterRows =
-      try Some(SparkEntry.queries(streamEntry)(cluster, sfDir)
-        .collect().toSeq.map(_.toSeq).sortBy(_.mkString("|")))
-      catch { case e: Throwable =>
-        failures.add(s"cluster/$streamEntry: ${e.getClass.getName}: ${e.getMessage}")
-        None
-      }
-    assassin2.join(2000)
-    report.put("stream_victim_pid", victim2)
-    report.put("stream_victim_killed", killed2At > 0)
-    val v2Handle = ProcessHandle.of(victim2)
-    report.put("stream_victim_alive_after",
-      v2Handle.isPresent && v2Handle.get().isAlive)
-    report.put("stream_stages_at_kill", stagesAtKill2)
-    report.put("stream_stages_total", stagesSeen2.get())
+    val streamVictims = Seq("stream" -> streamEntry, "stream_tws" -> streamEntryTws)
+    val streamRows = streamVictims.map { case (tag, entry) =>
+      val midPids = execPids(cluster) - driverPid
+      val victim2 = midPids.max
+      val stagesSeen2 = new AtomicInteger(0)
+      cluster.sparkContext.addSparkListener(new SparkListener {
+        override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+          stagesSeen2.incrementAndGet(); ()
+        }
+      })
+      @volatile var killed2At = -1L
+      @volatile var stagesAtKill2 = -1
+      val assassin2 = new Thread(() => {
+        while (stagesSeen2.get() < 3) Thread.sleep(20)
+        Thread.sleep(100)
+        stagesAtKill2 = stagesSeen2.get()
+        new ProcessBuilder("kill", "-9", victim2.toString).start().waitFor()
+        killed2At = System.nanoTime()
+      }, s"executor-assassin-$tag")
+      assassin2.setDaemon(true)
+      assassin2.start()
+      val rows =
+        try Some(SparkEntry.queries(entry)(cluster, sfDir)
+          .collect().toSeq.map(_.toSeq).sortBy(_.mkString("|")))
+        catch { case e: Throwable =>
+          failures.add(s"cluster/$entry: ${e.getClass.getName}: ${e.getMessage}")
+          None
+        }
+      assassin2.join(2000)
+      report.put(s"${tag}_victim_pid", victim2)
+      report.put(s"${tag}_victim_killed", killed2At > 0)
+      val v2Handle = ProcessHandle.of(victim2)
+      report.put(s"${tag}_victim_alive_after",
+        v2Handle.isPresent && v2Handle.get().isAlive)
+      report.put(s"${tag}_stages_at_kill", stagesAtKill2)
+      report.put(s"${tag}_stages_total", stagesSeen2.get())
+      (tag, entry, rows)
+    }
 
     // ---- phase 3 (r13): serving WRITE path chaos. The shard-log
     // protocol's crash claims (gen fence, torn-tail stop, key+ts payload
@@ -294,7 +302,7 @@ object ChaosProbe {
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     local.sparkContext.setLogLevel("WARN")
-    val localRows = (entryNames :+ streamEntry).flatMap { name =>
+    val localRows = (entryNames :+ streamEntry :+ streamEntryTws).flatMap { name =>
       try {
         val rows = SparkEntry.queries(name)(local, sfDir)
           .collect().toSeq.map(_.toSeq)
@@ -307,13 +315,15 @@ object ChaosProbe {
     }.toMap
     local.stop()
 
-    val streamNode = report.putObject("stream")
-    streamNode.put("entry", streamEntry)
-    streamNode.put("cluster_rows", streamClusterRows.map(_.length).getOrElse(-1))
-    streamNode.put("local_rows", localRows.get(streamEntry).map(_.length).getOrElse(-1))
-    streamNode.put("equal", streamClusterRows.isDefined &&
-      localRows.contains(streamEntry) &&
-      streamClusterRows.get == localRows(streamEntry))
+    streamRows.foreach { case (tag, entry, clusterRowsOpt) =>
+      val streamNode = report.putObject(tag)
+      streamNode.put("entry", entry)
+      streamNode.put("cluster_rows", clusterRowsOpt.map(_.length).getOrElse(-1))
+      streamNode.put("local_rows", localRows.get(entry).map(_.length).getOrElse(-1))
+      streamNode.put("equal", clusterRowsOpt.isDefined &&
+        localRows.contains(entry) &&
+        clusterRowsOpt.get == localRows(entry))
+    }
 
     val entriesNode = report.putObject("entries")
     entryNames.foreach { name =>

@@ -77,6 +77,12 @@ object SteadyStream {
         (docs.select("doc_id", "text").orderBy("doc_id"),
           st => graft.streaming.StreamingDedup
             .minhashStreamingPairs(st, "doc_id", "text"))
+      case "minhash_tws" =>
+        // append-only ListState engine (forces the RocksDB provider)
+        val docs = GraftSession.table(spark, sfDir, "documents")
+        (docs.select("doc_id", "text").orderBy("doc_id"),
+          st => graft.streaming.StreamingDedup
+            .minhashStreamingPairsTws(st, "doc_id", "text"))
       case "window" =>
         import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
         val ev = spark.sql(
@@ -173,7 +179,15 @@ object SteadyStream {
       case xs: Seq[_] => xs.map(j).mkString("[", ",", "]")
       case x => String.valueOf(x)
     }
-    val json = j(summary ++ Map("per_trigger" -> recs))
+    // attribution counters: for the minhash workloads the state-fn
+    // profile splits per-trigger growth into comparisons (the LSH
+    // verify's algorithmic work — grows as buckets fill) vs state
+    // machinery (stateCalls; commit times are per-trigger above)
+    val counters =
+      if (workload.startsWith("minhash"))
+        Map("profile" -> graft.streaming.StreamingDedup.Profile.snapshot)
+      else Map.empty[String, String]
+    val json = j(summary ++ counters ++ Map("per_trigger" -> recs))
     Files.write(Paths.get(outJson), json.getBytes("UTF-8"))
     println(json)
     spark.stop()

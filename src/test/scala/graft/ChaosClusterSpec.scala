@@ -86,18 +86,21 @@ class ChaosClusterSpec extends AnyFunSuite {
         s"$name differs after executor loss: $report")
     }
 
-    // streaming phase: a second executor SIGKILLed while the FMGWS
-    // streaming entry's micro-batches were in flight — state reloads
-    // from the checkpoint on a surviving executor, output unchanged
-    assert(node.get("stream_victim_killed").asBoolean(),
-      s"streaming-phase victim not killed: $report")
-    assert(!node.get("stream_victim_alive_after").asBoolean(),
-      s"streaming-phase victim survived: $report")
-    val stream = node.get("stream")
-    assert(stream.get("cluster_rows").asInt() > 0,
-      s"streaming entry returned no rows on the wounded cluster: $report")
-    assert(stream.get("equal").asBoolean(),
-      s"streaming entry differs after executor loss: $report")
+    // streaming phases: one executor SIGKILLed while the FMGWS entry's
+    // micro-batches were in flight (HDFS-backed state), another during
+    // the TWS entry's (RocksDB changelog state) — both backends must
+    // reload state from the checkpoint on a survivor, output unchanged
+    Seq("stream", "stream_tws").foreach { tag =>
+      assert(node.get(s"${tag}_victim_killed").asBoolean(),
+        s"$tag-phase victim not killed: $report")
+      assert(!node.get(s"${tag}_victim_alive_after").asBoolean(),
+        s"$tag-phase victim survived: $report")
+      val stream = node.get(tag)
+      assert(stream.get("cluster_rows").asInt() > 0,
+        s"$tag entry returned no rows on the wounded cluster: $report")
+      assert(stream.get("equal").asBoolean(),
+        s"$tag entry (${stream.get("entry")}) differs after executor loss: $report")
+    }
 
     // phase 3: a THIRD executor SIGKILLed while it was a shard-log
     // WRITER inside a foreachBatch upsert — the retried tasks repair any

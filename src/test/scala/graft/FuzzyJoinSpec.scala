@@ -109,6 +109,48 @@ class FuzzyJoinSpec extends AnyFunSuite {
       s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
   }
 
+  test("every ladder width (1, 2, 3) == brute force on sf0.001 customer x supplier") {
+    // the ladder's rungs must be interchangeable: same exact output at
+    // any blocking-key width, auto included (VERDICT r12 #4 — the Δ=2
+    // triple-key path needs the same brute-force equality as Δ=0/1)
+    val dir = new java.io.File("/root/testdata/sf0.001")
+    assume(dir.exists())
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val s = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    val expect = brute(c, "c_custkey", "c_name", s, "s_suppkey", "s_name", 7, 25)
+    assert(expect.nonEmpty)
+    (0 to 3).foreach { w =>
+      val got = FuzzyJoin.jaccardJoin(c, "c_custkey", "c_name",
+          s, "s_suppkey", "s_name", num = 7, den = 25, blockWidth = w)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+      assert(got == expect, s"width $w: missing=${(expect -- got).take(3)} " +
+        s"extra=${(got -- expect).take(3)}")
+    }
+  }
+
+  test("width 3 with mixed classes (tiny k<3 sets, oversized prefixes) stays lossless") {
+    import spark.implicits._
+    // tiny: "abcd"/"abcde" have k = 1..2 < 3 — true matches may share
+    // fewer than 3 grams, so these must ride the all-grams fallback;
+    // oversized: >24-gram extended prefixes under width 3 fall back too
+    val alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    val longA = (0 until 60).map(i => alpha(i % alpha.length)).mkString +
+      (0 until 60).map(i => alpha((i * 7 + 3) % alpha.length)).mkString
+    val longB = longA.updated(57, '#')
+    val l = Seq((1L, "abc"), (2L, "abcdef"), (3L, longA)).toDF("lid", "lname")
+    val r = Seq((10L, "abcd"), (20L, "abcdex"), (30L, longB), (40L, longA))
+      .toDF("rid", "rname")
+    val got = FuzzyJoin.jaccardJoin(l, "lid", "lname", r, "rid", "rname",
+        num = 1, den = 3, blockWidth = 3)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expect = brute(l, "lid", "lname", r, "rid", "rname", 1, 3)
+      .map(t => (t._1, t._2))
+    assert(expect.contains((1L, 10L)), "tiny-set true match must exist in oracle")
+    assert(expect.contains((3L, 30L)), "oversized true match must exist in oracle")
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+  }
+
   test("threshold 1.0 (num == den) terminates and finds exact duplicates only") {
     // ADVICE r12: at t = 1 the oversized-prefix search predicate
     // n - n + 2 > 64 is constantly false — the driver used to spin

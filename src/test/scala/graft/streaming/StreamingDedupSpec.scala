@@ -130,6 +130,54 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (M, 3L), (M, 4L)), s"got $pairs")
   }
 
+  test("TWS append-only engine == FMGWS engine == batch, incl. cap and orientation") {
+    assume(haveData)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(300)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = Dedup.minhashAccepted(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        k = 5, numHashes = 32, bands = 8, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingDedup.minhashStreamingPairsTws(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      k = 5, numHashes = 32, bands = 8, threshold = 0.8)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_tws").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      docs.grouped(100).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("sdedup_tws")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce at least one near-dup pair")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+
+    // cap + first-arrival orientation + duplicate-delivery absorption,
+    // the online deviations, behave exactly like the FMGWS engine's
+    val mem2 = MemoryStream[(Long, String)]
+    val out2 = StreamingDedup.minhashStreamingPairsTws(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4, threshold = 0.9, maxBucket = 2)
+    val q2 = out2.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_tws_cap").trigger(Trigger.ProcessingTime(0)).start()
+    val text = "identical boilerplate text shared by every doc in the bucket"
+    try {
+      mem2.addData((10L, text)); q2.processAllAvailable()
+      mem2.addData((5L, text)); q2.processAllAvailable() // smaller id, later arrival
+      mem2.addData((3L, text), (4L, text)); q2.processAllAvailable() // over cap
+      mem2.addData((10L, text)); q2.processAllAvailable() // dup delivery at cap
+    } finally q2.stop()
+    val pairs = spark.table("sdedup_tws_cap")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val M = StreamingDedup.OverflowMarker
+    assert(pairs == Set((10L, 5L), (M, 3L), (M, 4L)), s"got $pairs")
+  }
+
   test("dedup state survives kill + restart: combined pairs exactly-once equal batch") {
     assume(haveData)
     implicit val sqlCtx = spark.sqlContext
