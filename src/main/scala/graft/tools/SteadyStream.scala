@@ -71,6 +71,73 @@ object SteadyStream {
     // One file = one micro-batch; ascending mtimes pin the file source's
     // processing order to id order so the workload's state semantics
     // (first-arrival-wins, watermark advance) match the catalog entry's.
+    def splitFiles(src: DataFrame, dir: String, nFiles: Int): Long = {
+      val rows = src.count()
+      val perFile = math.max(1L, (rows + nFiles - 1) / nFiles)
+      val ordered = src.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(src.columns.head)).cast("long"))
+      ordered.persist()
+      try {
+        (0 until nFiles).foreach { t =>
+          ordered.where(col("__rn") > t * perFile && col("__rn") <= (t + 1) * perFile)
+            .drop("__rn").coalesce(1)
+            .write.mode("append").parquet(dir)
+          val d = new java.io.File(dir)
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.lastModified()).zipWithIndex
+            .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 2000L) }
+        }
+      } finally ordered.unpersist()
+      rows
+    }
+    def fileStream(dir: String): DataFrame =
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(dir)
+
+    // The stream-stream interval join needs TWO inputs (the catalog's
+    // q_join_stream_stream shape verbatim: 24h interval, day-bucketed
+    // keys, 1h watermark) — each side split into `triggers` ts-ordered
+    // files so BOTH watermarks advance per trigger and the join state
+    // ingests AND evicts steadily. This was the `ssj` workload whose
+    // counters had only ever seen provider=hdfs.
+    if (workload == "join") {
+      val ev = spark.sql(
+        """SELECT *, ts DIV 1000000 AS ts_ms,
+                  CAST(round(value * 100) AS BIGINT) AS value_c FROM events""")
+      val lRows = splitFiles(
+        ev.where("event_type = 'click'")
+          .selectExpr("ts_ms", "event_id", "user_id").orderBy("ts_ms"),
+        s"$root/l", triggers)
+      val rRows = splitFiles(
+        ev.where("event_type = 'error'")
+          .selectExpr("ts_ms", "event_id", "user_id", "value_c").orderBy("ts_ms"),
+        s"$root/r", triggers)
+      def side(sub: String): DataFrame =
+        fileStream(s"$root/$sub")
+          .withColumn("ts", timestamp_millis(col("ts_ms")))
+          .withWatermark("ts", "1 hour")
+      val l = side("l").withColumn("bkt",
+        expr("explode(array(ts_ms DIV 86400000 - 1, ts_ms DIV 86400000))"))
+      val r = side("r").withColumn("bkt", expr("ts_ms DIV 86400000"))
+      val joined = l.as("l").join(r.as("r"),
+        expr("""l.user_id = r.user_id AND l.bkt = r.bkt
+                AND r.ts >= l.ts - INTERVAL 24 HOURS AND r.ts <= l.ts"""))
+        .select(col("l.event_id").as("event_id"), col("r.event_id").as("e_event_id"),
+          col("r.value_c").as("e_value_c"))
+      val t0 = System.nanoTime()
+      val q = joined.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try q.processAllAvailable() finally q.stop()
+      report(workload, provider, sfDir, outJson, triggers, lRows + rRows,
+        (System.nanoTime() - t0) / 1e9, q)
+      spark.stop()
+      return
+    }
+
     val (src, streamOf): (DataFrame, DataFrame => DataFrame) = workload match {
       case "minhash" =>
         val docs = GraftSession.table(spark, sfDir, "documents")
@@ -101,42 +168,26 @@ object SteadyStream {
       case other => sys.error(s"unknown workload '$other'")
     }
 
-    val rows = src.count()
-    val perFile = math.max(1L, (rows + triggers - 1) / triggers)
-    // monotone row-number slicing (NOT repartitionByRange: file WRITE
-    // order within a job is racy) — write each slice as its own commit so
-    // modification times ascend; belt-and-braces setLastModified after
-    val ordered = src.withColumn("__rn",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(src.columns.head)).cast("long"))
-    ordered.persist()
-    try {
-      (0 until triggers).foreach { t =>
-        ordered.where(col("__rn") > t * perFile && col("__rn") <= (t + 1) * perFile)
-          .drop("__rn").coalesce(1)
-          .write.mode("append").parquet(s"$root/in")
-        // pin ascending mtimes even on a coarse-granularity filesystem
-        val dir = new java.io.File(s"$root/in")
-        dir.listFiles().filter(_.getName.endsWith(".parquet"))
-          .sortBy(_.lastModified()).zipWithIndex
-          .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 2000L) }
-      }
-    } finally ordered.unpersist()
+    val rows = splitFiles(src, s"$root/in", triggers)
 
     // ---- the query: one input file per trigger ----
-    val schema = spark.read.parquet(s"$root/in").schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("latestFirst", "false")
-      .parquet(s"$root/in")
     val t0 = System.nanoTime()
-    val q = streamOf(stream).writeStream.outputMode("append").format("parquet")
+    val q = streamOf(fileStream(s"$root/in")).writeStream
+      .outputMode("append").format("parquet")
       .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.ProcessingTime(0)).start()
     try q.processAllAvailable() finally q.stop()
-    val wallSec = (System.nanoTime() - t0) / 1e9
+    report(workload, provider, sfDir, outJson, triggers, rows,
+      (System.nanoTime() - t0) / 1e9, q)
+    spark.stop()
+  }
 
-    // ---- per-trigger records from the engine's own progress objects ----
+  /** Per-trigger records from the engine's own progress objects + the
+    * first-vs-last-quartile flatness summary, as one JSON object. */
+  private def report(workload: String, provider: String, sfDir: String,
+                     outJson: String, triggers: Int, rows: Long,
+                     wallSec: Double,
+                     q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val prog = q.recentProgress.toSeq
       .filter(_.numInputRows > 0) // drop idle no-data triggers
     val recs = prog.map { p =>
@@ -190,6 +241,5 @@ object SteadyStream {
     val json = j(summary ++ counters ++ Map("per_trigger" -> recs))
     Files.write(Paths.get(outJson), json.getBytes("UTF-8"))
     println(json)
-    spark.stop()
   }
 }
