@@ -912,14 +912,23 @@ object Bench {
       def timedRun(): Double = {
         // counters reflect ONE run even under _REPEAT (cardinalities are
         // deterministic, so last run == first run for the counts)
-        if (name == "q_dedup_minhash_streaming")
-          graft.streaming.StreamingDedup.Profile.reset()
+        // BOTH streaming minhash entries (FMGWS and TWS) mutate the one
+        // JVM-global profile — reset before and snapshot right AFTER
+        // each, under its own counter key, or the post-catalog snapshot
+        // silently sums the engines (r13 review finding)
+        val profiled = name == "q_dedup_minhash_streaming" ||
+          name == "q_dedup_minhash_streaming_tws"
+        if (profiled) graft.streaming.StreamingDedup.Profile.reset()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
             false
           }
+        if (ok && profiled)
+          BenchCounters.put(
+            if (name.endsWith("_tws")) "smh_tws" else "smh",
+            graft.streaming.StreamingDedup.Profile.snapshot)
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val secs = (1 to repeat).map(_ => timedRun())
@@ -960,9 +969,6 @@ object Bench {
     // because this entry runs SOLO in local mode here (the catalog sweep
     // is sequential and the entry is excluded from the concurrency
     // phase); a concurrent or distributed run would interleave counts
-    if (results.exists(r => r._1 == "q_dedup_minhash_streaming" && r._2 >= 0))
-      BenchCounters.put("smh", graft.streaming.StreamingDedup.Profile.snapshot)
-
     if (results.nonEmpty) checkpoint("after_catalog")
 
     // streaming window workload (reference window_operator_benchmark.rs):

@@ -3207,13 +3207,15 @@ object SparkEntry {
         try q.processAllAvailable() finally {
           q.stop()
           s.conf.set("spark.sql.shuffle.partitions", savedParts)
-          if (sys.env.get("SPARK_GRAFT_SDD_PROVIDER").contains("rocksdb"))
-            savedProvider match {
-              case Some(p) => s.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", p)
-              case None => s.conf.unset(
-                "spark.sql.streaming.stateStore.providerClass")
-            }
+          // ALWAYS restore the provider: the env knob sets it here, and
+          // the TWS engine sets it inside minhashStreamingPairsTws —
+          // either way later entries must see the session default again
+          savedProvider match {
+            case Some(p) => s.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
         }
         val losers = (try s.read.parquet(s"$root/out")
           catch { case _: Exception => s.emptyDataFrame.select() })
@@ -3238,6 +3240,16 @@ object SparkEntry {
 
     m += "q_dedup_minhash_streaming" -> streamingDedupEntry(
       st => graft.streaming.StreamingDedup.minhashStreamingPairs(
+        st, "doc_id", "text"),
+      "documents", "doc_id",
+      DedupOracles.minhash())
+
+    // the transformWithState append-only engine as its own driver row:
+    // same math, same batch oracle — so the engine parity the spec pins
+    // (StreamingDedupSpec) is ALSO hash-checked by DuckDB every round,
+    // with RocksDB + changelog checkpointing exercised on the gate path
+    m += "q_dedup_minhash_streaming_tws" -> streamingDedupEntry(
+      st => graft.streaming.StreamingDedup.minhashStreamingPairsTws(
         st, "doc_id", "text"),
       "documents", "doc_id",
       DedupOracles.minhash())

@@ -65,8 +65,9 @@ object ShardLog {
 
   /** Committed length of a shard log — the size stamped by the last
     * append/compaction that COMPLETED; -1 when no stamp exists (a log
-    * that predates the stamp, or none yet). Bytes past this offset were
-    * written by an appender that died mid-write. */
+    * whose FIRST append never completed, or one that predates the
+    * stamp). Bytes past this offset were written by an appender that
+    * died mid-write. */
   def committedLen(root: String, shard: Int, logName: String): Long = {
     val f = shardDir(root, shard).resolve(logName + ".len").toFile
     if (!f.exists()) -1L
@@ -75,9 +76,33 @@ object ShardLog {
       catch { case _: Exception => -1L }
   }
 
-  private def stampLen(dir: Path, logName: String, len: Long): Unit =
-    Files.write(dir.resolve(logName + ".len"),
-      String.valueOf(len).getBytes(StandardCharsets.UTF_8))
+  /** Last valid frame boundary of an existing log — the repair bound
+    * when no stamp exists (the log's first-ever append died mid-write,
+    * so there IS no stamp; or the stamp itself was lost to a kill
+    * between append and stamp). One full scan, paid only on the first
+    * append after such a crash — every completed append re-stamps. */
+  private def scannedValidLen(log: Path): Long = {
+    if (!Files.exists(log)) 0L
+    else {
+      val bytes = Files.readAllBytes(log)
+      var valid = 0L
+      eachRecord(bytes) { (pos, rec) => valid = pos + 4 + rec.length }
+      valid
+    }
+  }
+
+  /** Stamp with the same tmp + ATOMIC_MOVE discipline as compaction: a
+    * kill between a bare truncate-and-write's two syscalls would leave
+    * an EMPTY stamp, silently degrading the next repair to the scan
+    * path (correct but slow) — or worse on filesystems where the
+    * partial write parses as a number. */
+  private def stampLen(dir: Path, logName: String, len: Long): Unit = {
+    val tmp = dir.resolve(logName + ".len.tmp")
+    Files.write(tmp, String.valueOf(len).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(logName + ".len"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Append pre-framed record bytes to a shard log in one channel write;
     * returns the log size after the append (the compaction trigger
@@ -105,8 +130,16 @@ object ShardLog {
     val ch = FileChannel.open(dir.resolve(logName),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     val size = try {
-      val committed = committedLen(root, shard, logName)
-      if (committed >= 0 && ch.size() > committed) ch.truncate(committed)
+      // no stamp + a non-empty log = the log's FIRST append died before
+      // stamping (or the stamp was lost between append and stamp):
+      // repair by scanning to the last valid frame boundary — without
+      // this the first-ever append's torn tail would never truncate,
+      // the exact wedge the stamp exists to close
+      val committed = committedLen(root, shard, logName) match {
+        case -1L => scannedValidLen(dir.resolve(logName))
+        case c => c
+      }
+      if (ch.size() > committed) ch.truncate(committed)
       ch.position(ch.size())
       ch.write(ByteBuffer.wrap(framedRecords))
       ch.size()

@@ -189,15 +189,11 @@ object ChaosProbe {
     // fresh reader serves EVERY key the exact LWW row a batch replay
     // computes — no torn record, no stale value, no wedged shard — with
     // zero exhausted reads and zero alarmed shards.
-    val p3Pids = execPids(cluster) - driverPid
-    val victim3 = p3Pids.min
+    val storeRoot = GraftSession.tempDir("graft_chaos_store_")
+    val numShards = 8
     val stagesSeen3 = new AtomicInteger(0)
-    cluster.sparkContext.addSparkListener(new SparkListener {
-      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
-        stagesSeen3.incrementAndGet(); ()
-      }
-    })
     @volatile var killed3At = -1L
+    @volatile var victim3 = -1L
     val assassin3 = new Thread(() => {
       while (stagesSeen3.get() < 4) Thread.sleep(20)
       Thread.sleep(100) // land inside a later batch's write tasks
@@ -205,10 +201,6 @@ object ChaosProbe {
       killed3At = System.nanoTime()
     }, "executor-assassin-3")
     assassin3.setDaemon(true)
-    assassin3.start()
-
-    val storeRoot = GraftSession.tempDir("graft_chaos_store_")
-    val numShards = 8
     val storeOk =
       try {
         GraftSession.prepare(cluster, sfDir)
@@ -221,6 +213,18 @@ object ChaosProbe {
         (0 until 6).foreach(i =>
           ev.where(s"ts_ms % 6 = $i").coalesce(1)
             .write.mode("append").parquet(s"$inDir/in"))
+        // arm the assassin only now: the input-prep writes above submit
+        // >= 6 stages of their own, and a listener registered before
+        // them would satisfy the trigger during PREP — the kill must
+        // land while the STORE stream's upsert tasks run (r13 review:
+        // the original ordering made the phase-3 claim vacuous)
+        victim3 = (execPids(cluster) - driverPid).min
+        cluster.sparkContext.addSparkListener(new SparkListener {
+          override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+            stagesSeen3.incrementAndGet(); ()
+          }
+        })
+        assassin3.start()
         val stream = cluster.readStream
           .schema(cluster.read.parquet(s"$inDir/in").schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
@@ -238,11 +242,14 @@ object ChaosProbe {
           false
       }
     assassin3.join(2000)
+    report.put("store_stages_total", stagesSeen3.get())
 
     val storeNode = report.putObject("store")
     storeNode.put("victim_pid", victim3)
     storeNode.put("victim_killed", killed3At > 0)
-    val v3Handle = ProcessHandle.of(victim3)
+    val v3Handle =
+      if (victim3 > 0) ProcessHandle.of(victim3)
+      else java.util.Optional.empty[ProcessHandle]()
     storeNode.put("victim_alive_after",
       v3Handle.isPresent && v3Handle.get().isAlive)
     if (storeOk) {

@@ -42,7 +42,11 @@ object SteadyStream {
     val outJson = args(1)
     val workload = if (args.length > 2) args(2) else "minhash"
     val triggers = if (args.length > 3) args(3).toInt else 20
-    val provider = if (args.length > 4) args(4) else "hdfs"
+    // the TWS engine forces RocksDB internally — stamping the CLI arg
+    // would put a wrong provider label in the permanent record
+    val provider =
+      if (workload == "minhash_tws") "rocksdb"
+      else if (args.length > 4) args(4) else "hdfs"
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -50,6 +54,11 @@ object SteadyStream {
       .appName(s"graft-steady-$workload-$provider")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SDD_PARTS", "8"))
+      // the flatness summary reads q.recentProgress, which Spark caps at
+      // this conf (default 100): a >100-trigger run would silently drop
+      // its EARLY triggers and bias the ratio flat by construction
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(triggers + 10, 100).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -78,15 +87,24 @@ object SteadyStream {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(src.columns.head)).cast("long"))
       ordered.persist()
+      // stamp only the files each slice ADDED (the appends are
+      // sequential, so sort-by-real-mtime within the new set suffices) —
+      // restamping the whole directory per slice was O(n^2)
+      val stamped = scala.collection.mutable.Set.empty[String]
+      var next = 0
       try {
         (0 until nFiles).foreach { t =>
           ordered.where(col("__rn") > t * perFile && col("__rn") <= (t + 1) * perFile)
             .drop("__rn").coalesce(1)
             .write.mode("append").parquet(dir)
-          val d = new java.io.File(dir)
-          d.listFiles().filter(_.getName.endsWith(".parquet"))
-            .sortBy(_.lastModified()).zipWithIndex
-            .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 2000L) }
+          new java.io.File(dir).listFiles()
+            .filter(f => f.getName.endsWith(".parquet") && !stamped.contains(f.getName))
+            .sortBy(_.lastModified())
+            .foreach { f =>
+              f.setLastModified(1700000000000L + next * 2000L)
+              next += 1
+              stamped += f.getName
+            }
         }
       } finally ordered.unpersist()
       rows

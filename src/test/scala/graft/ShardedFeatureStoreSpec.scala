@@ -183,6 +183,24 @@ class ShardedFeatureStoreSpec extends AnyFunSuite {
       "torn bytes survived in the log")
     assert(ShardLog.committedLen(root, 0, "data.log") == bytes.length)
     assert(ShardedFeatureStore.exhaustedReads.sum() == exhaustedBefore)
+
+    // the FIRST-append crash (r13 review finding): a brand-new log whose
+    // very first writer died mid-write has a torn frame and NO stamp —
+    // committedLen is -1 and a naive guard would skip truncation
+    // forever. The repair must fall back to scanning the last valid
+    // frame boundary (here: 0) before the retried append lands.
+    val root2 = GraftSession.tempDir("graft_shard_torn0_")
+    val dir2 = ShardLog.shardDir(root2, 0)
+    Files.createDirectories(dir2)
+    Files.write(dir2.resolve("data.log"), torn)
+    assert(ShardLog.committedLen(root2, 0, "data.log") == -1L)
+    ShardedFeatureStore.upsertBatch(root2, 1, "key", "ts_ms")(
+      batch(Seq(("a", 300L, 7.0))), 0L)
+    val store2 = new ShardedFeatureStore(root2, numShards = 1)
+    assert(store2.get("a").get.values("f") == 7.0)
+    assert(store2.size == 1)
+    assert(!Files.readAllBytes(dir2.resolve("data.log"))
+      .containsSlice(Array.fill[Byte](8)(0x7f)), "first-append torn bytes survived")
   }
 
   test("replaying a batch is idempotent: at-least-once foreachBatch restarts are safe") {
