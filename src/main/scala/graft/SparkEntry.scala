@@ -917,12 +917,13 @@ object SparkEntry {
         val ssParts = sys.env.get("SPARK_GRAFT_SSJ_PARTS").map(_.toInt).getOrElse(8)
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", ssParts)
+        val savedStateConfs = graft.streaming.StateStoreConf.snapshot(s)
         if (provider == "rocksdb")
-          s.conf.set("spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          s.conf.set(graft.streaming.StateStoreConf.ProviderKey,
+            graft.streaming.StateStoreConf.RocksDbProvider)
         else
-          s.conf.set("spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+          s.conf.set(graft.streaming.StateStoreConf.ProviderKey,
+            graft.streaming.StateStoreConf.HdfsProvider)
         def side(sub: String): DataFrame = {
           val st = s.read.parquet(s"$root/$sub").schema
           val rd = s.readStream.schema(st)
@@ -946,6 +947,7 @@ object SparkEntry {
         try q.processAllAvailable() finally {
           q.stop()
           s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          graft.streaming.StateStoreConf.restore(s, savedStateConfs)
         }
         // attribution: state rows/memory and per-trigger commit cost land in
         // stderr so bench runs record WHY the number is what it is
@@ -3191,31 +3193,21 @@ object SparkEntry {
         // flatness 1.37 vs 1.99 — BENCH_steady_r13.json). A 100 TB
         // deployment sets rocksdb; the committed bench series keeps the
         // small-corpus optimum.
-        val savedProvider = s.conf.getOption(
-          "spark.sql.streaming.stateStore.providerClass")
-        if (sys.env.get("SPARK_GRAFT_SDD_PROVIDER").contains("rocksdb")) {
-          s.conf.set("spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-          s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
-            "changelogCheckpointing.enabled", "true")
-          s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
-            "trackTotalNumberOfRows", "false")
-        }
+        val savedStateConfs = graft.streaming.StateStoreConf.snapshot(s)
+        if (sys.env.get("SPARK_GRAFT_SDD_PROVIDER").contains("rocksdb"))
+          graft.streaming.StateStoreConf.setRocksDb(s)
         val q = pairs(stream).writeStream.outputMode("append").format("parquet")
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
         try q.processAllAvailable() finally {
           q.stop()
           s.conf.set("spark.sql.shuffle.partitions", savedParts)
-          // ALWAYS restore the provider: the env knob sets it here, and
-          // the TWS engine sets it inside minhashStreamingPairsTws —
-          // either way later entries must see the session default again
-          savedProvider match {
-            case Some(p) => s.conf.set(
-              "spark.sql.streaming.stateStore.providerClass", p)
-            case None => s.conf.unset(
-              "spark.sql.streaming.stateStore.providerClass")
-          }
+          // ALWAYS restore — and all THREE state-store confs, not just
+          // the provider (r13 nit: the rocksdb aux knobs leaked): the env
+          // knob sets them here, and the TWS engine sets them inside
+          // minhashStreamingPairsTws — either way later entries must see
+          // the session default again
+          graft.streaming.StateStoreConf.restore(s, savedStateConfs)
         }
         val losers = (try s.read.parquet(s"$root/out")
           catch { case _: Exception => s.emptyDataFrame.select() })

@@ -396,6 +396,10 @@ object Pipeline {
         SlidingWindows.streaming(src, keyCol, tsCol, valueCol, specs,
           latenessMs, gran, cateCol = cateCol, coarseTilesMs = coarse)
       else
+        // session-level side effect: the TWS builder sets the RocksDB
+        // state-store confs (required at query start) and the query this
+        // spec launches outlives the call, so they are NOT restored here —
+        // see graft.streaming.StateStoreConf
         graft.streaming.SlidingWindowsTws.streaming(src, keyCol, tsCol, valueCol,
           specs, latenessMs, gran, cateCol = cateCol, coarseTilesMs = coarse)
     // live request evaluation reads raw rows keyed/slotted exactly as the

@@ -140,6 +140,9 @@ object WindowSql {
           SlidingWindows.streamingMulti(keyed, engineKey, tsCol, numCols, strCols,
             specs, latenessMs, tileGranularityMs, coarseTilesMs)
         else
+          // session-level side effect: sets the RocksDB state-store confs
+          // (required at query start); bounded runners restore via
+          // StateStoreConf.withSaved (StreamVerify does)
           SlidingWindowsTws.streamingMulti(keyed, engineKey, tsCol, numCols, strCols,
             specs, latenessMs, tileGranularityMs, coarseTilesMs)
       // engine emits (ts_ms, key, <numCols>, <strCols>, <specs>) with the

@@ -68,6 +68,11 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** The previous stages() call's persisted gram aggregate — released when
+    * the next call persists its own (bounds cache growth to one entry). */
+  private val lastOcc =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Distinct packed-long trigrams of a string column: each char's code
     * point (< 2^21 for any Unicode scalar) packed into 21 bits of a
     * BIGINT — injective for ALL code points, never overflows. Strings
@@ -209,10 +214,14 @@ object FuzzyJoin {
     // vocabulary-sized (bounded by the distinct-trigram universe), and
     // the rank join references it once per side — without the cache each
     // reference re-explodes both tables (HOF lambdas defeat exchange
-    // reuse, the measured r12 finding). Left cached for the session:
-    // kilobytes, evicted LRU, and unpersisting before the returned lazy
-    // frames execute would defeat the point.
+    // reuse, the measured r12 finding). Unpersisting before the returned
+    // lazy frames execute would defeat the point, so at most ONE call's
+    // cache stays alive per JVM: each call releases the previous call's
+    // (r13 ADVICE — per-call growth relied solely on LRU eviction).
+    // Unpersist mid-use is safe: a still-running earlier join recomputes.
     val occ = gramDfs(l, r).persist()
+    val prevOcc = lastOcc.getAndSet(occ)
+    if ((prevOcc ne null) && (prevOcc ne occ)) prevOcc.unpersist(blocking = false)
     val width =
       if (blockWidth > 0) blockWidth
       else {

@@ -259,16 +259,10 @@ object SlidingWindowsTws {
                      tileGranularityMs: Long = 60000L,
                      coarseTilesMs: Seq[Long] = Nil): DataFrame = {
     val grans = tileGrans(tileGranularityMs, coarseTilesMs)
-    df.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // changelog checkpointing: commit the per-batch delta, snapshot in the
-    // background — the fast-commit mode granular bucket writes are for
-    df.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    // exact per-store row counts cost a get per put/delete; the engine
-    // never reads them (documented RocksDB state-store perf knob)
-    df.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+    // Session-level side effect, needed at query start (see
+    // [[StateStoreConf]]): bounded callers wrap build+run in
+    // StateStoreConf.withSaved so later queries see the session default.
+    StateStoreConf.setRocksDb(df.sparkSession)
     val outEnc = Encoders.row(outputSchema(specs, valueCols, strCols))
     val maxRangeMs = specs.map(_.frame).collect { case RangeMs(l) => l }.foldLeft(0L)(math.max)
     val maxRows = specs.map(_.frame).collect { case RowsN(n) => n }.foldLeft(0)(math.max)

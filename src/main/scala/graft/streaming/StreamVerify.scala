@@ -68,7 +68,7 @@ object StreamVerify {
 
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
+    try StateStoreConf.withSaved(spark) {
       val streamIn = spark.readStream.schema(input.schema).parquet(inDir)
       val out = compiled.runWith(Map(compiled.table -> streamIn),
         latenessMs, tileGranularityMs, useBatchSweep = false, engine)
@@ -116,7 +116,9 @@ object StreamVerify {
     // to the workload instead of inheriting the batch shuffle setting
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
+    // the TWS builder sets the RocksDB provider confs on the session;
+    // restore them once the bounded query has drained and stopped
+    try StateStoreConf.withSaved(spark) {
       val streamIn = spark.readStream.schema(staged.schema).parquet(inDir)
       val out =
         if (useTws) SlidingWindowsTws.streamingMulti(streamIn, "key", "ts_ms",

@@ -195,12 +195,10 @@ object StreamingDedup {
                                maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rpb = numHashes / bands
-    df.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    df.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    df.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+    // Session-level side effect, needed at query start (see
+    // [[StateStoreConf]]): bounded callers wrap build+run in
+    // StateStoreConf.withSaved so later queries see the session default.
+    StateStoreConf.setRocksDb(df.sparkSession)
     val banded = df
       .where(col(textCol).isNotNull)
       .withColumn("__sig", signatureCol(textCol, k, numHashes))

@@ -54,24 +54,12 @@ object SteadyStream {
       .appName(s"graft-steady-$workload-$provider")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SDD_PARTS", "8"))
-      // the flatness summary reads q.recentProgress, which Spark caps at
-      // this conf (default 100): a >100-trigger run would silently drop
-      // its EARLY triggers and bias the ratio flat by construction
-      .config("spark.sql.streaming.numRecentProgressUpdates",
-        math.max(triggers + 10, 100).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (provider == "rocksdb") {
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
-      spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
-    }
+    if (provider == "rocksdb")
+      graft.streaming.StateStoreConf.setRocksDb(spark)
 
     GraftSession.prepare(spark, sfDir)
     val root = GraftSession.tempDir("graft_steady_")
@@ -145,13 +133,14 @@ object SteadyStream {
                 AND r.ts >= l.ts - INTERVAL 24 HOURS AND r.ts <= l.ts"""))
         .select(col("l.event_id").as("event_id"), col("r.event_id").as("e_event_id"),
           col("r.value_c").as("e_value_c"))
+      val progressLog = collectProgress(spark)
       val t0 = System.nanoTime()
       val q = joined.writeStream.outputMode("append").format("parquet")
         .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.ProcessingTime(0)).start()
       try q.processAllAvailable() finally q.stop()
       report(workload, provider, sfDir, outJson, triggers, lRows + rRows,
-        (System.nanoTime() - t0) / 1e9, q)
+        (System.nanoTime() - t0) / 1e9, progressLog.synchronized(progressLog.toSeq))
       spark.stop()
       return
     }
@@ -189,6 +178,12 @@ object SteadyStream {
     val rows = splitFiles(src, s"$root/in", triggers)
 
     // ---- the query: one input file per trigger ----
+    // Progress is collected via a listener, not q.recentProgress: the
+    // retention conf caps that buffer and idle no-data triggers
+    // (ProcessingTime(0) polling between file discoveries) occupy slots
+    // too, so a long run would silently evict its EARLIEST real triggers
+    // and bias flatness_ratio flat by construction (r13 ADVICE).
+    val progressLog = collectProgress(spark)
     val t0 = System.nanoTime()
     val q = streamOf(fileStream(s"$root/in")).writeStream
       .outputMode("append").format("parquet")
@@ -196,8 +191,28 @@ object SteadyStream {
       .trigger(Trigger.ProcessingTime(0)).start()
     try q.processAllAvailable() finally q.stop()
     report(workload, provider, sfDir, outJson, triggers, rows,
-      (System.nanoTime() - t0) / 1e9, q)
+      (System.nanoTime() - t0) / 1e9, progressLog.synchronized(progressLog.toSeq))
     spark.stop()
+  }
+
+  /** Registers a listener that accumulates every real (rows > 0) trigger's
+    * progress for the session — unbounded by the recentProgress retention
+    * cap and immune to idle-trigger eviction. */
+  def collectProgress(spark: SparkSession)
+      : scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        buf.synchronized { if (e.progress.numInputRows > 0) buf += e.progress; () }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    buf
   }
 
   /** Per-trigger records from the engine's own progress objects + the
@@ -205,9 +220,8 @@ object SteadyStream {
   private def report(workload: String, provider: String, sfDir: String,
                      outJson: String, triggers: Int, rows: Long,
                      wallSec: Double,
-                     q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val prog = q.recentProgress.toSeq
-      .filter(_.numInputRows > 0) // drop idle no-data triggers
+                     prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
+      : Unit = {
     val recs = prog.map { p =>
       val dur = p.durationMs
       def d(k: String): Long = Option(dur.get(k)).map(_.longValue()).getOrElse(-1L)

@@ -119,5 +119,10 @@ class ChaosClusterSpec extends AnyFunSuite {
       s"store did not converge after writer SIGKILL: $report")
     assert(store.get("writers_all_executors").asBoolean(),
       s"a shard log was written by a non-executor JVM: $report")
+    // non-vacuous: the SIGKILL must have landed while upsert batches were
+    // still pending (store-stream stages ran AFTER the kill) — otherwise
+    // the torn-tail-repair claim was never exercised this run
+    assert(node.get("store_kill_mid_stream").asBoolean(),
+      s"store-phase kill landed after the stream drained (vacuous run): $report")
   }
 }

@@ -38,7 +38,8 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     runKillRecovery(tws = true)
   }
 
-  private def runKillRecovery(tws: Boolean): Unit = {
+  private def runKillRecovery(tws: Boolean): Unit =
+    graft.streaming.StateStoreConf.withSaved(spark) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -103,7 +104,7 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     // (700ms spacing x 3 keys means every frame spans ~4-5 prior rows).
     val boundaryTs = events(300)._1
     assert(want.exists { case (ts, _, _, s, _) => ts >= boundaryTs && s > 0 })
-  }
+    }
 
   test("stream-stream LEFT OUTER interval join survives kill/restart exactly-once") {
     import spark.implicits._

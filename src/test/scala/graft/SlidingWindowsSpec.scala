@@ -72,6 +72,9 @@ class SlidingWindowsSpec extends AnyFunSuite {
                            tws: Boolean = false): Set[(Long, String, Double, Double, Double, Double, Double, Double)] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    // the TWS builder sets the session's state-store provider; restore so
+    // the FMGWS runs in this suite use the provider they document
+    graft.streaming.StateStoreConf.withSaved(spark) {
     val mem = MemoryStream[(Long, String, Double)]
     val df = mem.toDF().toDF("ts_ms", "key", "value")
     val out =
@@ -95,6 +98,7 @@ class SlidingWindowsSpec extends AnyFunSuite {
         R.r6(r.getDouble(3)), r.getDouble(4), r.getDouble(5), r.getDouble(6),
         R.r6(r.getDouble(7)))).toSet
     } finally q.stop()
+    }
   }
 
   test("streaming engine == batch OVER windows, in-order single batch") {
@@ -329,6 +333,7 @@ class SlidingWindowsSpec extends AnyFunSuite {
 
     val rnd = new scala.util.Random(47)
     val batches = rnd.shuffle(evs).sortBy(_._1).grouped(100).toSeq.map(b => rnd.shuffle(b))
+    graft.streaming.StateStoreConf.withSaved(spark) {
     val mem = MemoryStream[(Long, String, Double)]
     val out = graft.streaming.SlidingWindowsTws.streaming(
       mem.toDF().toDF("ts_ms", "key", "value"),
@@ -349,6 +354,7 @@ class SlidingWindowsSpec extends AnyFunSuite {
         r.getString(6))).toSet
       assert(got == want, "TWS with coarse hierarchy == batch OVER")
     } finally q.stop()
+    }
   }
 
   test("TWS engine multi-column: heterogeneous agg args == batch OVER") {
@@ -371,6 +377,7 @@ class SlidingWindowsSpec extends AnyFunSuite {
     """).collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
       r.getString(3), R.r6(r.getDouble(4)), r.getString(5), r.getString(6))).toSet
 
+    graft.streaming.StateStoreConf.withSaved(spark) {
     val mem = MemoryStream[(Long, String, Double, String)]
     val out = graft.streaming.SlidingWindowsTws.streamingMulti(
       mem.toDF().toDF("ts_ms", "key", "value", "cate"),
@@ -391,6 +398,7 @@ class SlidingWindowsSpec extends AnyFunSuite {
         r.getString(6))).toSet
       assert(got == want)
     } finally q.stop()
+    }
   }
 
   // ------------------------------------------------------------------
@@ -489,6 +497,7 @@ class SlidingWindowsSpec extends AnyFunSuite {
   private def runWhereStreaming(tws: Boolean): Set[Seq[Any]] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    graft.streaming.StateStoreConf.withSaved(spark) {
     val rnd = new scala.util.Random(13)
     val batches = whereEvents.sortBy(_._1).grouped(80).toSeq.map(b => rnd.shuffle(b))
     val mem = MemoryStream[(Long, String, Double, Double, String)]
@@ -512,6 +521,7 @@ class SlidingWindowsSpec extends AnyFunSuite {
       q.processAllAvailable()
       spark.table(qname).collect().map(normRow).toSet
     } finally q.stop()
+    }
   }
 
   test("streaming engine == batch OVER for the full ML family, out-of-order") {

@@ -134,6 +134,9 @@ class StreamingDedupSpec extends AnyFunSuite {
     assume(haveData)
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
+    // the TWS builder forces the RocksDB provider on the session; restore
+    // so the later FMGWS kill+restart test runs on the provider it documents
+    graft.streaming.StateStoreConf.withSaved(spark) {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").orderBy("doc_id").limit(300)
       .collect().map(r => (r.getLong(0), r.getString(1)))
@@ -176,6 +179,7 @@ class StreamingDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val M = StreamingDedup.OverflowMarker
     assert(pairs == Set((10L, 5L), (M, 3L), (M, 4L)), s"got $pairs")
+    }
   }
 
   test("dedup state survives kill + restart: combined pairs exactly-once equal batch") {
