@@ -127,7 +127,22 @@ object Bench {
     f.delete(); ()
   }
 
-  private def streamingWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double) = {
+  /** Exact weighted percentile over (value, weight) samples. */
+  private def wPercentile(samples: Seq[(Long, Long)], p: Double): Long = {
+    if (samples.isEmpty) return -1L
+    val sorted = samples.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    val target = math.max(1L, math.ceil(total * p).toLong)
+    var acc = 0L
+    sorted.foreach { case (v, w) =>
+      acc += w
+      if (acc >= target) return v
+    }
+    sorted.last._1
+  }
+
+  private def streamingWorkload(spark: org.apache.spark.sql.SparkSession)
+      : (Long, Double, String) = {
     import graft.sources.Datagen
     import graft.streaming.SlidingWindows
     import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
@@ -168,12 +183,44 @@ object Bench {
       Seq(AggSpec("sum_1s", "sum", RangeMs(1000))), latenessMs = chunkSpan,
       tileGranularityMs = 250)
     // counting sink — the reference measures records/s through the
-    // operator into its in-memory sink, not a durable file sink
+    // operator into its in-memory sink, not a durable file sink.
+    // Per-event latency (reference parity: word_count_benchmark.rs
+    // reports latency_ms beside records/s): an emitted row's arrival is
+    // the trigger-start wall of the file that carried it (file index =
+    // (ts_ms - start) / chunkSpan — files are exact event-time slices);
+    // its emit is the sink-visible wall of the emitting batch.
     val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val emits = new scala.collection.mutable.ArrayBuffer[(Long, Array[(Long, Long)])]()
+    import org.apache.spark.sql.functions.floor
+    val listenerBuf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (rows, startWall)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        listenerBuf.synchronized {
+          if (e.progress.numInputRows > 0)
+            listenerBuf += ((e.progress.numInputRows,
+              java.time.Instant.parse(e.progress.timestamp).toEpochMilli))
+          ()
+        }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
-      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        { emitted.addAndGet(b.count()); () })
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val persisted = b.persist()
+        val cnts = persisted
+          .groupBy(floor((col("ts_ms") - startMs) / chunkSpan).as("__f")).count()
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        emitted.addAndGet(persisted.count())
+        persisted.unpersist()
+        val wall = System.currentTimeMillis()
+        emits.synchronized { emits += ((wall, cnts)); () }
+        ()
+      })
       .trigger(Trigger.ProcessingTime(0)).start()
     try {
       q.processAllAvailable()
@@ -187,9 +234,24 @@ object Bench {
       require(emitted.get() == records, s"streaming bench emitted ${emitted.get()} of $records")
     } finally {
       q.stop()
+      spark.streams.removeListener(listener)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    (records, (System.nanoTime() - t0) / 1e9)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // file k is consumed by the k-th real trigger (1000-row time-sliced
+    // files, sequential mtimes, maxFilesPerTrigger=1; the final flush
+    // file only adds a trailing trigger beyond the data-file indices)
+    val arrival = listenerBuf.synchronized(listenerBuf.toSeq).map(_._2)
+    val samples = emits.synchronized(emits.toSeq).flatMap { case (wall, cnts) =>
+      cnts.toSeq.collect { case (f, n) if f >= 0 && f < arrival.length =>
+        (math.max(0L, wall - arrival(f.toInt)), n)
+      }
+    }
+    val nSamples = samples.map(_._2).sum
+    val mean = if (nSamples == 0) -1.0
+      else samples.map(t => t._1.toDouble * t._2).sum / nSamples
+    val latJson = f"""{"events":$nSamples,"p50":${wPercentile(samples, 0.5)},"p95":${wPercentile(samples, 0.95)},"p99":${wPercentile(samples, 0.99)},"max":${if (samples.isEmpty) -1L else samples.map(_._1).max},"mean":$mean%.1f}"""
+    (records, sec, latJson)
   }
 
   /** The reference's word-count benchmark workload
@@ -331,6 +393,130 @@ object Bench {
     val shardedLiveQps = measureQps(new RequestServer(store, 0, Some(shardedBuf)))
 
     (records, evalSec, evalUnboundedSec, qps, shardedQps, liveQps, shardedLiveQps)
+  }
+
+  /** Serving under sustained write load (r13 VERDICT #6): the quiesced
+    * qps numbers measure lookups against an idle store, but production
+    * serves WHILE the upsert stream appends and compactions run. A
+    * cadence-bound upsert stream (one file per trigger) feeds the sharded
+    * store; 8 reader threads hammer the hot-key mix over HTTP for a fixed
+    * window while the stream is verifiably mid-flight; the identical
+    * measurement repeats after the stream drains (quiesced baseline, same
+    * JVM warmth). `compactBytes` is deliberately tiny so compactions run
+    * DURING the read window — the reader's gen-fence retry path is on the
+    * clock, not just the happy path. Zero exhausted reads and zero
+    * alarmed shards are asserted, not just recorded.
+    *
+    * @return (concurrentQps, concurrentP99Ms, quiescedQps, quiescedP99Ms,
+    *         writerRowsPerSec, batchesDuringRead, exhaustedReads)
+    */
+  private def concurrentRequestWorkload(spark: org.apache.spark.sql.SparkSession)
+      : (Double, Double, Double, Double, Double, Long, Long) = {
+    import graft.serving.{RequestServer, ShardedFeatureStore}
+    import graft.sources.Datagen
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+
+    val records = 200000L; val keys = 40; val files = 40
+    val startMs = 1704067200000L; val stepMs = 5L
+    val root = GraftSession.tempDir("graft_bench_conc_")
+    val inDir = s"$root/in"; val storeRoot = s"$root/store"
+    val input = Datagen.batch(spark, records, Map(
+        "ts_ms" -> Datagen.IncrementalTimestamp(startMs, stepMs),
+        "key" -> Datagen.Key(keys),
+        "value" -> Datagen.Uniform(0.0, 100.0)))
+      .select(col("ts_ms").cast("long"), col("key"), col("value"))
+    val chunkSpan = records * stepMs / files
+    (0L until files).foreach { i =>
+      input.where(col("ts_ms") >= startMs + i * chunkSpan &&
+                  col("ts_ms") < startMs + (i + 1) * chunkSpan)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    // seed every key so readers never miss while the stream warms up
+    ShardedFeatureStore.upsertBatch(storeRoot, 8, "key", "ts_ms")(
+      input.where(col("ts_ms") < startMs + chunkSpan), 0L)
+    val store = new ShardedFeatureStore(storeRoot, 8)
+    val exhaustedBefore = ShardedFeatureStore.exhaustedReads.sum()
+
+    // fixed-window multi-threaded HTTP read measurement with latency
+    // percentiles; returns (qps, p99Ms)
+    def measure(server: RequestServer, windowMs: Long): (Double, Double) = {
+      val port = server.start()
+      try {
+        val threads = 8
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val lats = (0 until threads).map(_ =>
+          new scala.collection.mutable.ArrayBuffer[Long]())
+        val pool = (0 until threads).map { t =>
+          val th = new Thread(() => {
+            val client = java.net.http.HttpClient.newHttpClient()
+            var i = t
+            while (!stop.get()) {
+              val r0 = System.nanoTime()
+              val resp = client.send(
+                java.net.http.HttpRequest.newBuilder(
+                    java.net.URI.create(s"http://localhost:$port/request"))
+                  .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                    s"""{"key": "key_${i % keys}"}""")).build(),
+                java.net.http.HttpResponse.BodyHandlers.ofString())
+              require(resp.statusCode() == 200, s"lookup failed: ${resp.body()}")
+              lats(t) += System.nanoTime() - r0
+              i += threads
+            }
+          }, s"conc-reader-$t")
+          th.setDaemon(true); th.start(); th
+        }
+        val t1 = System.nanoTime()
+        Thread.sleep(windowMs)
+        stop.set(true)
+        pool.foreach(_.join(5000))
+        val sec = (System.nanoTime() - t1) / 1e9
+        val all = lats.flatten.sorted
+        val p99 = if (all.isEmpty) -1.0
+          else all(math.min(all.size - 1, (all.size * 0.99).toInt)) / 1e6
+        (all.size / sec, p99)
+      } finally server.stop()
+    }
+
+    // writer stream: one file per trigger, executor-written shard logs,
+    // tiny compaction threshold so compactions interleave with the reads
+    val streamIn = spark.readStream.schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    val tW = System.nanoTime()
+    val q = streamIn.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ShardedFeatureStore.upsertBatch(storeRoot, 8, "key", "ts_ms",
+          compactBytes = 256L << 10)(b, id)
+        batchesSeen.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    var concQps = 0.0; var concP99 = 0.0
+    var batchesDuringRead = 0L
+    var writerSec = 0.0
+    try {
+      while (batchesSeen.get() < 2 && q.isActive) Thread.sleep(20)
+      val before = batchesSeen.get()
+      val (qps, p99) = measure(new RequestServer(store), 4000)
+      concQps = qps; concP99 = p99
+      batchesDuringRead = batchesSeen.get() - before
+      q.processAllAvailable()
+      writerSec = (System.nanoTime() - tW) / 1e9
+    } finally q.stop()
+    require(batchesDuringRead > 0,
+      "read window missed the write stream entirely — no concurrency measured")
+
+    // quiesced baseline: identical measurement, stream drained, same JVM
+    val (quiQps, quiP99) = measure(new RequestServer(store), 4000)
+
+    val exhausted = ShardedFeatureStore.exhaustedReads.sum() - exhaustedBefore
+    require(exhausted == 0, s"$exhausted exhausted reads under concurrent write load")
+    require(store.alarmedShards.isEmpty,
+      s"alarmed shards under concurrent write load: ${store.alarmedShards}")
+    (concQps, concP99, quiQps, quiP99, records / writerSec, batchesDuringRead,
+      exhausted)
   }
 
   /** Cold distinct-key serving load — every request hits a DIFFERENT key,
@@ -977,7 +1163,7 @@ object Bench {
     val streaming =
       if (!runWorkload("streaming")) "null" else
       try {
-        val (recs, sec) = streamingWorkload(spark)
+        val (recs, sec, latJson) = streamingWorkload(spark)
         // per-stage trigger attribution for the ENGINE-BOUND run only
         // (the cadence-bound run's split is dominated by trigger cadence)
         graft.streaming.EngineProfile.reset()
@@ -996,7 +1182,7 @@ object Bench {
           countersKey = "engine_triggers_large_batch")
         BenchCounters.put("engine_profile_large_batch",
           graft.streaming.EngineProfile.snapshot)
-        f"""{"records":$recs,"elapsed_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f,"keys":4,"range_ms":1000,"batch_records":1000,"engine_bound_elapsed_sec":$secEb%.3f,"engine_bound_records_per_sec":${recsEb / secEb}%.1f,"large_batch_records":$recsLb,"large_batch_elapsed_sec":$secLb%.3f,"large_batch_records_per_sec":${recsLb / secLb}%.1f}"""
+        f"""{"records":$recs,"elapsed_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f,"keys":4,"range_ms":1000,"batch_records":1000,"latency_ms":$latJson,"engine_bound_elapsed_sec":$secEb%.3f,"engine_bound_records_per_sec":${recsEb / secEb}%.1f,"large_batch_records":$recsLb,"large_batch_elapsed_sec":$secLb%.3f,"large_batch_records_per_sec":${recsLb / secLb}%.1f}"""
       } catch { case e: Throwable =>
         errors("streaming_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
@@ -1025,7 +1211,9 @@ object Bench {
         val (recs, sec, secU, qps, shardedQps, liveQps, shardedLiveQps) = requestWorkload(spark)
         val (coldQps, coldShardedQps, coldDirectQps, coldShardedLiveQps, coldLiveQps, meanBatch, largestBatch, procQps1, procQps2) = coldRequestWorkload(spark)
         val (satDirectQps, satCoalescedQps, satMeanBatch, satLargestBatch) = saturatingRequestWorkload(spark)
-        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"sharded_lookup_qps":$shardedQps%.1f,"live_lookup_qps":$liveQps%.1f,"sharded_live_lookup_qps":$shardedLiveQps%.1f,"cold_keys":2000,"cold_lookup_qps":$coldQps%.1f,"cold_sharded_lookup_qps":$coldShardedQps%.1f,"cold_live_direct_qps":$coldDirectQps%.1f,"cold_sharded_live_qps":$coldShardedLiveQps%.1f,"cold_live_lookup_qps":$coldLiveQps%.1f,"coalesce_mean_batch":$meanBatch%.1f,"coalesce_largest_batch":$largestBatch,"saturating_direct_qps":$satDirectQps%.1f,"saturating_coalesced_qps":$satCoalescedQps%.1f,"saturating_mean_batch":$satMeanBatch%.1f,"saturating_largest_batch":$satLargestBatch,"proc_read_qps_1node":$procQps1%.1f,"proc_read_qps_2node":$procQps2%.1f}"""
+        val (concQps, concP99, quiQps, quiP99, wRps, concBatches, concExhausted) =
+          concurrentRequestWorkload(spark)
+        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"sharded_lookup_qps":$shardedQps%.1f,"live_lookup_qps":$liveQps%.1f,"sharded_live_lookup_qps":$shardedLiveQps%.1f,"cold_keys":2000,"cold_lookup_qps":$coldQps%.1f,"cold_sharded_lookup_qps":$coldShardedQps%.1f,"cold_live_direct_qps":$coldDirectQps%.1f,"cold_sharded_live_qps":$coldShardedLiveQps%.1f,"cold_live_lookup_qps":$coldLiveQps%.1f,"coalesce_mean_batch":$meanBatch%.1f,"coalesce_largest_batch":$largestBatch,"saturating_direct_qps":$satDirectQps%.1f,"saturating_coalesced_qps":$satCoalescedQps%.1f,"saturating_mean_batch":$satMeanBatch%.1f,"saturating_largest_batch":$satLargestBatch,"proc_read_qps_1node":$procQps1%.1f,"proc_read_qps_2node":$procQps2%.1f,"concurrent_lookup_qps":$concQps%.1f,"concurrent_p99_ms":$concP99%.2f,"concurrent_quiesced_qps":$quiQps%.1f,"concurrent_quiesced_p99_ms":$quiP99%.2f,"concurrent_writer_rows_per_sec":$wRps%.1f,"concurrent_write_batches_during_read":$concBatches,"concurrent_exhausted_reads":$concExhausted}"""
       } catch { case e: Throwable =>
         errors("request_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"

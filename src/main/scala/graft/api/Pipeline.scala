@@ -27,6 +27,10 @@ import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
   *
   * ```json
   * { "execution_mode": "Batch" | "Streaming" | "Request",
+  *   "state_store_provider": "rocksdb" | "hdfs",  // optional (r14): the
+  *                                                // measured policy knob —
+  *                                                // hdfs wins small state,
+  *                                                // rocksdb at volume
   *   "sources": [ { "table_name": "events",
   *                  "schema_json": {"fields":[{"name":"v","type":{"name":"utf8"}}]},
   *                  "event_time_column": "ts",       // optional, streaming
@@ -113,6 +117,16 @@ object Pipeline {
     opt(spec, "parallelism").map(_.asInt()).foreach { p =>
       spark.conf.set("spark.sql.shuffle.partitions", p.toString)
     }
+    // state-store provider knob (r14: the measured policy is a spec field,
+    // not just an env var — HDFS-backed wins at small state, RocksDB wins
+    // once the store outgrows cheap in-heap maps; BENCH_steady_r13.json).
+    // Note the TWS engine requires RocksDB regardless and sets it itself.
+    opt(spec, "state_store_provider").map(_.asText().toLowerCase).foreach {
+      case "rocksdb" => graft.streaming.StateStoreConf.setRocksDb(spark)
+      case "hdfs" => spark.conf.set(graft.streaming.StateStoreConf.ProviderKey,
+        graft.streaming.StateStoreConf.HdfsProvider)
+      case other => sys.error(s"state_store_provider must be rocksdb|hdfs, got $other")
+    }
     val overrideNodes: Seq[JsonNode] = opt(spec, "operator_overrides").toSeq.flatMap { oo =>
       opt(oo, "defaults").toSeq ++
         opt(oo, "per_operator").toSeq.flatMap(_.properties().asScala.map(_.getValue))
@@ -126,6 +140,15 @@ object Pipeline {
           opt(w, k).foreach(v => System.err.println(
             s"[pipeline] ignoring window tuning $k=$v (state store owns dump/compaction)")))
       }
+      // fuzzy-join blocking width (r14 product knob): forces the ladder
+      // rung for auto-mode jaccardJoin calls in this session, skipping
+      // the gram-stats pass (FuzzyJoin.WidthConfKey; 0/absent = measured
+      // auto-selection)
+      opt(o, "tuning").flatMap(t => opt(t, "Fuzzy"))
+        .flatMap(f => opt(f, "block_width")).foreach { bw =>
+          spark.conf.set(graft.operators.FuzzyJoin.WidthConfKey,
+            bw.asInt().toString)
+        }
     }
     val windowTuning: Option[JsonNode] =
       overrideNodes.flatMap(o => opt(o, "tuning").flatMap(t => opt(t, "Window"))).headOption

@@ -73,6 +73,11 @@ object FuzzyJoin {
   private val lastOcc =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Session conf that forces the blocking-key width for auto-mode calls
+    * (0/absent = measured auto-selection; 1..3 = forced). The pipeline
+    * spec's `tuning.Fuzzy.block_width` override sets this. */
+  val WidthConfKey = "graft.fuzzy.blockWidth"
+
   /** Distinct packed-long trigrams of a string column: each char's code
     * point (< 2^21 for any Unicode scalar) packed into 21 bits of a
     * BIGINT — injective for ALL code points, never overflows. Strings
@@ -222,8 +227,16 @@ object FuzzyJoin {
     val occ = gramDfs(l, r).persist()
     val prevOcc = lastOcc.getAndSet(occ)
     if ((prevOcc ne null) && (prevOcc ne occ)) prevOcc.unpersist(blocking = false)
+    // width precedence: explicit call arg > session conf (the product
+    // knob the pipeline spec's `tuning.Fuzzy.block_width` override sets —
+    // skips the stats pass entirely) > measured auto-selection
+    val confWidth = left.sparkSession.conf
+      .getOption(WidthConfKey).map(_.toInt).getOrElse(0)
+    require(confWidth >= 0 && confWidth <= 3,
+      s"$WidthConfKey must be 0 (auto) or 1..3, got $confWidth")
     val width =
       if (blockWidth > 0) blockWidth
+      else if (confWidth > 0) confWidth
       else {
         val st = chooseWidth(l, r, num, den, occ,
           Some((left.count(), right.count())))

