@@ -20,48 +20,58 @@ import graft.operators.Dedup
   * cardinality, how many buckets hit the cap, and the decade slope.
   *
   * The claim under test: the superlinear term is candidate-pair volume in
-  * saturated buckets, and `maxBucket` bounds it — capped buckets
-  * contribute O(cap²) pairs instead of O(bucket²), so the slope stays
-  * near the data decade instead of the pair decade (100x). Correctness
-  * under the cap is pinned elsewhere (StreamingDedupSpec cap tests,
+  * saturated buckets, and `maxBucket` bounds it — a bucket past the cap is
+  * EXCLUDED from pair generation (capBuckets: "a bucket that hot is
+  * boilerplate, not near-duplication signal"), so the pair join's volume
+  * tracks the twin signal, not the boilerplate mass. Each scale therefore
+  * also counts the UNCAPPED candidate volume (the counterfactual a naive
+  * LSH pays) — the quadratic is measured, not asserted. Correctness under
+  * the cap is pinned elsewhere (StreamingDedupSpec cap tests,
   * PropertyParitySpec C2); this tool measures the cost curve.
   *
-  * Usage: runMain graft.tools.DedupDecade <outJson> [n=100000] [maxBucket=200]
+  * Sized so the cap ENGAGES across the decade: boilerplate clusters hold
+  * n/400 copies — under the 200-row cap at n=30k (75/cluster: pair join
+  * pays the full clique volume) and over it at 300k (750/cluster:
+  * excluded). The uncapped counterfactual at 300k is ~90M raw pairs from
+  * 0.05% of the corpus.
+  *
+  * Usage: runMain graft.tools.DedupDecade <outJson> [n=30000] [maxBucket=200]
   */
 object DedupDecade {
 
-  /** n docs: 10-14 words from a 40-word vocabulary; ~1% planted one-word
-    * twins (real near-dup signal), plus 5% of rows drawn from only 20
-    * boilerplate templates (dense clusters of ~n/400 exact copies each —
-    * the band-saturating mass). Deterministic in the row id. */
+  /** n docs: ~60 words from a 40-word vocabulary (long enough that a
+    * one-word twin stays above the 0.8 Jaccard threshold: ~56 shared
+    * 5-shingles of ~61, J≈0.85); ~1% planted twins (the real near-dup
+    * signal), plus 5% of rows drawn from only 20 boilerplate templates
+    * (dense clusters of n/400 exact copies each — the band-saturating
+    * mass). Deterministic in the row id. */
   private def corpus(spark: SparkSession, n: Long): DataFrame = {
     val words = (0 until 40).map(i => s"w$i")
     val wordsArr = s"array(${words.map(w => s"'$w'").mkString(",")})"
+    def wordAt(idExpr: String, i: String) =
+      s"""element_at($wordsArr, 1 + cast(conv(substring(md5(concat(cast($idExpr as string), '_', cast($i as string))), 1, 6), 16, 10) % 40 as int))"""
     spark.range(n)
       .withColumn("text",
-        expr(s"""concat_ws(' ', transform(sequence(0, 9 + cast(id % 5 as int)),
-                 i -> element_at($wordsArr,
-                        1 + cast(conv(substring(md5(concat(cast(id as string), '_', cast(i as string))), 1, 6), 16, 10) % 40 as int))))"""))
-      // planted twin: id % 100 == 1 copies id-1's text with one word changed
+        expr(s"""concat_ws(' ', transform(sequence(0, 55 + cast(id % 8 as int)),
+                 i -> ${wordAt("id", "i")}))"""))
+      // planted twin: id % 100 == 1 copies id-1's text with ONE word changed
       .withColumn("text",
         expr(s"""CASE WHEN id % 100 = 1 THEN
-                  concat_ws(' ', transform(sequence(0, 9 + cast((id - 1) % 5 as int)),
-                    i -> CASE WHEN i = 3 THEN 'twinword' ELSE element_at($wordsArr,
-                           1 + cast(conv(substring(md5(concat(cast(id - 1 as string), '_', cast(i as string))), 1, 6), 16, 10) % 40 as int)) END))
+                  concat_ws(' ', transform(sequence(0, 55 + cast((id - 1) % 8 as int)),
+                    i -> CASE WHEN i = 30 THEN 'twinword' ELSE ${wordAt("(id - 1)", "i")} END))
                  ELSE text END"""))
-      // boilerplate mass: 5% of rows collapse onto 20 templates
+      // boilerplate mass: 5% of rows collapse onto 20 exact templates
       .withColumn("text",
         expr(s"""CASE WHEN id % 20 = 7 THEN
-                  concat_ws(' ', transform(sequence(0, 11),
-                    i -> element_at($wordsArr,
-                           1 + cast(conv(substring(md5(concat('tpl', cast(id % 400 div 20 as string), '_', cast(i as string))), 1, 6), 16, 10) % 40 as int))))
+                  concat_ws(' ', transform(sequence(0, 59),
+                    i -> ${wordAt("('tpl' || cast(id % 400 div 20 as string))", "i")}))
                  ELSE text END"""))
       .select(col("id").as("doc_id"), col("text"))
   }
 
   def main(args: Array[String]): Unit = {
     val outJson = args(0)
-    val n = if (args.length > 1) args(1).toLong else 100000L
+    val n = if (args.length > 1) args(1).toLong else 30000L
     val maxBucket = if (args.length > 2) args(2).toInt else 200
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -103,6 +113,16 @@ object DedupDecade {
       System.err.println(f"[dedup-decade] rows=$rows minhash=$minhashSec%.1f s " +
         s"candsRaw=$candsRaw capped=$bucketsCapped/$bucketsTotal max=$maxBucketSize")
 
+      // counterfactual: the UNCAPPED pair volume a naive LSH pays on the
+      // same banded rows (count only — the quadratic term, measured)
+      val t0u = System.nanoTime()
+      val uncapped = Dedup.minhashStages(docs, "doc_id", "text",
+        k = 5, numHashes = 128, bands = 16, threshold = 0.8, maxBucket = 0)
+        .candsRaw.count()
+      val uncappedSec = (System.nanoTime() - t0u) / 1e9
+      System.err.println(f"[dedup-decade] rows=$rows uncapped_cands=$uncapped " +
+        f"(count pass $uncappedSec%.1f s)")
+
       // ---- ngram 3-stage screened pipeline ----
       val t1 = System.nanoTime()
       val ngramOut = Dedup.ngramJaccardDedup(docs, "doc_id", "text",
@@ -113,7 +133,7 @@ object DedupDecade {
       // ---- near-dup cluster closure over the accepted edge list ----
       val t2 = System.nanoTime()
       val comps = Dedup.connectedComponents(st.accepted, "__lid", "__rid")
-      val nComps = comps.select("component").distinct().count()
+      val nComps = comps.select("c").distinct().count()
       val closureSec = (System.nanoTime() - t2) / 1e9
       Dedup.freeComponents(comps)
       System.err.println(f"[dedup-decade] rows=$rows closure=$closureSec%.1f s comps=$nComps")
@@ -124,6 +144,7 @@ object DedupDecade {
             |"banded_rows":$banded,"buckets":$bucketsTotal,
             |"buckets_capped":$bucketsCapped,"max_bucket_size":$maxBucketSize,
             |"cands_raw":$candsRaw,"cands_distinct":$cands,
+            |"cands_raw_uncapped":$uncapped,"uncapped_count_sec":$uncappedSec%.2f,
             |"ngram_sec":$ngramSec%.2f,"ngram_out":$ngramOut,
             |"closure_sec":$closureSec%.2f,"components":$nComps}""".stripMargin
           .replace("\n", ""))

@@ -228,10 +228,14 @@ object SteadyStream {
     // (batchId, emitWallMs, per-file counts)
     val emits = new scala.collection.mutable.ArrayBuffer[(Long, Long, Array[(Int, Long)])]()
     val outDir = s"$root/out"
+    // idempotent sink: each batch OVERWRITES its own directory, so a batch
+    // replayed after the restart leg's stop (foreachBatch is at-least-once
+    // across retries) lands once — the exactly-once sink-row check would
+    // otherwise flag the sink contract, not the engine
     def startQuery() = outDf.writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val persisted = b.persist()
-        persisted.write.mode("append").parquet(outDir)
+        persisted.write.mode("overwrite").parquet(s"$outDir/batch_$id")
         val cnts = persisted
           .where(col(latCol) >= 0L) // exclude overflow-marker ids
           .groupBy(fileIdxOf(col(latCol).cast("long")).as("__f")).count()
@@ -284,7 +288,8 @@ object SteadyStream {
         try {
           var i = 0
           def landed: Long =
-            try spark.read.parquet(outDir).count() catch { case _: Exception => -1L }
+            try spark.read.parquet(s"$outDir/batch_*").count()
+            catch { case _: Exception => -1L }
           q3.processAllAvailable()
           while (i < 4 && landed < rows) {
             flush.write.mode("append").parquet(s"$root/in")
@@ -304,10 +309,14 @@ object SteadyStream {
           "sink_rows_after_flush" -> sinkRows, "rows_expected" -> rows,
           "exactly_once" -> e)).getOrElse(Map.empty[String, Any]))
     }
+    // a batch retried across the restart leg records emits twice — keep
+    // the last record per batch id (matches the idempotent sink's rows)
+    val emitsDeduped = emits.synchronized(emits.toSeq)
+      .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.last)
     report(workload, provider, sfDir, outJson, triggers, rows,
       (System.nanoTime() - t0) / 1e9,
       progressLog.synchronized(progressLog.toSeq),
-      emits.synchronized(emits.toSeq), bounds.map(_._3), restartInfo)
+      emitsDeduped, bounds.map(_._3), restartInfo)
     spark.stop()
   }
 
@@ -351,13 +360,17 @@ object SteadyStream {
   private def report(workload: String, provider: String, sfDir: String,
                      outJson: String, triggers: Int, rows: Long,
                      wallSec: Double,
-                     prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+                     progRaw: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
                      emits: Seq[(Long, Long, Array[(Int, Long)])],
                      fileCounts: Seq[Long],
                      restartInfo: Option[Map[String, Any]])
       : Unit = {
     import scala.jdk.CollectionConverters._
     val rocksdb = provider == "rocksdb"
+    // a trigger replayed after restart progresses twice under one batch
+    // id — keep the last (committed) record so cumulative-row matching
+    // and the flatness series count each batch once
+    val prog = progRaw.groupBy(_.batchId).toSeq.sortBy(_._1).map(_._2.last)
     val recs = prog.map { p =>
       val dur = p.durationMs
       def d(k: String): Long = Option(dur.get(k)).map(_.longValue()).getOrElse(-1L)
