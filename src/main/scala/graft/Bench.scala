@@ -127,19 +127,8 @@ object Bench {
     f.delete(); ()
   }
 
-  /** Exact weighted percentile over (value, weight) samples. */
-  private def wPercentile(samples: Seq[(Long, Long)], p: Double): Long = {
-    if (samples.isEmpty) return -1L
-    val sorted = samples.sortBy(_._1)
-    val total = sorted.map(_._2).sum
-    val target = math.max(1L, math.ceil(total * p).toLong)
-    var acc = 0L
-    sorted.foreach { case (v, w) =>
-      acc += w
-      if (acc >= target) return v
-    }
-    sorted.last._1
-  }
+  private def wPercentile(samples: Seq[(Long, Long)], p: Double): Long =
+    Metrics.wPercentile(samples, p)
 
   private def streamingWorkload(spark: org.apache.spark.sql.SparkSession)
       : (Long, Double, String) = {
@@ -191,31 +180,23 @@ object Bench {
     // its emit is the sink-visible wall of the emitting batch.
     val emitted = new java.util.concurrent.atomic.AtomicLong(0)
     val emits = new scala.collection.mutable.ArrayBuffer[(Long, Array[(Long, Long)])]()
+    // attribution cost runs INSIDE the timed triggers; it is measured and
+    // subtracted so `elapsed_sec`/`records_per_sec` stay comparable with
+    // the pre-r14 committed series (which had no in-loop attribution) —
+    // the raw wall and the overhead are reported alongside
+    val attrNs = new java.util.concurrent.atomic.AtomicLong(0)
     import org.apache.spark.sql.functions.floor
-    val listenerBuf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (rows, startWall)
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        listenerBuf.synchronized {
-          if (e.progress.numInputRows > 0)
-            listenerBuf += ((e.progress.numInputRows,
-              java.time.Instant.parse(e.progress.timestamp).toEpochMilli))
-          ()
-        }
-      override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    }
-    spark.streams.addListener(listener)
+    val (progBuf, listener) = Metrics.collectProgress(spark)
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
         val persisted = b.persist()
+        emitted.addAndGet(persisted.count())
+        val ta = System.nanoTime()
         val cnts = persisted
           .groupBy(floor((col("ts_ms") - startMs) / chunkSpan).as("__f")).count()
           .collect().map(r => (r.getLong(0), r.getLong(1)))
-        emitted.addAndGet(persisted.count())
+        attrNs.addAndGet(System.nanoTime() - ta)
         persisted.unpersist()
         val wall = System.currentTimeMillis()
         emits.synchronized { emits += ((wall, cnts)); () }
@@ -237,11 +218,16 @@ object Bench {
       spark.streams.removeListener(listener)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    val sec = (System.nanoTime() - t0) / 1e9
+    val secRaw = (System.nanoTime() - t0) / 1e9
+    val attrSec = attrNs.get() / 1e9
+    val sec = secRaw - attrSec
     // file k is consumed by the k-th real trigger (1000-row time-sliced
     // files, sequential mtimes, maxFilesPerTrigger=1; the final flush
-    // file only adds a trailing trigger beyond the data-file indices)
-    val arrival = listenerBuf.synchronized(listenerBuf.toSeq).map(_._2)
+    // file only adds a trailing trigger beyond the data-file indices).
+    // Listener delivery is async — drain before reading.
+    Metrics.drain(progBuf)
+    val arrival = progBuf.synchronized(progBuf.toSeq).sortBy(_.batchId)
+      .map(p => java.time.Instant.parse(p.timestamp).toEpochMilli)
     val samples = emits.synchronized(emits.toSeq).flatMap { case (wall, cnts) =>
       cnts.toSeq.collect { case (f, n) if f >= 0 && f < arrival.length =>
         (math.max(0L, wall - arrival(f.toInt)), n)
@@ -250,7 +236,7 @@ object Bench {
     val nSamples = samples.map(_._2).sum
     val mean = if (nSamples == 0) -1.0
       else samples.map(t => t._1.toDouble * t._2).sum / nSamples
-    val latJson = f"""{"events":$nSamples,"p50":${wPercentile(samples, 0.5)},"p95":${wPercentile(samples, 0.95)},"p99":${wPercentile(samples, 0.99)},"max":${if (samples.isEmpty) -1L else samples.map(_._1).max},"mean":$mean%.1f}"""
+    val latJson = f"""{"events":$nSamples,"p50":${wPercentile(samples, 0.5)},"p95":${wPercentile(samples, 0.95)},"p99":${wPercentile(samples, 0.99)},"max":${if (samples.isEmpty) -1L else samples.map(_._1).max},"mean":$mean%.1f,"attribution_overhead_sec":$attrSec%.3f}"""
     (records, sec, latJson)
   }
 
@@ -258,9 +244,16 @@ object Bench {
     * (src/runtime/tests/word_count_benchmark.rs:355-400: synthetic word
     * source -> keyby word -> reduce count -> sink, records/s): a
     * Datagen word stream through a streaming groupBy-count in complete
-    * mode. Returns (records, elapsedSec).
+    * mode. Returns (records, elapsedSec, latencyJson).
+    *
+    * Per-event latency (the reference prints latency_ms per fed batch):
+    * complete mode re-emits the whole counts table at the END of the
+    * trigger that ingested a record, so a record's event->visible latency
+    * IS its trigger's execution time — sampled per trigger from
+    * StreamingQueryProgress, weighted by the trigger's input rows.
     */
-  private def wordCountWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double) = {
+  private def wordCountWorkload(spark: org.apache.spark.sql.SparkSession)
+      : (Long, Double, String) = {
     import graft.sources.Datagen
     import org.apache.spark.sql.functions.{col, sum => fsum}
     import org.apache.spark.sql.streaming.Trigger
@@ -273,6 +266,7 @@ object Bench {
 
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val (progBuf, listener) = Metrics.collectProgress(spark)
     val t0 = System.nanoTime()
     val counts = spark.readStream.schema(spark.read.parquet(inDir).schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -286,9 +280,22 @@ object Bench {
       require(total == records, s"word count saw $total of $records records")
     } finally {
       q.stop()
+      spark.streams.removeListener(listener)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    (records, (System.nanoTime() - t0) / 1e9)
+    // listener delivery is async — drain before reading; triggers missing
+    // a triggerExecution duration are SKIPPED (a -1 sentinel would sort
+    // first and corrupt the percentiles)
+    Metrics.drain(progBuf)
+    val samples = progBuf.synchronized(progBuf.toSeq).flatMap { p =>
+      Option(p.durationMs.get("triggerExecution"))
+        .map(d => (d.longValue(), p.numInputRows))
+    }
+    val nS = samples.map(_._2).sum
+    val mean = if (nS == 0) -1.0
+      else samples.map(t => t._1.toDouble * t._2).sum / nS
+    val latJson = f"""{"events":$nS,"p50":${wPercentile(samples, 0.5)},"p95":${wPercentile(samples, 0.95)},"p99":${wPercentile(samples, 0.99)},"max":${if (samples.isEmpty) -1L else samples.map(_._1).max},"mean":$mean%.1f}"""
+    (records, (System.nanoTime() - t0) / 1e9, latJson)
   }
 
   /** The reference's request-mode benchmark workload
@@ -445,33 +452,45 @@ object Bench {
       try {
         val threads = 8
         val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val failures = new java.util.concurrent.atomic.AtomicLong(0)
         val lats = (0 until threads).map(_ =>
           new scala.collection.mutable.ArrayBuffer[Long]())
         val pool = (0 until threads).map { t =>
           val th = new Thread(() => {
-            val client = java.net.http.HttpClient.newHttpClient()
-            var i = t
-            while (!stop.get()) {
-              val r0 = System.nanoTime()
-              val resp = client.send(
-                java.net.http.HttpRequest.newBuilder(
-                    java.net.URI.create(s"http://localhost:$port/request"))
-                  .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
-                    s"""{"key": "key_${i % keys}"}""")).build(),
-                java.net.http.HttpResponse.BodyHandlers.ofString())
-              require(resp.statusCode() == 200, s"lookup failed: ${resp.body()}")
-              lats(t) += System.nanoTime() - r0
-              i += threads
-            }
+            // an exception here must COUNT, not silently kill the thread
+            // (a survivor-only qps would pass the 'zero failures under
+            // write load' claim while requests failed)
+            try {
+              val client = java.net.http.HttpClient.newBuilder()
+                .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+              var i = t
+              while (!stop.get()) {
+                val r0 = System.nanoTime()
+                val resp = client.send(
+                  java.net.http.HttpRequest.newBuilder(
+                      java.net.URI.create(s"http://localhost:$port/request"))
+                    .timeout(java.time.Duration.ofSeconds(5))
+                    .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                      s"""{"key": "key_${i % keys}"}""")).build(),
+                  java.net.http.HttpResponse.BodyHandlers.ofString())
+                if (resp.statusCode() != 200) failures.incrementAndGet()
+                else lats(t).synchronized { lats(t) += System.nanoTime() - r0 }
+                i += threads
+              }
+            } catch { case _: Throwable => failures.incrementAndGet(); () }
           }, s"conc-reader-$t")
           th.setDaemon(true); th.start(); th
         }
         val t1 = System.nanoTime()
         Thread.sleep(windowMs)
         stop.set(true)
-        pool.foreach(_.join(5000))
+        pool.foreach(_.join(10000))
+        // no reads of lats while a straggler could still append
+        require(pool.forall(!_.isAlive), "a reader thread failed to stop")
+        require(failures.get() == 0,
+          s"${failures.get()} failed lookups under concurrent write load")
         val sec = (System.nanoTime() - t1) / 1e9
-        val all = lats.flatten.sorted
+        val all = lats.flatMap(b => b.synchronized(b.toSeq)).sorted
         val p99 = if (all.isEmpty) -1.0
           else all(math.min(all.size - 1, (all.size * 0.99).toInt)) / 1e6
         (all.size / sec, p99)
@@ -1192,8 +1211,8 @@ object Bench {
     val wordcount =
       if (!runWorkload("wordcount")) "null" else
       try {
-        val (recs, sec) = wordCountWorkload(spark)
-        f"""{"records":$recs,"dict":1000,"elapsed_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f}"""
+        val (recs, sec, latJson) = wordCountWorkload(spark)
+        f"""{"records":$recs,"dict":1000,"elapsed_sec":$sec%.3f,"records_per_sec":${recs / sec}%.1f,"latency_ms":$latJson}"""
       } catch { case e: Throwable =>
         errors("wordcount_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"

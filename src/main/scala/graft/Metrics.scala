@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQueryListener, StreamingQueryProgress}
+
+/** Shared measurement plumbing for the bench mains and tools — one
+  * implementation of the percentile routine and the progress-collecting
+  * listener (previously duplicated across Bench and SteadyStream, where a
+  * fix to one copy would silently miss the others).
+  */
+object Metrics {
+
+  /** Exact weighted percentile over (value, weight) samples. */
+  def wPercentile(samples: Seq[(Long, Long)], p: Double): Long = {
+    if (samples.isEmpty) return -1L
+    val sorted = samples.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    val target = math.max(1L, math.ceil(total * p).toLong)
+    var acc = 0L
+    sorted.foreach { case (v, w) =>
+      acc += w
+      if (acc >= target) return v
+    }
+    sorted.last._1
+  }
+
+  /** Registers a listener that accumulates every real (rows > 0) trigger's
+    * progress — unbounded by the recentProgress retention cap and immune
+    * to idle-trigger eviction. Returns (buffer, listener); the caller
+    * removes the listener via `spark.streams.removeListener` when done and
+    * MUST call [[drain]] before reading the buffer after a query stops
+    * (listener delivery is asynchronous — `processAllAvailable`/`stop` do
+    * not wait for it).
+    */
+  def collectProgress(spark: SparkSession)
+      : (scala.collection.mutable.ArrayBuffer[StreamingQueryProgress],
+         StreamingQueryListener) = {
+    val buf = new scala.collection.mutable.ArrayBuffer[StreamingQueryProgress]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        buf.synchronized { if (e.progress.numInputRows > 0) buf += e.progress; () }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    (buf, listener)
+  }
+
+  /** Waits until the buffer's size has been stable for `quietPolls`
+    * consecutive 100 ms polls — the listener bus delivers asynchronously,
+    * so tail progress events can land AFTER the query stops; reading
+    * without draining silently drops the last triggers' records. */
+  def drain(buf: scala.collection.mutable.ArrayBuffer[_],
+            quietPolls: Int = 3): Unit = {
+    var last = -1
+    var same = 0
+    while (same < quietPolls) {
+      val s = buf.synchronized(buf.size)
+      if (s == last) same += 1 else { same = 0; last = s }
+      Thread.sleep(100)
+    }
+  }
+}

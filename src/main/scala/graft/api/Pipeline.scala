@@ -140,16 +140,21 @@ object Pipeline {
           opt(w, k).foreach(v => System.err.println(
             s"[pipeline] ignoring window tuning $k=$v (state store owns dump/compaction)")))
       }
-      // fuzzy-join blocking width (r14 product knob): forces the ladder
-      // rung for auto-mode jaccardJoin calls in this session, skipping
-      // the gram-stats pass (FuzzyJoin.WidthConfKey; 0/absent = measured
-      // auto-selection)
-      opt(o, "tuning").flatMap(t => opt(t, "Fuzzy"))
-        .flatMap(f => opt(f, "block_width")).foreach { bw =>
-          spark.conf.set(graft.operators.FuzzyJoin.WidthConfKey,
-            bw.asInt().toString)
-        }
     }
+    // fuzzy-join blocking width (r14 product knob): forces the ladder
+    // rung for auto-mode jaccardJoin calls in this SESSION, skipping the
+    // gram-stats pass (FuzzyJoin.WidthConfKey; 0/absent = measured
+    // auto-selection). Session-scoped, so conflicting per-operator widths
+    // cannot be honored — fail loudly instead of silently last-one-wins.
+    val fuzzyWidths = overrideNodes
+      .flatMap(o => opt(o, "tuning").flatMap(t => opt(t, "Fuzzy")))
+      .flatMap(f => opt(f, "block_width")).map(_.asInt()).distinct
+    if (fuzzyWidths.length > 1)
+      sys.error(s"conflicting Fuzzy.block_width overrides $fuzzyWidths: " +
+        "the width knob is session-scoped — give all fuzzy operators the " +
+        "same width, or pass blockWidth per jaccardJoin call")
+    fuzzyWidths.headOption.foreach(bw =>
+      spark.conf.set(graft.operators.FuzzyJoin.WidthConfKey, bw.toString))
     val windowTuning: Option[JsonNode] =
       overrideNodes.flatMap(o => opt(o, "tuning").flatMap(t => opt(t, "Window"))).headOption
     val tilingGrans: Seq[Long] = windowTuning.flatMap(w => opt(w, "tiling"))

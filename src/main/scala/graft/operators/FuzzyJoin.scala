@@ -226,7 +226,15 @@ object FuzzyJoin {
     // Unpersist mid-use is safe: a still-running earlier join recomputes.
     val occ = gramDfs(l, r).persist()
     val prevOcc = lastOcc.getAndSet(occ)
-    if ((prevOcc ne null) && (prevOcc ne occ)) prevOcc.unpersist(blocking = false)
+    if ((prevOcc ne null) && (prevOcc ne occ)) {
+      // the previous call may belong to an already-stopped SparkContext
+      // (tools run several contexts per JVM) — its cache died with it,
+      // and unpersist against a dead context NPEs in the block manager
+      try {
+        if (!prevOcc.sparkSession.sparkContext.isStopped)
+          prevOcc.unpersist(blocking = false)
+      } catch { case _: Exception => () }
+    }
     // width precedence: explicit call arg > session conf (the product
     // knob the pipeline spec's `tuning.Fuzzy.block_width` override sets —
     // skips the stats pass entirely) > measured auto-selection

@@ -195,14 +195,20 @@ object ChaosProbe {
     @volatile var killed3At = -1L
     @volatile var victim3 = -1L
     @volatile var stagesAtKill3 = -1
+    @volatile var stagesAfterKill3 = -1
     val assassin3 = new Thread(() => {
       while (stagesSeen3.get() < 4) Thread.sleep(20)
       Thread.sleep(100) // land inside a later batch's write tasks
-      new ProcessBuilder("kill", "-9", victim3.toString).start().waitFor()
       // r13 ADVICE: stamp the stage count AT the kill so a vacuous run
       // (assassin fired after the stream drained) is distinguishable —
-      // the claim needs batches still pending when the writer died
+      // the claim needs batches still pending when the writer died.
+      // Stamp BEFORE issuing the signal: stages finishing between
+      // delivery and a post-waitFor stamp would be miscounted as
+      // pre-kill and could spuriously flag a genuine mid-stream kill as
+      // vacuous; the post-kill stamp is recorded too, bounding the window
       stagesAtKill3 = stagesSeen3.get()
+      new ProcessBuilder("kill", "-9", victim3.toString).start().waitFor()
+      stagesAfterKill3 = stagesSeen3.get()
       killed3At = System.nanoTime()
     }, "executor-assassin-3")
     assassin3.setDaemon(true)
@@ -249,9 +255,10 @@ object ChaosProbe {
     assassin3.join(2000)
     report.put("store_stages_total", stagesSeen3.get())
     report.put("store_stages_at_kill", stagesAtKill3)
+    report.put("store_stages_after_kill", stagesAfterKill3)
     // true iff the SIGKILL landed while upsert batches were still being
-    // scheduled (more store-stream stages ran after the kill) — the
-    // torn-tail-repair claim is only exercised on such runs
+    // scheduled (more store-stream stages ran after the kill was issued)
+    // — the torn-tail-repair claim is only exercised on such runs
     report.put("store_kill_mid_stream",
       stagesAtKill3 >= 0 && stagesAtKill3 < stagesSeen3.get())
 

@@ -155,9 +155,17 @@ object SteadyStream {
         // both sides are consumed in lockstep (one file each per
         // trigger), so a trigger's input-row count is the sum of the two
         // file counts at that index — the cumulative file→trigger match
-        // in report() needs the combined counts
-        val bothCounts = lBounds.zipAll(rBounds, (0L, 0L, 0L), (0L, 0L, 0L))
-          .map { case (a, b) => (a._1, a._2, a._3 + b._3) }
+        // in report() needs the combined counts. Keyed on the LEFT side's
+        // (min, max): the emitted latency column is l.ts_ms, and padding
+        // a length mismatch with zero BOUNDS would break the binary
+        // search's monotonicity (splitFiles skips empty tail slices, so
+        // the two sides' file counts can differ) — extra right-side
+        // files are consumed after every left file is attributed and
+        // carry no left rows, so only their COUNTS would matter, and
+        // those triggers come after the walk has finished
+        val bothCounts = lBounds.zipWithIndex.map { case ((mn, mx, lc), i) =>
+          (mn, mx, lc + (if (i < rBounds.length) rBounds(i)._3 else 0L))
+        }
         def side(sub: String): DataFrame =
           fileStream(s"$root/$sub")
             .withColumn("ts", timestamp_millis(col("ts_ms")))
@@ -248,20 +256,49 @@ object SteadyStream {
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.ProcessingTime(0)).start()
 
+    // bounded waits: a drained ProcessingTime(0) query stays active and
+    // idles forever — every poll below breaks loudly on this deadline
+    // instead of hanging the tool
+    val deadline = System.nanoTime() + 30L * 60 * 1000 * 1000 * 1000
+    def poll(cond: => Boolean, what: String): Unit =
+      while (cond) {
+        if (System.nanoTime() > deadline) sys.error(s"poll deadline: $what")
+        Thread.sleep(50)
+      }
+
     val t0 = System.nanoTime()
     var restartInfo: Option[Map[String, Any]] = None
+    // report on the MEASUREMENT legs only: snapshots taken before any
+    // verification leg (q3) run, whose flush triggers would otherwise
+    // contaminate triggers_ran, the flatness quartiles, and the latency
+    // percentiles (tail rows emitted by the verifier carry ITS clock)
+    var progSnap: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+    var emitsSnap: Seq[(Long, Long, Array[(Int, Long)])] = Nil
+    def snapshot(): Unit = {
+      graft.Metrics.drain(progressLog)
+      progSnap = progressLog.synchronized(progressLog.toSeq)
+      emitsSnap = emits.synchronized(emits.toSeq)
+    }
     if (restartAt <= 0) {
       val q = startQuery()
       try q.processAllAvailable() finally q.stop()
+      snapshot()
     } else {
-      // ---- restart leg: stop after `restartAt` real triggers, restart
-      // from the checkpoint, measure time-to-first-batch and
-      // time-to-caught-up (the RTO a production deployment asks about)
+      // ---- restart leg: stop after `restartTarget` real triggers,
+      // restart from the checkpoint, measure time-to-first-batch and
+      // time-to-caught-up (the RTO a production deployment asks about).
+      // Clamp to the REAL file count (splitFiles skips empty tail slices)
+      // so a too-large restartAt cannot leave zero backlog — the waits
+      // below would otherwise spin on a drained-but-active query.
+      val restartTarget = math.min(restartAt, math.max(1, bounds.length - 2))
       val q1 = startQuery()
-      try {
-        while (progressLog.synchronized(progressLog.size) < restartAt && q1.isActive)
-          Thread.sleep(50)
-      } finally q1.stop()
+      try poll(progressLog.synchronized(progressLog.size) < restartTarget &&
+        q1.isActive, s"q1 to reach $restartTarget triggers")
+      finally q1.stop()
+      // stop() joins the query thread but listener delivery is async —
+      // drain before reading the baseline, or a straggling q1 event makes
+      // the q2 wait exit instantly and report first_batch_sec ~ 0
+      graft.Metrics.drain(progressLog)
       val triggersBefore = progressLog.synchronized(progressLog.size)
       val stateRowsAtStop = progressLog.synchronized(progressLog.toSeq).lastOption
         .map(_.stateOperators.toSeq.map(_.numRowsTotal).sum).getOrElse(0L)
@@ -269,12 +306,13 @@ object SteadyStream {
       val q2 = startQuery()
       var firstBatchSec = -1.0
       try {
-        while (progressLog.synchronized(progressLog.size) == triggersBefore && q2.isActive)
-          Thread.sleep(20)
+        poll(progressLog.synchronized(progressLog.size) == triggersBefore &&
+          q2.isActive, "q2 first batch")
         firstBatchSec = (System.nanoTime() - tRestart) / 1e9
         q2.processAllAvailable()
       } finally q2.stop()
       val rtoSec = (System.nanoTime() - tRestart) / 1e9
+      snapshot()
       // exactly-once proxy (window workload: the engine emits exactly one
       // row per input row once the watermark passes it — flush sentinels
       // push the terminal watermark, then sink rows must equal input rows)
@@ -301,7 +339,7 @@ object SteadyStream {
       }
       restartInfo = Some(Map[String, Any](
         "restart_after_triggers" -> triggersBefore,
-        "backlog_triggers" -> (triggers - triggersBefore),
+        "backlog_triggers" -> (bounds.length - triggersBefore),
         "state_rows_at_stop" -> stateRowsAtStop,
         "first_batch_sec" -> f"$firstBatchSec%.2f".toDouble,
         "rto_sec" -> f"$rtoSec%.2f".toDouble) ++
@@ -311,48 +349,22 @@ object SteadyStream {
     }
     // a batch retried across the restart leg records emits twice — keep
     // the last record per batch id (matches the idempotent sink's rows)
-    val emitsDeduped = emits.synchronized(emits.toSeq)
+    val emitsDeduped = emitsSnap
       .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.last)
     report(workload, provider, sfDir, outJson, triggers, rows,
       (System.nanoTime() - t0) / 1e9,
-      progressLog.synchronized(progressLog.toSeq),
-      emitsDeduped, bounds.map(_._3), restartInfo)
+      progSnap, emitsDeduped, bounds.map(_._3), restartInfo)
     spark.stop()
   }
 
-  /** Registers a listener that accumulates every real (rows > 0) trigger's
-    * progress for the session — unbounded by the recentProgress retention
-    * cap and immune to idle-trigger eviction. */
+  /** Progress collection, shared with the bench (see [[graft.Metrics]]). */
   def collectProgress(spark: SparkSession)
       : scala.collection.mutable.ArrayBuffer[
-          org.apache.spark.sql.streaming.StreamingQueryProgress] = {
-    val buf = new scala.collection.mutable.ArrayBuffer[
-      org.apache.spark.sql.streaming.StreamingQueryProgress]()
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        buf.synchronized { if (e.progress.numInputRows > 0) buf += e.progress; () }
-      override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    })
-    buf
-  }
+          org.apache.spark.sql.streaming.StreamingQueryProgress] =
+    graft.Metrics.collectProgress(spark)._1
 
-  /** Exact weighted percentile over (value, weight) samples. */
-  private def wPercentile(samples: Seq[(Long, Long)], p: Double): Long = {
-    if (samples.isEmpty) return -1L
-    val sorted = samples.sortBy(_._1)
-    val total = sorted.map(_._2).sum
-    val target = math.max(1L, math.ceil(total * p).toLong)
-    var acc = 0L
-    sorted.foreach { case (v, w) =>
-      acc += w
-      if (acc >= target) return v
-    }
-    sorted.last._1
-  }
+  private def wPercentile(samples: Seq[(Long, Long)], p: Double): Long =
+    graft.Metrics.wPercentile(samples, p)
 
   /** Per-trigger records from the engine's own progress objects + the
     * first-vs-last-quartile flatness summary + per-event latency
