@@ -317,7 +317,8 @@ object Bench {
     *          of the last upserted row; the sharded live qps runs the
     *          SAME hot-key live load through [[ShardedServingBuffer]]
     *          (the r8 record only measured the sharded live path cold). */
-  private def requestWorkload(spark: org.apache.spark.sql.SparkSession): (Long, Double, Double, Double, Double, Double, Double) = {
+  private def requestWorkload(spark: org.apache.spark.sql.SparkSession)
+      : (Long, Double, Double, Double, Double, Double, Double, String) = {
     import graft.serving.{FeatureStore, RequestServer, RequestServing, ServingBuffer, ShardedFeatureStore, ShardedServingBuffer}
     import graft.sources.Datagen
     import graft.streaming.SlidingWindows.{AggSpec, RowsN}
@@ -350,14 +351,20 @@ object Bench {
     require(pitU.count() == keys)
     val evalUnboundedSec = (System.nanoTime() - t0u) / 1e9
 
-    def measureQps(server: RequestServer): Double = {
+    // per-lookup latency percentiles recorded beside every qps number
+    // (reference parity: latency_ms is printed next to throughput in
+    // every reference benchmark) — spliced into the request JSON
+    val latFields = new scala.collection.mutable.ListBuffer[String]()
+    def measureQps(server: RequestServer, label: String): Double = {
       val port = server.start()
       try {
         val client = java.net.http.HttpClient.newHttpClient()
         val n = 2000
+        val lats = new Array[Long](n)
         val t1 = System.nanoTime()
         var i = 0
         while (i < n) {
+          val r0 = System.nanoTime()
           val resp = client.send(
             java.net.http.HttpRequest.newBuilder(
                 java.net.URI.create(s"http://localhost:$port/request"))
@@ -365,15 +372,20 @@ object Bench {
                 s"""{"key": "key_${i % keys}"}""")).build(),
             java.net.http.HttpResponse.BodyHandlers.ofString())
           require(resp.statusCode() == 200)
+          lats(i) = System.nanoTime() - r0
           i += 1
         }
-        n / ((System.nanoTime() - t1) / 1e9)
+        val sec = (System.nanoTime() - t1) / 1e9
+        java.util.Arrays.sort(lats)
+        latFields += f""""${label}_p50_ms":${lats(n / 2) / 1e6}%.2f"""
+        latFields += f""""${label}_p99_ms":${lats(n * 99 / 100) / 1e6}%.2f"""
+        n / sec
       } finally server.stop()
     }
 
     // HTTP lookup QPS against the upsert store (sequential client, like
     // the reference's harness)
-    val qps = measureQps(new RequestServer(store))
+    val qps = measureQps(new RequestServer(store), "lookup")
 
     // the same features served from the SHARDED store: executor-written
     // per-shard logs, lookup = route + offset-index probe + disk read
@@ -382,13 +394,13 @@ object Bench {
       pit.withColumn("ts_ms", lit(atTs)), 0L)
     val sharded = new ShardedFeatureStore(shardRoot, 8)
     require(sharded.size == keys)
-    val shardedQps = measureQps(new RequestServer(sharded))
+    val shardedQps = measureQps(new RequestServer(sharded), "sharded_lookup")
 
     // live QPS: every lookup re-evaluates min/max at the newest buffered
     // event over the 10k-row ROWS frame (reference request semantics)
     val buffer = new ServingBuffer(specs)
     ServingBuffer.feedBatch(buffer, "key", "ts_ms", Seq("value"), Nil)(input, 0L)
-    val liveQps = measureQps(new RequestServer(store, 0, Some(buffer)))
+    val liveQps = measureQps(new RequestServer(store, 0, Some(buffer)), "live_lookup")
 
     // the SAME hot-key live load through the sharded row-log buffer:
     // once warm this is the driver-memory fold plus one stat-level
@@ -397,9 +409,10 @@ object Bench {
     ShardedServingBuffer.feedBatch(bufRoot, 8, "key", "ts_ms",
       Seq("value"), Nil, specs)(input, 0L)
     val shardedBuf = new ShardedServingBuffer(bufRoot, 8, specs)
-    val shardedLiveQps = measureQps(new RequestServer(store, 0, Some(shardedBuf)))
+    val shardedLiveQps = measureQps(new RequestServer(store, 0, Some(shardedBuf)), "sharded_live_lookup")
 
-    (records, evalSec, evalUnboundedSec, qps, shardedQps, liveQps, shardedLiveQps)
+    (records, evalSec, evalUnboundedSec, qps, shardedQps, liveQps, shardedLiveQps,
+      latFields.mkString(",", ",", ""))
   }
 
   /** Serving under sustained write load (r13 VERDICT #6): the quiesced
@@ -1227,12 +1240,12 @@ object Bench {
     val request =
       if (!runWorkload("request")) "null" else
       try {
-        val (recs, sec, secU, qps, shardedQps, liveQps, shardedLiveQps) = requestWorkload(spark)
+        val (recs, sec, secU, qps, shardedQps, liveQps, shardedLiveQps, hotLatJson) = requestWorkload(spark)
         val (coldQps, coldShardedQps, coldDirectQps, coldShardedLiveQps, coldLiveQps, meanBatch, largestBatch, procQps1, procQps2) = coldRequestWorkload(spark)
         val (satDirectQps, satCoalescedQps, satMeanBatch, satLargestBatch) = saturatingRequestWorkload(spark)
         val (concQps, concP99, quiQps, quiP99, wRps, concBatches, concExhausted) =
           concurrentRequestWorkload(spark)
-        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"sharded_lookup_qps":$shardedQps%.1f,"live_lookup_qps":$liveQps%.1f,"sharded_live_lookup_qps":$shardedLiveQps%.1f,"cold_keys":2000,"cold_lookup_qps":$coldQps%.1f,"cold_sharded_lookup_qps":$coldShardedQps%.1f,"cold_live_direct_qps":$coldDirectQps%.1f,"cold_sharded_live_qps":$coldShardedLiveQps%.1f,"cold_live_lookup_qps":$coldLiveQps%.1f,"coalesce_mean_batch":$meanBatch%.1f,"coalesce_largest_batch":$largestBatch,"saturating_direct_qps":$satDirectQps%.1f,"saturating_coalesced_qps":$satCoalescedQps%.1f,"saturating_mean_batch":$satMeanBatch%.1f,"saturating_largest_batch":$satLargestBatch,"proc_read_qps_1node":$procQps1%.1f,"proc_read_qps_2node":$procQps2%.1f,"concurrent_lookup_qps":$concQps%.1f,"concurrent_p99_ms":$concP99%.2f,"concurrent_quiesced_qps":$quiQps%.1f,"concurrent_quiesced_p99_ms":$quiP99%.2f,"concurrent_writer_rows_per_sec":$wRps%.1f,"concurrent_write_batches_during_read":$concBatches,"concurrent_exhausted_reads":$concExhausted}"""
+        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"sharded_lookup_qps":$shardedQps%.1f,"live_lookup_qps":$liveQps%.1f,"sharded_live_lookup_qps":$shardedLiveQps%.1f,"cold_keys":2000,"cold_lookup_qps":$coldQps%.1f,"cold_sharded_lookup_qps":$coldShardedQps%.1f,"cold_live_direct_qps":$coldDirectQps%.1f,"cold_sharded_live_qps":$coldShardedLiveQps%.1f,"cold_live_lookup_qps":$coldLiveQps%.1f,"coalesce_mean_batch":$meanBatch%.1f,"coalesce_largest_batch":$largestBatch,"saturating_direct_qps":$satDirectQps%.1f,"saturating_coalesced_qps":$satCoalescedQps%.1f,"saturating_mean_batch":$satMeanBatch%.1f,"saturating_largest_batch":$satLargestBatch,"proc_read_qps_1node":$procQps1%.1f,"proc_read_qps_2node":$procQps2%.1f,"concurrent_lookup_qps":$concQps%.1f,"concurrent_p99_ms":$concP99%.2f,"concurrent_quiesced_qps":$quiQps%.1f,"concurrent_quiesced_p99_ms":$quiP99%.2f,"concurrent_writer_rows_per_sec":$wRps%.1f,"concurrent_write_batches_during_read":$concBatches,"concurrent_exhausted_reads":$concExhausted$hotLatJson}"""
       } catch { case e: Throwable =>
         errors("request_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
