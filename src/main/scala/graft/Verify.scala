@@ -18,12 +18,39 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_CONF_CHECK=1: assert EVERY catalog entry leaves the
+    // session conf exactly as it found it (the full-catalog version of
+    // ConfHygieneSpec's four-entry pin). Two one-time materializations
+    // are allowed to APPEAR once and then must stay stable: prepare's
+    // parquet nanosAsLong, and the provider conf Spark sets into the
+    // session at first streaming-query start.
+    val confCheck = sys.env.get("SPARK_GRAFT_CONF_CHECK").contains("1")
+    val allowedOneTime = Set(
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.streaming.stateStore.providerClass")
+    val confLeaks = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.filter(e => only.forall(_.contains(e._1))).foreach { case (name, fn) =>
+      val before = if (confCheck) spark.conf.getAll else Map.empty[String, String]
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      if (confCheck) {
+        val after = spark.conf.getAll
+        val added = (after.keySet -- before.keySet).filterNot(allowedOneTime)
+        val removed = before.keySet -- after.keySet
+        val changed = (before.keySet & after.keySet)
+          .filter(k => before(k) != after(k))
+        if (added.nonEmpty || removed.nonEmpty || changed.nonEmpty)
+          confLeaks += s"$name: added=${added.map(k => s"$k=${after(k)}")} " +
+            s"removed=$removed changed=${changed.map(k => s"$k: ${before(k)} -> ${after(k)}")}"
+      }
+    }
+    if (confCheck) {
+      confLeaks.foreach(l => System.err.println(s"[verify][conf-leak] $l"))
+      require(confLeaks.isEmpty, s"${confLeaks.size} entries leaked session conf")
+      System.err.println("[verify] conf-check: every entry restored the session conf")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
