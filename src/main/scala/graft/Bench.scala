@@ -180,24 +180,25 @@ object Bench {
     // its emit is the sink-visible wall of the emitting batch.
     val emitted = new java.util.concurrent.atomic.AtomicLong(0)
     val emits = new scala.collection.mutable.ArrayBuffer[(Long, Array[(Long, Long)])]()
-    // attribution cost runs INSIDE the timed triggers; it is measured and
-    // subtracted so `elapsed_sec`/`records_per_sec` stay comparable with
-    // the pre-r14 committed series (which had no in-loop attribution) —
-    // the raw wall and the overhead are reported alongside
-    val attrNs = new java.util.concurrent.atomic.AtomicLong(0)
+    // latency attribution is FUSED into the one counting job the sink has
+    // always run (pre-r14 ran `b.count()`; this runs a single
+    // groupBy(file).count() over the same scan — total = sum of the
+    // per-file counts). One job, no persist, no cache pressure, no
+    // subtraction: `elapsed_sec` is the raw wall and stays
+    // series-comparable because the in-loop work is the same single
+    // aggregate job shape as the committed pre-r14 series (r14 ADVICE —
+    // the old persist+2-job path perturbed triggers beyond its measured
+    // collect wall, biasing the subtracted number in an unmeasured
+    // direction).
     import org.apache.spark.sql.functions.floor
     val (progBuf, listener) = Metrics.collectProgress(spark)
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
-        val persisted = b.persist()
-        emitted.addAndGet(persisted.count())
-        val ta = System.nanoTime()
-        val cnts = persisted
+        val cnts = b
           .groupBy(floor((col("ts_ms") - startMs) / chunkSpan).as("__f")).count()
           .collect().map(r => (r.getLong(0), r.getLong(1)))
-        attrNs.addAndGet(System.nanoTime() - ta)
-        persisted.unpersist()
+        emitted.addAndGet(cnts.map(_._2).sum)
         val wall = System.currentTimeMillis()
         emits.synchronized { emits += ((wall, cnts)); () }
         ()
@@ -218,9 +219,7 @@ object Bench {
       spark.streams.removeListener(listener)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    val secRaw = (System.nanoTime() - t0) / 1e9
-    val attrSec = attrNs.get() / 1e9
-    val sec = secRaw - attrSec
+    val sec = (System.nanoTime() - t0) / 1e9
     // file k is consumed by the k-th real trigger (1000-row time-sliced
     // files, sequential mtimes, maxFilesPerTrigger=1; the final flush
     // file only adds a trailing trigger beyond the data-file indices).
@@ -236,7 +235,7 @@ object Bench {
     val nSamples = samples.map(_._2).sum
     val mean = if (nSamples == 0) -1.0
       else samples.map(t => t._1.toDouble * t._2).sum / nSamples
-    val latJson = f"""{"events":$nSamples,"p50":${wPercentile(samples, 0.5)},"p95":${wPercentile(samples, 0.95)},"p99":${wPercentile(samples, 0.99)},"max":${if (samples.isEmpty) -1L else samples.map(_._1).max},"mean":$mean%.1f,"attribution_overhead_sec":$attrSec%.3f}"""
+    val latJson = f"""{"events":$nSamples,"p50":${wPercentile(samples, 0.5)},"p95":${wPercentile(samples, 0.95)},"p99":${wPercentile(samples, 0.99)},"max":${if (samples.isEmpty) -1L else samples.map(_._1).max},"mean":$mean%.1f,"attribution":"fused-single-job"}"""
     (records, sec, latJson)
   }
 
@@ -464,6 +463,11 @@ object Bench {
       val port = server.start()
       try {
         val threads = 8
+        // numerator and denominator must cover the SAME window (r14
+        // ADVICE): a start latch holds every thread until t1 is stamped,
+        // and a completion is only counted while stop is still clear — so
+        // no sample precedes t1 and none lands during the post-stop join.
+        val startGate = new java.util.concurrent.CountDownLatch(1)
         val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
         val failures = new java.util.concurrent.atomic.AtomicLong(0)
         val lats = (0 until threads).map(_ =>
@@ -476,6 +480,7 @@ object Bench {
             try {
               val client = java.net.http.HttpClient.newBuilder()
                 .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+              startGate.await()
               var i = t
               while (!stop.get()) {
                 val r0 = System.nanoTime()
@@ -487,7 +492,8 @@ object Bench {
                       s"""{"key": "key_${i % keys}"}""")).build(),
                   java.net.http.HttpResponse.BodyHandlers.ofString())
                 if (resp.statusCode() != 200) failures.incrementAndGet()
-                else lats(t).synchronized { lats(t) += System.nanoTime() - r0 }
+                else if (!stop.get())
+                  lats(t).synchronized { lats(t) += System.nanoTime() - r0 }
                 i += threads
               }
             } catch { case _: Throwable => failures.incrementAndGet(); () }
@@ -495,14 +501,15 @@ object Bench {
           th.setDaemon(true); th.start(); th
         }
         val t1 = System.nanoTime()
+        startGate.countDown()
         Thread.sleep(windowMs)
+        val sec = (System.nanoTime() - t1) / 1e9
         stop.set(true)
         pool.foreach(_.join(10000))
         // no reads of lats while a straggler could still append
         require(pool.forall(!_.isAlive), "a reader thread failed to stop")
         require(failures.get() == 0,
           s"${failures.get()} failed lookups under concurrent write load")
-        val sec = (System.nanoTime() - t1) / 1e9
         val all = lats.flatMap(b => b.synchronized(b.toSeq)).sorted
         val p99 = if (all.isEmpty) -1.0
           else all(math.min(all.size - 1, (all.size * 0.99).toInt)) / 1e6

@@ -25,9 +25,15 @@ object Verify {
     // parquet nanosAsLong, and the provider conf Spark sets into the
     // session at first streaming-query start.
     val confCheck = sys.env.get("SPARK_GRAFT_CONF_CHECK").contains("1")
-    val allowedOneTime = Set(
-      "spark.sql.legacy.parquet.nanosAsLong",
-      "spark.sql.streaming.stateStore.providerClass")
+    // one-time materializations may APPEAR once, but only with the value
+    // Spark itself would materialize (the session DEFAULT). A genuine leak
+    // by the first conf-mutating entry — e.g. leaving a RocksDB
+    // providerClass set — must NOT hide behind the exemption (r14 ADVICE:
+    // any-value exemption gave the first streaming entry a blind spot).
+    val allowedOneTime = Map(
+      "spark.sql.legacy.parquet.nanosAsLong" -> Set("true"),
+      "spark.sql.streaming.stateStore.providerClass" -> Set(
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))
     val confLeaks = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.filter(e => only.forall(_.contains(e._1))).foreach { case (name, fn) =>
       val before = if (confCheck) spark.conf.getAll else Map.empty[String, String]
@@ -38,7 +44,8 @@ object Verify {
       }
       if (confCheck) {
         val after = spark.conf.getAll
-        val added = (after.keySet -- before.keySet).filterNot(allowedOneTime)
+        val added = (after.keySet -- before.keySet).filterNot(k =>
+          allowedOneTime.get(k).exists(_.contains(after(k))))
         val removed = before.keySet -- after.keySet
         val changed = (before.keySet & after.keySet)
           .filter(k => before(k) != after(k))

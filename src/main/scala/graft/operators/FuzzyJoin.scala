@@ -68,10 +68,15 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** The previous stages() call's persisted gram aggregate — released when
-    * the next call persists its own (bounds cache growth to one entry). */
-  private val lastOcc =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  /** Recent stages() calls' persisted gram aggregates, oldest first.
+    * Bounded FIFO of size [[OccCacheSlots]]: a composition that builds
+    * several fuzzy joins before executing the first (two operators in one
+    * pipeline spec, two sessions in one JVM) keeps every in-flight plan's
+    * cache alive; only the oldest beyond the cap is released (r14 ADVICE —
+    * a single slot silently evicted the previous call's cache at plan-build
+    * time, re-exploding both tables when the plans ran later). */
+  private val OccCacheSlots = 4
+  private val occCache = new java.util.ArrayDeque[DataFrame](OccCacheSlots)
 
   /** Session conf that forces the blocking-key width for auto-mode calls
     * (0/absent = measured auto-selection; 1..3 = forced). The pipeline
@@ -220,20 +225,26 @@ object FuzzyJoin {
     // the rank join references it once per side — without the cache each
     // reference re-explodes both tables (HOF lambdas defeat exchange
     // reuse, the measured r12 finding). Unpersisting before the returned
-    // lazy frames execute would defeat the point, so at most ONE call's
-    // cache stays alive per JVM: each call releases the previous call's
-    // (r13 ADVICE — per-call growth relied solely on LRU eviction).
-    // Unpersist mid-use is safe: a still-running earlier join recomputes.
+    // lazy frames execute would defeat the point, so the last
+    // OccCacheSlots calls' caches stay alive per JVM; only older entries
+    // are released. Unpersist mid-use is safe: a still-running earlier
+    // join recomputes. Entries whose SparkContext has stopped are dropped
+    // without unpersist (tools run several contexts per JVM — unpersist
+    // against a dead context NPEs in the block manager).
     val occ = gramDfs(l, r).persist()
-    val prevOcc = lastOcc.getAndSet(occ)
-    if ((prevOcc ne null) && (prevOcc ne occ)) {
-      // the previous call may belong to an already-stopped SparkContext
-      // (tools run several contexts per JVM) — its cache died with it,
-      // and unpersist against a dead context NPEs in the block manager
-      try {
-        if (!prevOcc.sparkSession.sparkContext.isStopped)
-          prevOcc.unpersist(blocking = false)
-      } catch { case _: Exception => () }
+    occCache.synchronized {
+      occCache.removeIf { df =>
+        try df.sparkSession.sparkContext.isStopped
+        catch { case _: Exception => true }
+      }
+      occCache.addLast(occ)
+      while (occCache.size > OccCacheSlots) {
+        val oldest = occCache.removeFirst()
+        try {
+          if (!oldest.sparkSession.sparkContext.isStopped)
+            oldest.unpersist(blocking = false)
+        } catch { case _: Exception => () }
+      }
     }
     // width precedence: explicit call arg > session conf (the product
     // knob the pipeline spec's `tuning.Fuzzy.block_width` override sets —

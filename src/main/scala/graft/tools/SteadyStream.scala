@@ -302,6 +302,16 @@ object SteadyStream {
       val triggersBefore = progressLog.synchronized(progressLog.size)
       val stateRowsAtStop = progressLog.synchronized(progressLog.toSeq).lastOption
         .map(_.stateOperators.toSeq.map(_.numRowsTotal).sum).getOrElse(0L)
+      // q1 keeps taking triggers between the poll exiting and stop()
+      // landing; recompute the REAL remaining backlog from the triggers it
+      // actually ran (r14 ADVICE). Zero backlog would leave q2 with no
+      // rows>0 progress event to wait for — the first-batch poll would
+      // spin to its 30-minute deadline — so fail fast instead.
+      val backlogAfterStop = bounds.length - triggersBefore
+      if (backlogAfterStop <= 0) sys.error(
+        s"restart leg: q1 drained the whole backlog before stop() landed " +
+          s"($triggersBefore triggers >= ${bounds.length} files) — " +
+          s"lower restartAt (was $restartAt) to leave a backlog for the RTO leg")
       val tRestart = System.nanoTime()
       val q2 = startQuery()
       var firstBatchSec = -1.0
