@@ -26,6 +26,19 @@ import graft.operators.{Dedup, FuzzyJoin}
   *     random (k, numHashes, bands, threshold) and random arrival order;
   *     engines must match each other EXACTLY (orientation + markers) and
   *     match batch as undirected pair sets when no bucket overflowed.
+  *  D. TemporalJoins (r14 VERDICT #2): asofJoin over every
+  *     direction × tolerance × exact-match draw vs a per-row brute-force
+  *     scan (ts ties + null keys included); rangeJoin over random
+  *     ranges/buckets vs a cross-join filter.
+  *  E. Streaming sessionization (native session_window) under random
+  *     gaps and delivery orders vs the batch gap definition — including
+  *     the diff == gap edge (sessions merge on TOUCH: an event at
+  *     exactly last-ts + gap joins the session).
+  *  F. Sketches: kmv_distinct (random k, random cardinality, random
+  *     partitioning) and the CMS SQL shape (random depth × width) vs
+  *     independent plain-Scala md5 replays; CMS never undercounts.
+  *  G. Sampling: stratifiedSample invariant under random repartitioning
+  *     and equal to an independent hash31 replay; weights match rates.
   *
   * Every failure message leads with the config's seed: re-run with
   * SPARK_GRAFT_PROP_SEED=<seed> SPARK_GRAFT_PROP_ITERS=1 to replay it.
@@ -433,6 +446,339 @@ class PropertyParitySpec extends AnyFunSuite {
       assert(undirected(fm) == undirected(batch),
         s"[$cfg] stream != batch: streamOnly=${(undirected(fm) -- undirected(batch)).take(3)} " +
           s"batchOnly=${(undirected(batch) -- undirected(fm)).take(3)}")
+    }
+  }
+
+  // =====================================================================
+  // Family D: TemporalJoins vs brute-force per-row oracles
+  // =====================================================================
+
+  /** Random keyed event table: small key domain (collisions guaranteed),
+    * deliberate ts TIES inside a key (the as-of tie-break edge), ~10%
+    * null keys (asofJoin documents null-matches-null window semantics),
+    * unique integer payloads so the documented largest-payload tie-break
+    * is a total order the oracle can replicate. */
+  private def genKeyed(rnd: scala.util.Random, n: Int, payloadBase: Int)
+      : Seq[(String, Long, Long)] = {
+    val keys = (0 until 2 + rnd.nextInt(3)).map(i => s"k$i")
+    (0 until n).map { i =>
+      val key = if (rnd.nextInt(10) == 0) null
+                else keys(rnd.nextInt(keys.length))
+      // coarse grid => ts collisions within and across sides
+      (key, 1000L + rnd.nextInt(40) * 100L, (payloadBase + i).toLong)
+    }
+  }
+
+  test("D: random as-of joins — backward/forward × tolerance × exact-match vs brute force") {
+    import spark.implicits._
+    (0 until iters).foreach { i =>
+      val seed = baseSeed + 400 + i
+      val rnd = new scala.util.Random(seed)
+      val ls = genKeyed(rnd, 60 + rnd.nextInt(80), 0)
+        .zipWithIndex.map { case ((k, ts, _), id) => (id.toLong, k, ts) }
+      val rs = genKeyed(rnd, 40 + rnd.nextInt(80), 10000)
+      val fwd = rnd.nextBoolean()
+      val exact = rnd.nextBoolean()
+      val tol = if (rnd.nextBoolean()) Some(200L + rnd.nextInt(12) * 100L) else None
+      val cfg = s"seed=$seed nl=${ls.size} nr=${rs.size} " +
+        s"dir=${if (fwd) "forward" else "backward"} exact=$exact tol=$tol"
+      info(s"[prop-D] $cfg")
+
+      val got = graft.operators.TemporalJoins.asofJoin(
+          ls.toDF("lid", "key", "lts"), rs.toDF("key", "rts", "rv"),
+          Seq("key"), "lts", "rts", Seq("rv"),
+          toleranceMs = tol, allowExactMatch = exact,
+          direction = if (fwd) "forward" else "backward")
+        .select("lid", "r_rts", "r_rv").collect()
+        .map(r => (r.getLong(0),
+          (if (r.isNullAt(1)) null else r.getLong(1)): Any,
+          (if (r.isNullAt(2)) null else r.getLong(2)): Any)).toSet
+
+      // brute force: per left row, scan every right row (null keys match
+      // null keys — the documented window-partitioning semantics)
+      val want: Set[(Long, Any, Any)] = ls.map { case (lid, k, lts) =>
+        val cands = rs.filter { case (rk, rts, _) =>
+          rk == k && (
+            if (fwd) { if (exact) rts >= lts else rts > lts }
+            else     { if (exact) rts <= lts else rts < lts })
+        }
+        if (cands.isEmpty) (lid, null: Any, null: Any)
+        else {
+          val bestTs = if (fwd) cands.map(_._2).min else cands.map(_._2).max
+          // documented tie-break: largest payload tuple at the match ts
+          val rv = cands.filter(_._2 == bestTs).map(_._3).max
+          if (tol.exists(t => math.abs(lts - bestTs) > t)) (lid, null: Any, null: Any)
+          else (lid, bestTs: Any, rv: Any)
+        }
+      }.toSet
+      assert(got == want,
+        s"[$cfg] asofJoin diverged: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("D2: random interval joins — bucketized rangeJoin == cross-join filter") {
+    import spark.implicits._
+    (0 until iters).foreach { i =>
+      val seed = baseSeed + 500 + i
+      val rnd = new scala.util.Random(seed)
+      // null keys never match in rangeJoin (SQL equi-join semantics)
+      val ls = genKeyed(rnd, 50 + rnd.nextInt(60), 0)
+        .zipWithIndex.map { case ((k, ts, _), id) => (id.toLong, k, ts) }
+      val rs = genKeyed(rnd, 50 + rnd.nextInt(60), 20000)
+      val lower = -2000L + rnd.nextInt(30) * 100L
+      val upper = lower + rnd.nextInt(25) * 100L // >= lower, possibly empty-ish
+      val bucket = Seq(0L, 100L, 300L, 700L, 1500L)(rnd.nextInt(5))
+      val cfg = s"seed=$seed nl=${ls.size} nr=${rs.size} range=[$lower,$upper] bucket=$bucket"
+      info(s"[prop-D2] $cfg")
+
+      val got = graft.operators.TemporalJoins.rangeJoin(
+          ls.toDF("lid", "key", "lts"), rs.toDF("key", "rts", "rv"),
+          Seq("key"), "lts", "rts", lower, upper, Seq("rv"), bucketMs = bucket)
+        .select("lid", "r_rts", "r_rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+
+      val want = (for {
+        (lid, lk, lts) <- ls
+        (rk, rts, rv) <- rs
+        if lk != null && rk == lk
+        if rts >= lts + lower && rts <= lts + upper
+      } yield (lid, rts, rv)).sorted
+      assert(got == want,
+        s"[$cfg] rangeJoin diverged: got=${got.size} want=${want.size} " +
+          s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+    }
+  }
+
+  // =====================================================================
+  // Family E: streaming sessionization vs the batch definition
+  // =====================================================================
+
+  test("E: random session gaps and delivery orders — session_window == batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin, session_window, timestamp_millis}
+    (0 until iters).foreach { i =>
+      val seed = baseSeed + 600 + i
+      val rnd = new scala.util.Random(seed)
+      val nUsers = 2 + rnd.nextInt(4)
+      val gapMs = 300L + rnd.nextInt(20) * 100L
+      // coarse ts grid INCLUDING exact-gap spacings, so the diff == gap
+      // merge-on-touch edge is exercised every draw
+      val evs = (0 until 150 + rnd.nextInt(150)).map { j =>
+        (s"u${rnd.nextInt(nUsers)}", j.toLong,
+          10000L + rnd.nextInt(60) * (gapMs / 2))
+      }
+      val (batches, lateness) = {
+        val size = 40 + rnd.nextInt(60)
+        val bs =
+          if (rnd.nextBoolean())
+            evs.sortBy(_._3).grouped(size).toSeq.map(b => rnd.shuffle(b))
+          else rnd.shuffle(evs).grouped(size).toSeq
+        var maxPrev = Long.MinValue
+        var lat = 1L
+        bs.foreach { b =>
+          if (maxPrev != Long.MinValue)
+            b.foreach(r => lat = math.max(lat, maxPrev - r._3 + 1))
+          maxPrev = math.max(maxPrev, b.map(_._3).max)
+        }
+        (bs, lat)
+      }
+      val cfg = s"seed=$seed users=$nUsers gap=$gapMs lateness=$lateness " +
+        s"events=${evs.size} batches=${batches.size}"
+      info(s"[prop-E] $cfg")
+
+      val flushTs = 4102444800000L
+      val got = StateStoreConf.withSaved(spark) {
+        val mem = MemoryStream[(String, Long, Long)]
+        val stream = mem.toDF().toDF("user_id", "event_id", "ts_ms")
+          .withColumn("ts", timestamp_millis(col("ts_ms")))
+          .withWatermark("ts", s"$lateness milliseconds")
+        val agg = stream
+          .groupBy(col("user_id"), session_window(col("ts"), s"$gapMs milliseconds"))
+          .agg(count(lit(1)).as("n"),
+            fmin(col("ts_ms")).as("s"), fmax(col("ts_ms")).as("e"))
+          .where(col("s") < flushTs)
+          .drop("session_window")
+        val qname = s"prop_sess_${System.nanoTime()}"
+        val q = agg.writeStream.outputMode("append").format("memory")
+          .queryName(qname).trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          val users = evs.map(_._1).distinct
+          // two flush rounds: advance the watermark past every event,
+          // then give the engine a batch under that watermark to emit
+          (0 until 2).foreach { _ =>
+            mem.addData(users.map(u => (u, -1L, flushTs)): _*)
+            q.processAllAvailable()
+          }
+          spark.table(qname).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            .toSeq.sorted
+        } finally q.stop()
+      }
+
+      // batch definition, session_window semantics: sessions merge on
+      // TOUCH — an event at exactly (last ts + gap) still merges (session
+      // end is inclusive; pinned empirically by seed 1541, where treating
+      // windows as half-open split every exact-gap chain)
+      val want = evs.groupBy(_._1).toSeq.flatMap { case (u, us) =>
+        val ts = us.map(_._3).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        var cur = scala.collection.mutable.ArrayBuffer(ts.head)
+        ts.tail.foreach { t =>
+          if (t - cur.last <= gapMs) cur += t
+          else { sessions += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer(t) }
+        }
+        sessions += cur.toSeq
+        sessions.map(s => (u, s.size.toLong, s.head, s.last))
+      }.sorted
+      assert(got == want,
+        s"[$cfg] sessionization diverged: got=${got.size} want=${want.size} " +
+          s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+    }
+  }
+
+  // =====================================================================
+  // Family F: sketches vs exact / independent replay
+  // =====================================================================
+
+  /** Plain-Scala replay of Dedup.hash60 (first 15 md5 hex chars) — shares
+    * no code with the Catalyst expressions it checks. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("F: random KMV configs — kmv_distinct == independent k-smallest replay across partitionings") {
+    import spark.implicits._
+    (0 until iters).foreach { i =>
+      val seed = baseSeed + 700 + i
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(40)
+      val nDistinct = 1 + rnd.nextInt(120)
+      val vals = (0 until 200 + rnd.nextInt(300)).map(_ => s"v${rnd.nextInt(nDistinct)}")
+      val parts = 1 + rnd.nextInt(7)
+      val cfg = s"seed=$seed k=$k distinct<=$nDistinct rows=${vals.size} parts=$parts"
+      info(s"[prop-F] $cfg")
+
+      val got = vals.toDF("v").repartition(parts)
+        .selectExpr(
+          s"kmv_distinct(CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT), $k) AS est")
+        .collect().head.getDouble(0)
+
+      val hashes = vals.map(v => java.lang.Long.parseLong(md5Hex(v).take(15), 16))
+        .distinct.sorted
+      val want =
+        if (hashes.size < k) hashes.size.toDouble
+        else (k - 1).toDouble * graft.functions.Sketches.HashSpan / hashes(k - 1).toDouble
+      assert(math.abs(got - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+        s"[$cfg] kmv_distinct=$got != replay=$want")
+    }
+  }
+
+  test("F2: random CMS dims — SQL sketch == independent replay; never undercounts") {
+    import spark.implicits._
+    (0 until iters).foreach { i =>
+      val seed = baseSeed + 800 + i
+      val rnd = new scala.util.Random(seed)
+      val depth = 2 + rnd.nextInt(5)
+      val width = Seq(8, 16, 32, 64)(rnd.nextInt(4))
+      val nTok = 5 + rnd.nextInt(60)
+      val toks = (0 until 300 + rnd.nextInt(500)).map(_ => s"t${rnd.nextInt(nTok)}")
+      val cfg = s"seed=$seed depth=$depth width=$width tokens=${toks.size} vocab<=$nTok"
+      info(s"[prop-F2] $cfg")
+
+      toks.toDF("token").createOrReplaceTempView("prop_cms_tok")
+      val got = spark.sql(s"""
+        WITH tok AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                     FROM prop_cms_tok GROUP BY token),
+        rows_h AS (
+          SELECT token, cnt, i,
+                 CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', token)), 1, 15), 16, 10) AS BIGINT) % $width AS bucket
+          FROM tok CROSS JOIN (SELECT explode(sequence(0, ${depth - 1})) AS i)),
+        cms AS (SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+                FROM rows_h GROUP BY i, bucket),
+        est AS (SELECT r.token, min(c.cell) AS est_cnt
+                FROM rows_h r JOIN cms c ON r.i = c.i AND r.bucket = c.bucket
+                GROUP BY r.token)
+        SELECT t.token, t.cnt, e.est_cnt FROM tok t JOIN est e ON t.token = e.token""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+
+      // independent replay: same md5 grid, plain Scala
+      val trueCnt = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      def bucket(i: Int, t: String): Long = {
+        val h = java.lang.Long.parseLong(md5Hex(s"$i:$t").take(15), 16)
+        h % width
+      }
+      val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      trueCnt.foreach { case (t, c) =>
+        (0 until depth).foreach { i =>
+          val key = (i, bucket(i, t)); cells(key) = cells.getOrElse(key, 0L) + c
+        }
+      }
+      val want = trueCnt.toSeq.map { case (t, c) =>
+        (t, c, (0 until depth).map(i => cells((i, bucket(i, t)))).min)
+      }.sorted
+      assert(got == want,
+        s"[$cfg] CMS diverged: ${got.zip(want).filter(p => p._1 != p._2).take(3)}")
+      got.foreach { case (t, c, e) =>
+        assert(e >= c, s"[$cfg] CMS undercounted $t: est=$e < true=$c")
+      }
+    }
+  }
+
+  // =====================================================================
+  // Family G: sampling determinism under random repartitioning
+  // =====================================================================
+
+  test("G: random strata/rates — stratifiedSample is partitioning-invariant and replayable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    (0 until iters).foreach { i =>
+      val seed = baseSeed + 900 + i
+      val rnd = new scala.util.Random(seed)
+      val strata = Seq("view", "click", "purchase", "other").take(2 + rnd.nextInt(3))
+      val pcts = strata.take(1 + rnd.nextInt(strata.size))
+        .map(s => s -> rnd.nextInt(101)).toMap
+      val defaultPct = rnd.nextInt(101)
+      val rows = (0 until 400 + rnd.nextInt(400)).map { j =>
+        (s"id_${rnd.nextInt(100000)}_$j", strata(rnd.nextInt(strata.size)))
+      }
+      val cfg = s"seed=$seed rows=${rows.size} pcts=$pcts default=$defaultPct"
+      info(s"[prop-G] $cfg")
+
+      val df = rows.toDF("id", "stratum")
+      def ids(d: org.apache.spark.sql.DataFrame): Set[String] =
+        graft.operators.Sampling.stratifiedSample(d, "id", "stratum", pcts, defaultPct)
+          .select("id").collect().map(_.getString(0)).toSet
+      val base = ids(df)
+      // identical under ANY physical layout — the 100 TB retry/shuffle story
+      assert(ids(df.repartition(1 + rnd.nextInt(8))) == base,
+        s"[$cfg] sample changed under repartition")
+      assert(ids(df.repartition(3, col("stratum"))) == base,
+        s"[$cfg] sample changed under keyed repartition")
+      assert(ids(df.coalesce(1)) == base, s"[$cfg] sample changed under coalesce")
+
+      // independent replay of hash31(id) % 100 < pct
+      val P31 = 2147483647L
+      val want = rows.filter { case (id, st) =>
+        val h = java.lang.Long.parseLong(md5Hex(id).take(8), 16) % P31
+        (h % 100) < pcts.getOrElse(st, defaultPct)
+      }.map(_._1).toSet
+      assert(base == want,
+        s"[$cfg] sample != md5 replay: missing=${(want -- base).take(3)} " +
+          s"extra=${(base -- want).take(3)}")
+
+      // inverse-probability weights agree with the drawn rates
+      val w = graft.operators.Sampling
+        .stratifiedSampleWeighted(df, "id", "stratum", pcts, defaultPct)
+        .select("stratum", "weight").distinct().collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+      w.foreach { case (st, weight) =>
+        val pct = pcts.getOrElse(st, defaultPct)
+        assert(math.abs(weight - 100.0 / pct) < 1e-12,
+          s"[$cfg] weight for $st = $weight != ${100.0 / pct}")
+      }
     }
   }
 
