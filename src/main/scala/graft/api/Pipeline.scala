@@ -31,6 +31,14 @@ import graft.streaming.SlidingWindows.{AggSpec, RangeMs, RowsN}
   *                                                // measured policy knob —
   *                                                // hdfs wins small state,
   *                                                // rocksdb at volume
+  *   "trigger_ms": 1000,              // optional: explicit trigger cadence
+  *   "freshness_target_ms": 2400,     // optional (r15): target p50
+  *                                    // event→emit freshness; derives the
+  *                                    // trigger interval (target/2, floored
+  *                                    // at the measured knee — see
+  *                                    // [[Pipeline.specTrigger]])
+  *   "trigger_floor_ms": 600,         // optional: a deployment's own
+  *                                    // measured per-trigger fixed floor
   *   "sources": [ { "table_name": "events",
   *                  "schema_json": {"fields":[{"name":"v","type":{"name":"utf8"}}]},
   *                  "event_time_column": "ts",       // optional, streaming
@@ -347,6 +355,40 @@ object Pipeline {
 
   // -- sinks --------------------------------------------------------------
 
+  /** Trigger cadence from the spec (r15 product knob): explicit
+    * `trigger_ms`, or DERIVED from `freshness_target_ms` via the measured
+    * policy in README "Scale notes" — p50 event→emit freshness ≈ 2
+    * trigger periods, so `trigger = target / 2`, floored at the knee
+    * interval 2 × the per-trigger fixed floor (measured ~0.55-0.6 s on
+    * this harness; a deployment that measured its own floor overrides it
+    * with `trigger_floor_ms`). Below the knee an interval buys ~5%
+    * freshness for ~4× throughput (`BENCH_steady_r14_sweep*.json`), so an
+    * unachievable target warns and runs at the knee instead of silently
+    * thrashing. Neither field: ProcessingTime(0), the as-fast-as-possible
+    * harness default.
+    */
+  private[graft] def specTrigger(spec: JsonNode): Trigger = {
+    val explicit = opt(spec, "trigger_ms").map(_.asLong())
+    val target = opt(spec, "freshness_target_ms").map(_.asLong())
+    if (explicit.nonEmpty && target.nonEmpty)
+      sys.error("give either trigger_ms or freshness_target_ms, not both " +
+        "(freshness_target_ms derives the trigger interval)")
+    val floorMs = opt(spec, "trigger_floor_ms").map(_.asLong()).getOrElse(600L)
+    val ms = explicit.orElse(target.map { f =>
+      require(f > 0, s"freshness_target_ms must be > 0, got $f")
+      val knee = 2L * floorMs
+      val derived = f / 2
+      if (derived < knee) {
+        System.err.println(s"[pipeline] freshness_target_ms=$f is below the " +
+          s"efficient envelope (~${4 * floorMs} ms p50 at trigger_floor_ms=" +
+          s"$floorMs): running at the knee interval $knee ms — re-measure " +
+          "the floor or relax the target")
+        knee
+      } else derived
+    }).getOrElse(0L)
+    Trigger.ProcessingTime(ms)
+  }
+
   private def runBatchSink(spark: SparkSession, spec: JsonNode, df: DataFrame): Handle = {
     sinkKind(spec) match {
       case Some(("Parquet", cfg)) =>
@@ -364,7 +406,7 @@ object Pipeline {
   }
 
   private def runStreamSink(spec: JsonNode, df: DataFrame, latenessMs: Long): Handle = {
-    val writer = df.writeStream.trigger(Trigger.ProcessingTime(0))
+    val writer = df.writeStream.trigger(specTrigger(spec))
     sinkKind(spec) match {
       case Some(("Parquet", cfg)) =>
         val path = text(cfg, "path", sys.error("Parquet sink needs path"))
@@ -474,7 +516,7 @@ object Pipeline {
         (s, FeatureStore.upsertBatch(s, keyCol, tsCol) _)
     }
     val q = out.writeStream.outputMode("append")
-      .trigger(Trigger.ProcessingTime(0))
+      .trigger(specTrigger(spec))
       .foreachBatch(upsertFn)
       .start()
     val (buffer, feeder) = liveFeed match {
@@ -490,7 +532,7 @@ object Pipeline {
               lf.valueCols, lf.strCols) _)
         }
         val fq = lf.raw.writeStream.outputMode("append")
-          .trigger(Trigger.ProcessingTime(0))
+          .trigger(specTrigger(spec))
           .foreachBatch(feedFn)
           .start()
         (Some(buf), Some(fq))

@@ -108,6 +108,46 @@ class PipelineApiSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("freshness_target_ms derives the trigger interval; trigger_ms stays explicit; both errors") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import org.apache.spark.sql.streaming.Trigger
+    val mapper = new ObjectMapper()
+    def trig(json: String) = Pipeline.specTrigger(mapper.readTree(json))
+    // explicit cadence passes through
+    assert(trig("""{"trigger_ms": 1500}""") == Trigger.ProcessingTime(1500))
+    // neither field: as-fast-as-possible harness default
+    assert(trig("""{}""") == Trigger.ProcessingTime(0))
+    // the README policy: p50 ≈ 2 trigger periods => trigger = target/2
+    assert(trig("""{"freshness_target_ms": 6000}""") == Trigger.ProcessingTime(3000))
+    // below the knee (2 x floor, default floor 600): clamp, don't thrash
+    assert(trig("""{"freshness_target_ms": 1000}""") == Trigger.ProcessingTime(1200))
+    // a deployment's own measured floor moves the knee
+    assert(trig("""{"freshness_target_ms": 1000, "trigger_floor_ms": 100}""") ==
+      Trigger.ProcessingTime(500))
+    // conflicting knobs fail loudly
+    val e = intercept[RuntimeException](
+      trig("""{"trigger_ms": 1000, "freshness_target_ms": 2000}"""))
+    assert(e.getMessage.contains("either trigger_ms or freshness_target_ms"))
+    // and the derived trigger reaches a REAL streaming query
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val spec = """{
+      "execution_mode": "Streaming",
+      "freshness_target_ms": 6000,
+      "sources": [ { "table_name": "ev_fr", "source": { "Memory": {} } } ],
+      "sql": "SELECT ts_ms, key, value FROM ev_fr",
+      "sink": { "Memory": {"table_name": "fresh_out"} }
+    }"""
+    val handle = Pipeline.runJson(spark, spec,
+      tables = Map("ev_fr" -> mem.toDF().toDF("ts_ms", "key", "value")))
+    try {
+      mem.addData((1L, "a", 1.0))
+      handle.query.get.processAllAvailable()
+      assert(spark.table("fresh_out").count() == 1)
+    } finally handle.stop()
+  }
+
   test("per-operator overrides: parallelism + Window tuning applied, Spark-owned knobs warn-ignored") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
