@@ -302,6 +302,12 @@ object SteadyStream {
       val triggersBefore = progressLog.synchronized(progressLog.size)
       val stateRowsAtStop = progressLog.synchronized(progressLog.toSeq).lastOption
         .map(_.stateOperators.toSeq.map(_.numRowsTotal).sum).getOrElse(0L)
+      // RocksDB runs disable trackTotalNumberOfRows, so numRowsTotal reads
+      // 0 — record cumulative state UPDATES too (the reload-size proxy a
+      // heavy-state RTO claim needs; exact for insert-mostly workloads
+      // like the minhash bucket state)
+      val stateUpdatesBeforeStop = progressLog.synchronized(progressLog.toSeq)
+        .map(_.stateOperators.toSeq.map(_.numRowsUpdated).sum).sum
       // q1 keeps taking triggers between the poll exiting and stop()
       // landing; recompute the REAL remaining backlog from the triggers it
       // actually ran (r14 ADVICE). Zero backlog would leave q2 with no
@@ -351,6 +357,7 @@ object SteadyStream {
         "restart_after_triggers" -> triggersBefore,
         "backlog_triggers" -> (bounds.length - triggersBefore),
         "state_rows_at_stop" -> stateRowsAtStop,
+        "state_updates_before_stop" -> stateUpdatesBeforeStop,
         "first_batch_sec" -> f"$firstBatchSec%.2f".toDouble,
         "rto_sec" -> f"$rtoSec%.2f".toDouble) ++
         exactlyOnce.map(e => Map[String, Any](
