@@ -49,6 +49,58 @@ object Metrics {
     (buf, listener)
   }
 
+  /** Executor-side memory-pressure counters for the spill probe (VERDICT
+    * r14 stretch #9): every steady measurement so far ran with generous
+    * heap, so "the engines spill instead of falling over" was a design
+    * claim, not a record. Accumulated from Spark's own task metrics — the
+    * same numbers the UI's spill columns read — so a capped-heap ladder
+    * can attribute degradation to spill volume rather than guessing. */
+  final class SpillStats {
+    import java.util.concurrent.atomic.AtomicLong
+    val memSpilled = new AtomicLong
+    val diskSpilled = new AtomicLong
+    val peakTaskExecMem = new AtomicLong
+    val tasks = new AtomicLong
+    val tasksSpilled = new AtomicLong
+    val failedTasks = new AtomicLong
+    def snapshot: Map[String, Any] = Map(
+      "heap_max_mb" -> Runtime.getRuntime.maxMemory / (1024 * 1024),
+      "mem_spilled_mb" -> memSpilled.get / (1024 * 1024),
+      "disk_spilled_mb" -> diskSpilled.get / (1024 * 1024),
+      "peak_task_exec_mem_mb" -> peakTaskExecMem.get / (1024 * 1024),
+      "tasks" -> tasks.get,
+      "tasks_spilled" -> tasksSpilled.get,
+      "failed_tasks" -> failedTasks.get)
+  }
+
+  /** Registers a SparkListener that feeds a [[SpillStats]] from task-end
+    * metrics; listener delivery is async — callers snapshot after the
+    * work's actions have completed (the bus drains on SparkContext.stop,
+    * and these are cumulative counters, so a late event only under-counts
+    * a final snapshot taken too early, never corrupts it). */
+  def collectSpill(spark: SparkSession): SpillStats = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val stats = new SpillStats
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        stats.tasks.incrementAndGet()
+        if (!e.taskInfo.successful) { stats.failedTasks.incrementAndGet(); () }
+        val m = e.taskMetrics
+        if (m != null) {
+          stats.memSpilled.addAndGet(m.memoryBytesSpilled)
+          stats.diskSpilled.addAndGet(m.diskBytesSpilled)
+          if (m.memoryBytesSpilled + m.diskBytesSpilled > 0)
+            stats.tasksSpilled.incrementAndGet()
+          var cur = stats.peakTaskExecMem.get
+          while (m.peakExecutionMemory > cur &&
+            !stats.peakTaskExecMem.compareAndSet(cur, m.peakExecutionMemory))
+            cur = stats.peakTaskExecMem.get
+        }
+      }
+    })
+    stats
+  }
+
   /** Waits until the buffer's size has been stable for `quietPolls`
     * consecutive 100 ms polls — the listener bus delivers asynchronously,
     * so tail progress events can land AFTER the query stops; reading

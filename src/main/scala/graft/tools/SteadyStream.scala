@@ -220,6 +220,9 @@ object SteadyStream {
     // too, so a long run would silently evict its EARLIEST real triggers
     // and bias flatness_ratio flat by construction (r13 ADVICE).
     val progressLog = collectProgress(spark)
+    // memory-pressure attribution for the capped-heap ladder (spill probe):
+    // cumulative task spill volume + per-task peak execution memory
+    val spillStats = graft.Metrics.collectSpill(spark)
 
     // latency sink: per emitted batch, count rows per SOURCE FILE (binary
     // search of the order-domain value over slice boundaries — a tool-side
@@ -370,7 +373,8 @@ object SteadyStream {
       .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.last)
     report(workload, provider, sfDir, outJson, triggers, rows,
       (System.nanoTime() - t0) / 1e9,
-      progSnap, emitsDeduped, bounds.map(_._3), restartInfo)
+      progSnap, emitsDeduped, bounds.map(_._3), restartInfo,
+      spillStats.snapshot)
     spark.stop()
   }
 
@@ -392,7 +396,8 @@ object SteadyStream {
                      progRaw: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
                      emits: Seq[(Long, Long, Array[(Int, Long)])],
                      fileCounts: Seq[Long],
-                     restartInfo: Option[Map[String, Any]])
+                     restartInfo: Option[Map[String, Any]],
+                     memory: Map[String, Any])
       : Unit = {
     import scala.jdk.CollectionConverters._
     val rocksdb = provider == "rocksdb"
@@ -494,7 +499,8 @@ object SteadyStream {
       "median_ms" -> (if (sortedD.isEmpty) -1L else sortedD(sortedD.size / 2)),
       "state_rows_final" ->
         recs.lastOption.map(_("state_rows").asInstanceOf[Long]).getOrElse(-1L),
-      "latency_ms" -> latency) ++
+      "latency_ms" -> latency,
+      "memory" -> memory) ++
       restartInfo.map(r => Map[String, Any]("restart" -> r))
         .getOrElse(Map.empty[String, Any])
 

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.SqlFuzz
+
+/** Spark-side pin of the SQL fuzz harness (the DuckDB half runs via
+  * `scripts/sql_fuzz.py`, driver-side tooling): the generator must be
+  * deterministic in its seed — a fuzz failure that can't be replayed is
+  * noise — and every generated query must parse and execute on Spark.
+  * The cross-engine value comparison itself is the committed SQLFUZZ
+  * artifact's job; this spec keeps the generator from drifting silently
+  * between soaks.
+  */
+class SqlFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val pools = {
+    for (t <- SqlFuzz.tables)
+      spark.read.parquet(s"$sfDir/${t.name}.parquet")
+        .createOrReplaceTempView(t.name)
+    SqlFuzz.samplePools(spark, sfDir)
+  }
+
+  test("generation is a pure function of (seedBase, i)") {
+    val a = (0 until 60).map(i => SqlFuzz.gen(i, 42000L, pools))
+    val b = (0 until 60).map(i => SqlFuzz.gen(i, 42000L, pools))
+    assert(a == b)
+    val c = (0 until 60).map(i => SqlFuzz.gen(i, 99000L, pools))
+    // different base must actually move the draws (not all shapes change
+    // every token, but across 60 queries at least most must differ)
+    assert(a.zip(c).count { case ((_, x), (_, y)) => x != y } > 40)
+  }
+
+  test("every generated query parses and executes on Spark") {
+    // one seed base x a modest pool; the soak runs hundreds via the tool
+    (0 until 30).foreach { i =>
+      val (name, sql) = SqlFuzz.gen(i, 42000L, pools)
+      try {
+        val n = spark.sql(sql).count()
+        assert(n >= 0, s"$name returned negative count")
+      } catch {
+        case e: Exception =>
+          fail(s"$name failed (replay seed=${42000L + i}): ${e.getMessage}\n$sql")
+      }
+    }
+  }
+
+  test("ORDER BY is always total and deterministic-by-construction") {
+    // structural guard: every generated query must end in an ORDER BY
+    // over NULLS FIRST keys + LIMIT (the comparability contract the
+    // DuckDB side relies on), and never order by an aggregate alias
+    (0 until 120).foreach { i =>
+      val (name, sql) = SqlFuzz.gen(i, 77000L, pools)
+      assert(sql.contains("ORDER BY") && sql.contains("NULLS FIRST") &&
+        sql.contains("LIMIT"), s"$name missing total order: $sql")
+      val orderClause = sql.substring(sql.lastIndexOf("ORDER BY"))
+      assert(!orderClause.contains("agg_"), s"$name orders by an aggregate: $sql")
+    }
+  }
+}
