@@ -264,7 +264,7 @@ object SqlFuzz {
   def gen(i: Int, seedBase: Long, pools: Pools): (String, String) = {
     val r = new Random(seedBase + i)
     val name = f"fz_$i%04d"
-    val sql = r.nextInt(10) match {
+    val sql = r.nextInt(13) match {
       case s if s <= 3 => // projection + filter over one table
         val t = pick(r, tables)
         val nProj = 1 + r.nextInt(3)
@@ -291,6 +291,36 @@ object SqlFuzz {
         s"SELECT ${keys.map(_.name).mkString(", ")}, ${aggs.map(_._1).mkString(", ")} " +
           s"FROM ${t.name} ${where}GROUP BY ${keys.map(_.name).mkString(", ")} $having" +
           s"ORDER BY ${keys.map(_.name + " NULLS FIRST").mkString(", ")} LIMIT 500"
+      case 10 => // set operation over two filtered projections of one table
+        val t = pick(r, tables)
+        val cols = (t.of(I) ++ t.of(S).filter(c => pools.strVals.contains((t.name, c.name))))
+        val c = pick(r, cols)
+        val op = pick(r, Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+        val p1 = predicate(r, t, "", pools); val p2 = predicate(r, t, "", pools)
+        s"SELECT * FROM (SELECT ${c.name} AS v FROM ${t.name} WHERE $p1 " +
+          s"$op SELECT ${c.name} AS v FROM ${t.name} WHERE $p2) u " +
+          s"ORDER BY v NULLS FIRST LIMIT 500"
+      case 11 => // uncorrelated scalar-subquery predicate
+        val t = pick(r, tables)
+        val nums = t.of(I) ++ t.of(D)
+        val c = pick(r, nums); val c2 = pick(r, nums)
+        val proj = (t.of(I) ++ t.of(S).filter(x => pools.strVals.contains((t.name, x.name))))
+        val pc = pick(r, proj)
+        val op = pick(r, Seq("<", ">", "<=", ">="))
+        s"SELECT ${pc.name} AS k, ${c.name} AS v FROM ${t.name} " +
+          s"WHERE CAST(${c.name} AS DOUBLE) $op (SELECT avg(CAST(${c2.name} AS DOUBLE)) FROM ${t.name}) " +
+          s"ORDER BY k NULLS FIRST, v NULLS FIRST LIMIT 500"
+      case 12 => // EXISTS / NOT EXISTS over an FK edge
+        val (ln, lc, rn, rc) = pick(r, fks)
+        val lt = tbl(ln); val rt = tbl(rn)
+        val ex = if (r.nextBoolean()) "EXISTS" else "NOT EXISTS"
+        val proj = (0 until (1 + r.nextInt(2))).map(_ => pick(r, lt.cols))
+        val projSql = proj.zipWithIndex.map { case (c, k) => s"a.${c.name} AS e_$k" }
+        val aliases = proj.indices.map(k => s"e_$k")
+        val innerPred = predicate(r, rt, "b.", pools)
+        s"SELECT ${projSql.mkString(", ")} FROM $ln a WHERE $ex " +
+          s"(SELECT 1 FROM $rn b WHERE b.$rc = a.$lc AND $innerPred) " +
+          s"ORDER BY ${aliases.map(_ + " NULLS FIRST").mkString(", ")} LIMIT 500"
       case _ => // FK join (inner/left), optionally aggregated
         val (ln, lc, rn, rc) = pick(r, fks)
         val lt = tbl(ln); val rt = tbl(rn)
