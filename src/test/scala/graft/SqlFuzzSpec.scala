@@ -21,7 +21,11 @@ class SqlFuzzSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    // isolated temp-view catalog: this spec registers RAW parquet views
+    // under the shared table names (events.ts as TIMESTAMP, not the
+    // normalized BIGINT-nanos contract view) — in the suite's shared JVM
+    // that would clobber the views every later suite resolves against
+    s.newSession()
   }
 
   private val sfDir = "/root/testdata/sf0.001"
