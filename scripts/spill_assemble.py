@@ -26,22 +26,35 @@ def leg(path):
         r["latency_p50_ms"] = d["latency_ms"].get("p50")
     return r
 
-def ladder(tmpl, heaps):
+# verified death causes, read from each rung's own log by hand before
+# assembling — a missing report file alone does not say WHY a rung has no
+# report (never ran vs timeout-killed vs OOM), so nothing is fabricated
+# for unknown heaps: they are recorded as exactly that
+VERIFIED_DEATHS = {
+    "batch:640m": ("SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY after 29 s "
+                   "(verified in the rung log: execution pool exhausted below "
+                   "one sorter page)"),
+}
+
+def ladder(tmpl, heaps, family=""):
     steps = {}
     for h in heaps:
         l = leg(tmpl.format(h=h))
         if l:
             steps[h] = l
         else:
-            steps[h] = {"outcome": "died (no report written — see death note)"}
+            steps[h] = {"outcome": VERIFIED_DEATHS.get(
+                f"{family}:{h}",
+                "no report written (did not run, timeout, or died — see rung log)")}
             break
     return steps
 
 def batch_leg(h):
     p = f"/tmp/batchspill_{h}.json"
     if not os.path.exists(p):
-        return {"outcome": "SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY "
-                           "(execution pool exhausted below one sorter page)"}
+        return {"outcome": VERIFIED_DEATHS.get(
+            f"batch:{h}",
+            "no report written (did not run, timeout, or died — see rung log)")}
     d = json.load(open(p))
     return {"wall_sec": d["wall_sec"], "rows": d["rows"],
             "groups": d["groups"], "memory": d["memory"]}
@@ -75,8 +88,8 @@ doc = {
                  "48g). RocksDB (off-heap state): completes all 20 triggers "
                  "in a 4g JVM and again in a 2g JVM at the same flat wall — "
                  "the provider crossover, measured at the death point"),
-        "hdfs_4g": {"outcome": "java.lang.OutOfMemoryError: Java heap space after 206 s"},
-        "hdfs_8g": {"outcome": "java.lang.OutOfMemoryError: Java heap space after 570 s"},
+        "hdfs_4g": {"outcome": "java.lang.OutOfMemoryError: Java heap space after 206 s (verified in rung log)"},
+        "hdfs_8g": {"outcome": "java.lang.OutOfMemoryError: Java heap space after 570 s (verified in rung log)"},
         "rocksdb_4g": leg("/tmp/spill10_minhash_rocksdb_4g.json"),
         "rocksdb_2g": leg("/tmp/spill10_minhash_rocksdb_2g.json"),
     },
@@ -89,11 +102,6 @@ doc = {
         "ladder": {h: batch_leg(h) for h in ["8g", "2g", "1g", "640m"]},
     },
 }
-
-for h in ["4g", "2g", "1g", "640m"]:
-    l = leg(f"/tmp/spill10_minhash_rocksdb_{h}.json")
-    if l:
-        doc["streaming_sf10_minhash"]["rocksdb_at_death_heap"] = {h: l}
 
 # death notes from the ladder logs
 for log, key in [("/tmp/spill_sf10b_ladder.log", "streaming_sf10_minhash")]:

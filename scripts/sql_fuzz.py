@@ -61,8 +61,12 @@ def sort_key(row):
     for v in row:
         if v is None:
             out.append((0, ""))
-        elif isinstance(v, float):
-            out.append((1, f"{v:.6e}"))
+        elif isinstance(v, (int, float)) and not isinstance(v, bool):
+            # ONE key format for every numeric: the two engines can return
+            # the same column as int vs float (Decimal->float via norm),
+            # and str(int) sorts lexicographically while floats sort by
+            # exponent form — mixed formats would misalign the multiset
+            out.append((1, f"{float(v):.17e}"))
         else:
             out.append((1, str(v)))
     return out

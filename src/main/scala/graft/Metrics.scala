@@ -101,6 +101,27 @@ object Metrics {
     stats
   }
 
+  /** Minimal JSON serializer for the measurement tools' report maps —
+    * one implementation (string escaping included) instead of a
+    * hand-rolled copy per tool, where the copies had already diverged on
+    * escaping. */
+  def toJson(v: Any): String = v match {
+    case s: String =>
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].toSeq
+        .map { case (k, x) => toJson(k) + ":" + toJson(x) }
+        .mkString("{", ",", "}")
+    case xs: Seq[_] => xs.map(toJson).mkString("[", ",", "]")
+    case x => String.valueOf(x)
+  }
+
   /** Waits until the buffer's size has been stable for `quietPolls`
     * consecutive 100 ms polls — the listener bus delivers asynchronously,
     * so tail progress events can land AFTER the query stops; reading

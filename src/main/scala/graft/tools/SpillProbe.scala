@@ -60,13 +60,7 @@ object SpillProbe {
     Thread.sleep(1500)
     val mem = spill.snapshot
 
-    def j(v: Any): String = v match {
-      case s: String => "\"" + s + "\""
-      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].toSeq
-        .map { case (k, x) => "\"" + k + "\":" + j(x) }.mkString("{", ",", "}")
-      case x => String.valueOf(x)
-    }
-    val out = j(Map[String, Any](
+    val out = graft.Metrics.toJson(Map[String, Any](
       "tool" -> "graft.tools.SpillProbe",
       "sf" -> sfDir,
       "wall_sec" -> f"$wallSec%.1f".toDouble,

@@ -114,8 +114,14 @@ object SqlFuzz {
             (row.getAs[String](s"mn_${c.name}"), row.getAs[String](s"mx_${c.name}")))
       }
       for (c <- t.of(S) if c.name != "text" && c.name != "props") {
+        // exclude values containing a backslash: Spark's default string
+        // literals treat \ as an escape (escapedStringLiterals=false) and
+        // it is also Spark's default LIKE escape char, while DuckDB takes
+        // both literally — a sampled backslash would make the two engines
+        // evaluate DIFFERENT predicates from the same SQL text
         val vals = df.select(col(c.name)).distinct().orderBy(col(c.name))
           .limit(24).collect().map(_.getString(0)).toSeq
+          .filterNot(_.contains("\\"))
         sv += ((t.name, c.name) -> vals)
       }
     }
@@ -215,6 +221,7 @@ object SqlFuzz {
           // LIKE wildcards in the sampled fragment would mean different
           // patterns per engine only if escaping diverged; strip them.
           val clean = frag.replace("%", "").replace("_", "").replace("'", "")
+            .replace("\\", "")
           if (clean.isEmpty) s"length($q${c.name}) > ${r.nextInt(8)}"
           else s"$q${c.name} LIKE ${sqlStr("%" + clean + "%")}"
         })
@@ -281,7 +288,10 @@ object SqlFuzz {
       case s if s <= 6 => // group-by aggregate over one table
         val t = pick(r, tables)
         val keyCols = (t.of(I) ++ t.of(S).filter(c => pools.strVals.contains((t.name, c.name))))
-        val nKeys = 1 + r.nextInt(2)
+        // clamp to the groupable-column count: r.ints(...).distinct() is an
+        // INFINITE stream — asking it for more distinct values than the
+        // domain holds would hang the generator, not error
+        val nKeys = math.min(1 + r.nextInt(2), keyCols.length)
         val keys = r.ints(0, keyCols.length).distinct().limit(nKeys).toArray
           .toSeq.map(keyCols(_))
         val nAgg = 1 + r.nextInt(3)

@@ -504,14 +504,7 @@ object SteadyStream {
       restartInfo.map(r => Map[String, Any]("restart" -> r))
         .getOrElse(Map.empty[String, Any])
 
-    def j(v: Any): String = v match {
-      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      case m: Map[_, _] =>
-        m.asInstanceOf[Map[String, Any]].toSeq
-          .map { case (k, x) => j(k) + ":" + j(x) }.mkString("{", ",", "}")
-      case xs: Seq[_] => xs.map(j).mkString("[", ",", "]")
-      case x => String.valueOf(x)
-    }
+    def j(v: Any): String = graft.Metrics.toJson(v)
     // attribution counters: for the minhash workloads the state-fn
     // profile splits per-trigger growth into comparisons (the LSH
     // verify's algorithmic work — grows as buckets fill) vs state
