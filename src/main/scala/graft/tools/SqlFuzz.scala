@@ -44,27 +44,37 @@ object SqlFuzz {
   case object T extends Kind // timestamp
 
   final case class Col(name: String, kind: Kind)
-  final case class Table(name: String, cols: Seq[Col]) {
+  /** `uniqueKey`: column set that totally orders the table's rows — the
+    * window shapes ORDER BY it inside OVER so ranking/navigation
+    * functions are deterministic (a tie inside a window order is free to
+    * resolve differently per engine without either being wrong). */
+  final case class Table(name: String, cols: Seq[Col], uniqueKey: Seq[String]) {
     def of(k: Kind): Seq[Col] = cols.filter(_.kind == k)
   }
 
   val tables: Seq[Table] = Seq(
-    Table("region", Seq(Col("r_regionkey", I), Col("r_name", S))),
-    Table("nation", Seq(Col("n_nationkey", I), Col("n_name", S), Col("n_regionkey", I))),
+    Table("region", Seq(Col("r_regionkey", I), Col("r_name", S)),
+      Seq("r_regionkey")),
+    Table("nation", Seq(Col("n_nationkey", I), Col("n_name", S), Col("n_regionkey", I)),
+      Seq("n_nationkey")),
     Table("customer", Seq(Col("c_custkey", I), Col("c_name", S), Col("c_nationkey", I),
-      Col("c_acctbal", D), Col("c_mktsegment", S))),
+      Col("c_acctbal", D), Col("c_mktsegment", S)), Seq("c_custkey")),
     Table("supplier", Seq(Col("s_suppkey", I), Col("s_name", S), Col("s_nationkey", I),
-      Col("s_acctbal", D))),
+      Col("s_acctbal", D)), Seq("s_suppkey")),
     Table("part", Seq(Col("p_partkey", I), Col("p_name", S), Col("p_brand", S),
-      Col("p_type", S), Col("p_size", I), Col("p_retailprice", D))),
+      Col("p_type", S), Col("p_size", I), Col("p_retailprice", D)),
+      Seq("p_partkey")),
     Table("orders", Seq(Col("o_orderkey", I), Col("o_custkey", I), Col("o_orderstatus", S),
-      Col("o_totalprice", D), Col("o_orderdate", T), Col("o_orderpriority", S))),
+      Col("o_totalprice", D), Col("o_orderdate", T), Col("o_orderpriority", S)),
+      Seq("o_orderkey")),
     Table("lineitem", Seq(Col("l_orderkey", I), Col("l_partkey", I), Col("l_suppkey", I),
       Col("l_linenumber", I), Col("l_quantity", D), Col("l_extendedprice", D),
       Col("l_discount", D), Col("l_tax", D), Col("l_returnflag", S),
-      Col("l_linestatus", S), Col("l_shipdate", T))),
+      Col("l_linestatus", S), Col("l_shipdate", T)),
+      Seq("l_orderkey", "l_linenumber")),
     Table("events", Seq(Col("event_id", I), Col("ts", T), Col("user_id", I),
-      Col("event_type", S), Col("value", D), Col("props", S)))
+      Col("event_type", S), Col("value", D), Col("props", S)),
+      Seq("event_id"))
   )
   private def tbl(n: String): Table = tables.find(_.name == n).get
 
@@ -88,13 +98,15 @@ object SqlFuzz {
   final case class Pools(
       numRange: Map[(String, String), (Double, Double)],
       tsRange: Map[(String, String), (String, String)],
-      strVals: Map[(String, String), Seq[String]])
+      strVals: Map[(String, String), Seq[String]],
+      uniqueOk: Set[String])
 
   def samplePools(spark: SparkSession, sfDir: String): Pools = {
     import org.apache.spark.sql.functions._
     var num = Map.empty[(String, String), (Double, Double)]
     var ts = Map.empty[(String, String), (String, String)]
     var sv = Map.empty[(String, String), Seq[String]]
+    var uok = Set.empty[String]
     for (t <- tables) {
       val df = spark.read.parquet(s"$sfDir/${t.name}.parquet")
       val numCols = t.of(I) ++ t.of(D)
@@ -124,8 +136,15 @@ object SqlFuzz {
           .filterNot(_.contains("\\"))
         sv += ((t.name, c.name) -> vals)
       }
+      // VERIFY the declared unique key against the data instead of
+      // trusting the schema: the driver's synthetic lineitem violates
+      // real TPC-H's (l_orderkey, l_linenumber) uniqueness, and a
+      // non-unique window order makes ranking/frame results legitimately
+      // engine-dependent — the window shapes only draw tables that pass
+      val dk = df.select(t.uniqueKey.map(col): _*).distinct().count()
+      if (dk == df.count()) uok += t.name
     }
-    Pools(num, ts, sv)
+    Pools(num, ts, sv, uok)
   }
 
   // ---------------------------------------------------------------- exprs
@@ -271,7 +290,7 @@ object SqlFuzz {
   def gen(i: Int, seedBase: Long, pools: Pools): (String, String) = {
     val r = new Random(seedBase + i)
     val name = f"fz_$i%04d"
-    val sql = r.nextInt(13) match {
+    val sql = r.nextInt(15) match {
       case s if s <= 3 => // projection + filter over one table
         val t = pick(r, tables)
         val nProj = 1 + r.nextInt(3)
@@ -331,6 +350,48 @@ object SqlFuzz {
         s"SELECT ${projSql.mkString(", ")} FROM $ln a WHERE $ex " +
           s"(SELECT 1 FROM $rn b WHERE b.$rc = a.$lc AND $innerPred) " +
           s"ORDER BY ${aliases.map(_ + " NULLS FIRST").mkString(", ")} LIMIT 500"
+      case 13 => // ranking / navigation window over the unique-key order
+        val t = pick(r, tables.filter(x => pools.uniqueOk(x.name)))
+        val parts = (t.of(I) ++ t.of(S).filter(c => pools.strVals.contains((t.name, c.name))))
+          .filterNot(c => t.uniqueKey.contains(c.name))
+        val part = if (parts.isEmpty) t.uniqueKey.head else pick(r, parts).name
+        val ord = t.uniqueKey.map(_ + " NULLS FIRST").mkString(", ")
+        val nums = t.of(I) ++ t.of(D)
+        val fn = r.nextInt(6) match {
+          case 0 => "row_number()"
+          case 1 => "rank()"
+          case 2 => "dense_rank()"
+          case 3 => s"ntile(${2 + r.nextInt(4)})"
+          case 4 => s"lag(${pick(r, nums).name}, ${1 + r.nextInt(2)})"
+          case _ => s"lead(${pick(r, nums).name}, ${1 + r.nextInt(2)})"
+        }
+        val where = if (r.nextBoolean()) s"WHERE ${predicate(r, t, "", pools)} " else ""
+        s"SELECT ${t.uniqueKey.mkString(", ")}, $part AS p, " +
+          s"$fn OVER (PARTITION BY $part ORDER BY $ord) AS w FROM ${t.name} " +
+          s"$where" +
+          s"ORDER BY ${t.uniqueKey.map(_ + " NULLS FIRST").mkString(", ")} LIMIT 500"
+      case 14 => // framed aggregate window (ROWS / RANGE over unique order)
+        val t = pick(r, tables.filter(x => pools.uniqueOk(x.name)))
+        val parts = (t.of(I) ++ t.of(S).filter(c => pools.strVals.contains((t.name, c.name))))
+          .filterNot(c => t.uniqueKey.contains(c.name))
+        val part = if (parts.isEmpty) t.uniqueKey.head else pick(r, parts).name
+        val nums = t.of(I) ++ t.of(D)
+        val v = pick(r, nums)
+        val agg = pick(r, Seq("sum", "avg", "min", "max", "count"))
+        // RANGE needs a single numeric order key; ROWS works on the
+        // composite unique key — both orders are total, so deterministic
+        val (frame, ord) =
+          if (r.nextBoolean() && t.uniqueKey.length == 1)
+            (s"RANGE BETWEEN ${1 + r.nextInt(50)} PRECEDING AND CURRENT ROW",
+              s"${t.uniqueKey.head} NULLS FIRST")
+          else
+            (s"ROWS BETWEEN ${r.nextInt(5)} PRECEDING AND ${pick(r, Seq("CURRENT ROW", s"${r.nextInt(3)} FOLLOWING"))}",
+              t.uniqueKey.map(_ + " NULLS FIRST").mkString(", "))
+        val where = if (r.nextBoolean()) s"WHERE ${predicate(r, t, "", pools)} " else ""
+        s"SELECT ${t.uniqueKey.mkString(", ")}, " +
+          s"$agg(CAST(${v.name} AS DOUBLE)) OVER (PARTITION BY $part ORDER BY $ord $frame) AS w " +
+          s"FROM ${t.name} $where" +
+          s"ORDER BY ${t.uniqueKey.map(_ + " NULLS FIRST").mkString(", ")} LIMIT 500"
       case _ => // FK join (inner/left), optionally aggregated
         val (ln, lc, rn, rc) = pick(r, fks)
         val lt = tbl(ln); val rt = tbl(rn)
