@@ -12,9 +12,9 @@ shift || true; shift || true
 BASES=("$@")
 if [ ${#BASES[@]} -eq 0 ]; then BASES=(941 1941 555123 7777 31337 424242); fi
 
-# 10 tests per suite run; per iteration each contributes one drawn config
+# 11 tests per suite run; per iteration each contributes one drawn config
 # (family A runs 2 engines per config, family B runs 4 widths per config)
-FAMILIES=10
+FAMILIES=11
 results="["
 total=0; failed=0
 for base in "${BASES[@]}"; do
@@ -38,7 +38,8 @@ cat > "$OUT" <<EOF
              "C:streaming-dedup-parity", "C2:dedup-cap-stress",
              "D:asof-join-vs-brute", "D2:range-join-vs-cross-filter",
              "E:sessionization-vs-batch-def", "F:kmv-vs-replay",
-             "F2:cms-vs-replay", "G:sampling-invariance"],
+             "F2:cms-vs-replay", "G:sampling-invariance",
+             "H:request-pit-http-vs-asof-oracle"],
 "iters_per_family": $ITERS,
 "total_configs": $total,
 "failed_runs": $failed,

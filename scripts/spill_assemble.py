@@ -41,6 +41,13 @@ def ladder(tmpl, heaps, family=""):
     for h in heaps:
         l = leg(tmpl.format(h=h))
         if l:
+            # a leg JSON existing for a heap we previously hand-verified as
+            # a death means the ladder was re-run and the rung now SURVIVES
+            # — re-emitting the stale death claim would fabricate a record
+            if f"{family}:{h}" in VERIFIED_DEATHS:
+                sys.exit(f"STALE DEATH CLAIM: {family}:{h} has a VERIFIED_DEATHS "
+                         f"entry but a leg report now exists at {tmpl.format(h=h)} "
+                         f"— re-verify the rung log and update VERIFIED_DEATHS")
             steps[h] = l
         else:
             steps[h] = {"outcome": VERIFIED_DEATHS.get(
@@ -55,6 +62,10 @@ def batch_leg(h):
         return {"outcome": VERIFIED_DEATHS.get(
             f"batch:{h}",
             "no report written (did not run, timeout, or died — see rung log)")}
+    if f"batch:{h}" in VERIFIED_DEATHS:
+        sys.exit(f"STALE DEATH CLAIM: batch:{h} has a VERIFIED_DEATHS entry but "
+                 f"a leg report now exists at {p} — re-verify the rung log and "
+                 f"update VERIFIED_DEATHS")
     d = json.load(open(p))
     return {"wall_sec": d["wall_sec"], "rows": d["rows"],
             "groups": d["groups"], "memory": d["memory"]}

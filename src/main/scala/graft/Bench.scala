@@ -127,6 +127,50 @@ object Bench {
     f.delete(); ()
   }
 
+  /** Per-section contamination stamps (VERDICT r15 #3): the global
+    * contaminated flag can pass a run whose contention was concentrated
+    * in one phase (the r15 driver record's 1.63 I/O spike inflated only
+    * the trigger-cadence-bound streaming entries). Each section is
+    * bounded by two calibration checkpoints; its stamp compares the
+    * WORSE of its two boundary scores against the run-start score with
+    * the same gates the global flag uses, so a contended record
+    * self-identifies which numbers to distrust. Returns
+    * (section, cpuRatioWorst, ioRatioWorst, contaminated); sections
+    * whose boundary checkpoints were not sampled (workload-filtered
+    * runs) are omitted rather than guessed. Pure — pinned by
+    * SectionStampSpec on synthetic checkpoint maps replaying the r15
+    * contended record. */
+  def sectionStamps(calib: Map[String, Double], calibIo: Map[String, Double],
+                    bounds: Seq[(String, String, String)])
+      : Seq[(String, Double, Double, Boolean)] =
+    bounds.flatMap { case (name, a, b) =>
+      for {
+        s0 <- calib.get("start"); ca <- calib.get(a); cb <- calib.get(b)
+        i0 <- calibIo.get("start"); ia <- calibIo.get(a); ib <- calibIo.get(b)
+      } yield {
+        val cpuWorst = math.max(ca, cb)
+        val ioWorst = math.max(ia, ib)
+        val bad = MachineHealth.degraded(s0, cpuWorst) ||
+          MachineHealth.ioDegraded(i0, ioWorst)
+        (name, cpuWorst / s0, ioWorst / i0, bad)
+      }
+    }
+
+  /** Catalog entries that ran well above the committed clean reference
+    * but UNDER the 3x outlier-retry gate — the r15 failure band (1.8-2.8x
+    * clean passed every gate). These are distrust labels, not retries:
+    * the ratio lands in the record so a contended run's per-entry
+    * inflation is attributable without re-deriving it from the series.
+    * Pure — pinned by SectionStampSpec. */
+  def suspectEntries(times: Seq[(String, Double)], ref: Map[String, Double],
+                     ratio: Double = 1.8, minOverSec: Double = 1.0)
+      : Seq[(String, Double)] =
+    times.flatMap { case (n, s) =>
+      ref.get(n)
+        .filter(r => r > 0 && s > 0 && s > ratio * r && s - r > minOverSec)
+        .map(r => n -> s / r)
+    }
+
   private def wPercentile(samples: Seq[(Long, Long)], p: Double): Long =
     Metrics.wPercentile(samples, p)
 
@@ -1226,6 +1270,7 @@ object Bench {
         errors("streaming_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
       }
+    checkpoint("after_streaming")
 
     // word-count workload (reference word_count_benchmark.rs:355-400)
     val wordcount =
@@ -1237,6 +1282,7 @@ object Bench {
         errors("wordcount_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
       }
+    checkpoint("after_wordcount")
 
     // request-mode workload (reference window_operator_benchmark.rs:590-625)
     // bracketed by calibration checkpoints: the serving qps claims are
@@ -1408,14 +1454,49 @@ object Bench {
     val outliersJson = outliers.toSeq
       .map { case (k, (f, r)) => jstr(k) + f""":{"first":$f%.3f,"retry":$r%.3f}""" }
       .mkString("{", ",", "}")
-    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"concurrency":$concurrency,"errors":$es,"n_failed":${errors.size},"outliers":$outliersJson,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"cores":$cores},"calibration":$calibJson,"calibration_io":$calibIoJson,"contaminated":$contaminated,"counters":$counters,"sf":"$sfDir"}"""
+    // per-section contamination stamps (VERDICT r15 #3): section = the
+    // phase between two calibration checkpoints; a section missing a
+    // checkpoint (workload-filtered run) is omitted, never guessed
+    val sectionBounds = Seq(
+      ("catalog", "start", "after_catalog"),
+      ("streaming", "after_catalog", "after_streaming"),
+      ("wordcount", "after_streaming", "after_wordcount"),
+      ("request", "before_request", "after_request"),
+      ("tail", "after_request", "end"))
+    val sections = sectionStamps(calib.toMap, calibIo.toMap, sectionBounds)
+    val suspects = suspectEntries(results, refTimes)
+    val sectionsJson = (sections.map { case (n, c, i, bad) =>
+      jstr(n) + f""":{"cpu_ratio":$c%.2f,"io_ratio":$i%.2f,"contaminated":$bad}"""
+    } ++ (if (suspects.isEmpty) Nil
+          else Seq("\"catalog_suspects\":" + suspects
+            .map { case (n, r) => jstr(n) + f":$r%.2f" }
+            .mkString("{", ",", "}"))))
+      .mkString("{", ",", "}")
+    for ((n, _, _, bad) <- sections if bad)
+      System.err.println(s"[bench] section '$n' ran against a degraded " +
+        "calibration boundary — its numbers carry contaminated:true")
+    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"concurrency":$concurrency,"errors":$es,"n_failed":${errors.size},"outliers":$outliersJson,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"cores":$cores},"calibration":$calibJson,"calibration_io":$calibIoJson,"contaminated":$contaminated,"sections":$sectionsJson,"counters":$counters,"sf":"$sfDir"}"""
     println(summary)
     // belt-and-braces: the whole summary also lands in a file that a
     // truncated stdout capture can't damage — in-repo, so the round
     // tooling (which reliably grabs whole files but tails stdout) keeps
     // the per-query record even when the tail window clips the line above
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_local.json")
+    // the OFFICIAL sf0.1 series record is opt-in (VERDICT r15 #2): the
+    // default used to be the tracked BENCH_local.json, so any contract
+    // check at sf0.001 — or the driver's own contended run — silently
+    // overwrote the committed clean series point. Now only
+    // SPARK_GRAFT_BENCH_OFFICIAL=1 (or an explicit _OUT path) can touch
+    // it; everything else lands in /tmp.
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      if (sys.env.get("SPARK_GRAFT_BENCH_OFFICIAL").contains("1"))
+        "/root/repo/BENCH_local.json"
+      else {
+        System.err.println("[bench] non-official run: record written to " +
+          "/tmp/BENCH_local.json (set SPARK_GRAFT_BENCH_OFFICIAL=1 for the " +
+          "tracked series file)")
+        "/tmp/BENCH_local.json"
+      }
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), summary + "\n")
     catch { case _: Throwable => () }
     spark.stop()

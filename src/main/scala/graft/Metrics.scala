@@ -119,6 +119,11 @@ object Metrics {
         .map { case (k, x) => toJson(k) + ":" + toJson(x) }
         .mkString("{", ",", "}")
     case xs: Seq[_] => xs.map(toJson).mkString("[", ",", "]")
+    // NaN/Infinity (e.g. a flatness ratio over an empty duration list)
+    // are not valid JSON tokens — emit null so strict parsers (jq) accept
+    // the committed reports
+    case d: Double if d.isNaN || d.isInfinite => "null"
+    case f: Float if f.isNaN || f.isInfinite => "null"
     case x => String.valueOf(x)
   }
 

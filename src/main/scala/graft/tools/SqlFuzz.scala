@@ -131,9 +131,13 @@ object SqlFuzz {
         // it is also Spark's default LIKE escape char, while DuckDB takes
         // both literally — a sampled backslash would make the two engines
         // evaluate DIFFERENT predicates from the same SQL text
-        val vals = df.select(col(c.name)).distinct().orderBy(col(c.name))
+        // NULL values would NPE the .contains below (ascending order puts
+        // nulls inside the limit-24 window first) and a null reaching
+        // strVals would later NPE sqlStr — drop them at the source
+        val vals = df.select(col(c.name)).filter(col(c.name).isNotNull)
+          .distinct().orderBy(col(c.name))
           .limit(24).collect().map(_.getString(0)).toSeq
-          .filterNot(_.contains("\\"))
+          .filterNot(v => v == null || v.contains("\\"))
         sv += ((t.name, c.name) -> vals)
       }
       // VERIFY the declared unique key against the data instead of
@@ -332,7 +336,12 @@ object SqlFuzz {
       case 11 => // uncorrelated scalar-subquery predicate
         val t = pick(r, tables)
         val nums = t.of(I) ++ t.of(D)
-        val c = pick(r, nums); val c2 = pick(r, nums)
+        // the averaged (threshold) column must be INTEGRAL: integer sums
+        // are exact in double at these scales, so both engines compute a
+        // bit-identical avg — a double avg can differ in the last ulp by
+        // summation association order and flip a row sitting exactly on
+        // the threshold (every table has at least one integral column)
+        val c = pick(r, nums); val c2 = pick(r, t.of(I))
         val proj = (t.of(I) ++ t.of(S).filter(x => pools.strVals.contains((t.name, x.name))))
         val pc = pick(r, proj)
         val op = pick(r, Seq("<", ">", "<=", ">="))
@@ -451,8 +460,10 @@ object SqlFuzz {
       java.nio.file.Paths.get(s"$outDir/fuzz_sql.json"),
       manifest.toString.getBytes("UTF-8"))
     println(s"[fuzz] wrote ${n - failed}/$n queries to $outDir (seedBase=$seedBase)")
-    if (failed > 0) sys.exit(2)
+    // stop BEFORE a failure exit so the listener bus drains and temp dirs
+    // are cleaned instead of relying on JVM shutdown hooks
     spark.stop()
+    if (failed > 0) sys.exit(2)
   }
 
   private def ujsonStr(s: String): String =

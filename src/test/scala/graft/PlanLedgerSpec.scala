@@ -6,25 +6,32 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.plans.PlanFingerprint
 
 /** The physical-plan regression net, generalized from PlanAuditSpec's
-  * hand-picked pins to the WHOLE catalog: every entry's plan fingerprint
-  * (exchanges, join strategies, pushed filters, pruning, codegen spans —
-  * see [[PlanFingerprint]]) must equal the committed `PLANS.json`. The
-  * oracle catches wrong answers; this catches the silently WORSE plan —
-  * an extra shuffle, a broadcast flipping to sort-merge, a pushdown lost
-  * in a refactor — that leaves every value-level check green.
+  * hand-picked pins to the WHOLE catalog at BOTH pinned scales: every
+  * entry's plan fingerprint (exchanges, join strategies, pushed filters,
+  * pruning, codegen spans — see [[PlanFingerprint]]) must equal the
+  * committed `PLANS.json` section for its scale. The oracle catches
+  * wrong answers; this catches the silently WORSE plan — an extra
+  * shuffle, a broadcast flipping to sort-merge, a pushdown lost in a
+  * refactor — that leaves every value-level check green. The sf0.1
+  * section exists because the sf0.001 plans are degenerate (single
+  * partition, everything tiny): a regression that only manifests at real
+  * data sizes — a data-derived strategy crossover picking the wrong arm,
+  * a lost pushdown whose scan is one row at sf0.001 — passes the small
+  * pins and fails here (VERDICT r15 #1).
   *
   * Blessing an intentional change:
   * {{{
-  *   sbt "runMain graft.tools.PlanLedger"   # regenerates PLANS.json
+  *   sbt "runMain graft.tools.PlanLedger"   # regenerates PLANS.json (both scales)
   *   git diff PLANS.json                    # READ it: is each moved field intended?
   *   git commit                             # the diff is the review artifact
   * }}}
   */
 class PlanLedgerSpec extends AnyFunSuite {
 
-  private val dir = "/root/testdata/sf0.001"
+  private val scaleDirs = Seq(
+    "sf0.001" -> "/root/testdata/sf0.001",
+    "sf0.1" -> "/root/testdata/sf0.1")
   private val ledgerPath = "PLANS.json"
-  private def haveData = new java.io.File(dir).isDirectory
   private def haveLedger = new java.io.File(ledgerPath).isFile
 
   private lazy val spark: SparkSession = {
@@ -36,16 +43,26 @@ class PlanLedgerSpec extends AnyFunSuite {
     s
   }
 
-  /** Parse the ledger's per-entry canonical lines. The writer emits one
-    * `"name": {fingerprint}` line per entry (PlanLedger.main), so a
-    * line-scoped parse is exact — no JSON library needed, and a mismatch
-    * report can quote the stored line verbatim.
+  /** Parse the ledger's per-entry canonical lines, section-aware. The
+    * writer emits `"sfX": {` section headers with one `"name": {fp}`
+    * line per entry (PlanLedger.main), so a line-scoped parse is exact —
+    * no JSON library needed, and a mismatch report can quote the stored
+    * line verbatim.
     */
-  private def readLedger(): Map[String, String] = {
-    val line = """^"(q[^"]*)": (\{.*\})(,?)$""".r
-    scala.io.Source.fromFile(ledgerPath).getLines().collect {
-      case line(name, fp, _) => name -> fp
-    }.toMap
+  private def readLedger(): Map[String, Map[String, String]] = {
+    val section = """^"(sf[^"]+)": \{$""".r
+    val entry = """^"(q[^"]*)": (\{.*\})(,?)$""".r
+    var cur = "?"
+    val acc = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, String]]
+    scala.io.Source.fromFile(ledgerPath).getLines().foreach {
+      case section(s) => cur = s
+      case entry(name, fp, _) =>
+        acc.getOrElseUpdate(cur, scala.collection.mutable.Map.empty)
+          .update(name, fp)
+      case _ => ()
+    }
+    acc.view.mapValues(_.toMap).toMap
   }
 
   private def fieldMap(canonical: String): Map[String, String] = {
@@ -59,17 +76,21 @@ class PlanLedgerSpec extends AnyFunSuite {
       }.toMap
   }
 
-  test("every catalog entry's physical-plan fingerprint matches PLANS.json") {
-    assume(haveData, s"no testdata at $dir")
+  private def sweep(scale: String, dir: String): Unit = {
+    assume(new java.io.File(dir).isDirectory, s"no testdata at $dir")
     assume(haveLedger, s"no $ledgerPath ledger committed")
-    val ledger = readLedger()
+    val ledgerAll = readLedger()
+    assume(ledgerAll.contains(scale),
+      s"$ledgerPath has no '$scale' section — bless with " +
+        """sbt "runMain graft.tools.PlanLedger"""")
+    val ledger = ledgerAll(scale)
     val entries = SparkEntry.queries
     val missing = entries.keySet -- ledger.keySet
     val stale = ledger.keySet -- entries.keySet
     assert(missing.isEmpty && stale.isEmpty,
-      s"catalog/ledger key drift — new entries ${missing.toSeq.sorted} / " +
-        s"removed entries ${stale.toSeq.sorted}; bless with " +
-        """sbt "runMain graft.tools.PlanLedger" and review the git diff""")
+      s"catalog/ledger key drift in section $scale — new entries " +
+        s"${missing.toSeq.sorted} / removed entries ${stale.toSeq.sorted}; " +
+        """bless with sbt "runMain graft.tools.PlanLedger" and review the git diff""")
     // an earlier suite's still-persisted frame would let the CacheManager
     // substitute InMemoryRelation into a matching subplan here, making
     // fingerprints order-dependent — sweep from a clean cache (suites run
@@ -91,9 +112,38 @@ class PlanLedgerSpec extends AnyFunSuite {
       }
     }
     assert(diffs.isEmpty,
-      s"${diffs.size} entries drifted from the plan ledger — if intended, " +
-        """bless with sbt "runMain graft.tools.PlanLedger" and review the """ +
-        s"git diff; if not, the refactor lost a plan property:\n" +
+      s"${diffs.size} entries drifted from the $scale plan ledger — if " +
+        """intended, bless with sbt "runMain graft.tools.PlanLedger" and """ +
+        s"review the git diff; if not, the refactor lost a plan property:\n" +
         diffs.mkString("\n"))
+  }
+
+  for ((scale, dir) <- scaleDirs)
+    test(s"every catalog entry's physical-plan fingerprint matches PLANS.json [$scale]") {
+      sweep(scale, dir)
+    }
+
+  test("the net FIRES on a deliberately worse plan (extra exchange)") {
+    // proof the ledger is a live tripwire, not a tautology: inject the
+    // exact regression class it exists to catch — one extra shuffle on a
+    // pinned entry — and assert the fingerprint no longer matches the
+    // committed line, moving on the `exchanges` field specifically
+    val dir = scaleDirs.head._2
+    assume(new java.io.File(dir).isDirectory, s"no testdata at $dir")
+    assume(haveLedger, s"no $ledgerPath ledger committed")
+    val ledger = readLedger()(scaleDirs.head._1)
+    spark.catalog.clearCache()
+    PlanFingerprint.withPinnedConf(spark) {
+      val clean = SparkEntry.queries("q1_agg")(spark, dir)
+      assert(PlanFingerprint.canonicalJson(clean) == ledger("q1_agg"),
+        "precondition: the unperturbed entry must match its pin")
+      val worse = PlanFingerprint.canonicalJson(clean.repartition(7))
+      assert(worse != ledger("q1_agg"),
+        "an extra repartition produced an identical fingerprint — the net is dead")
+      val movedEx = fieldMap(worse)("exchanges") !=
+        fieldMap(ledger("q1_agg"))("exchanges")
+      assert(movedEx, "drift fired but not on the exchanges field: " +
+        s"$worse vs ${ledger("q1_agg")}")
+    }
   }
 }

@@ -804,4 +804,141 @@ class PropertyParitySpec extends AnyFunSuite {
         s"[$cfg] cap stress never overflowed — raise duplication")
     }
   }
+
+  // =====================================================================
+  // Family H: request-path point-in-time lookups vs batch as-of oracle
+  // =====================================================================
+
+  /** Exact plain-Scala as-of oracle for one (key, atTs) draw: same frame
+    * semantics as the engine (RANGE inclusive [at-len, at]; ROWS = last
+    * n+1 rows at/below at) and the SAME left-to-right ts-ordered
+    * accumulation order, so doubles compare EXACTLY — no tolerance hides
+    * a frame-boundary bug. Draws guarantee non-empty frames (atTs sits
+    * on/just after one of the key's events), keeping empty-frame
+    * conventions out of this family's scope. */
+  private def bruteAsOf(evs: Seq[(Long, String, Double, Double, String)],
+                        key: String, atTs: Long,
+                        specs: Seq[AggSpec]): Seq[(String, Double)] = {
+    val rows = evs.filter(e => e._2 == key && e._1 <= atTs).sortBy(_._1)
+    specs.map { s =>
+      val frame = s.frame match {
+        case RangeMs(len) => rows.dropWhile(_._1 < atTs - len)
+        case RowsN(n)     => rows.takeRight(n + 1)
+      }
+      val vs = frame.map(_._3)
+      val v = s.kind match {
+        case "sum"   => vs.foldLeft(0.0)(_ + _)
+        case "count" => vs.length.toDouble
+        case "avg"   => vs.foldLeft(0.0)(_ + _) / vs.length
+        case "min"   => vs.min
+        case "max"   => vs.max
+      }
+      s.name -> v
+    }
+  }
+
+  test("H: random point-in-time HTTP lookups == batch as-of oracle across random key/ts draws") {
+    // the reference's request-path semantics (window_request_operator.rs:
+    // every window aggregate re-evaluated AT the request's virtual point
+    // against buffered rows, never stale by an emission interval): the
+    // live HTTP endpoint, the batch pointInTime plan and an independent
+    // brute-force oracle must agree on random key/ts draws
+    import spark.implicits._
+    val client = java.net.http.HttpClient.newHttpClient()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    (0 until iters).foreach { i =>
+      val seed = baseSeed + 8101 + i
+      val rnd = new scala.util.Random(seed)
+      val evs = genEvents(rnd)
+      val kinds = Seq("sum", "count", "avg", "min", "max")
+      // anchor spec: a RANGE wider than the corpus span so the serving
+      // buffer's horizon trim (2x max range from the newest row) can
+      // never drop a row any draw's frame needs — past-point lookups
+      // stay exact instead of silently evaluating a truncated buffer
+      val specs = AggSpec("f_anchor", kinds(rnd.nextInt(kinds.length)),
+        RangeMs(1500L * 450)) +:
+        (0 until 1 + rnd.nextInt(3)).map { j =>
+          AggSpec(s"f$j", kinds(rnd.nextInt(kinds.length)),
+            if (rnd.nextBoolean()) RangeMs(2000L + rnd.nextInt(60000))
+            else RowsN(1 + rnd.nextInt(40)))
+        }
+      val cfg = s"seed=$seed specs=${specs.map(s => s.kind + ":" + s.frame).mkString(",")}"
+      info(s"[prop-H] $cfg")
+
+      val buf = new graft.serving.ServingBuffer(specs)
+      evs.groupBy(_._2).foreach { case (k, rows) =>
+        buf.append(k, rows.sortBy(_._1).map(r => (r._1, Array(r._3, r._4), Array(r._5))))
+      }
+      val server = new graft.serving.RequestServer(
+        new graft.serving.FeatureStore, live = Some(buf))
+      val port = server.start()
+      try {
+        def lookup(key: String, atTs: Long): (Int, Map[String, Double], Long) = {
+          val resp = client.send(
+            java.net.http.HttpRequest
+              .newBuilder(java.net.URI.create(s"http://localhost:$port/request"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                s"""{"key": "$key", "ts_ms": $atTs}"""))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() != 200) (resp.statusCode(), Map.empty, -1L)
+          else {
+            val root = mapper.readTree(resp.body())
+            val fo = root.get("features")
+            val feats = specs.map(s => s.name -> fo.get(s.name).asDouble()).toMap
+            (200, feats, root.get("ts_ms").asLong())
+          }
+        }
+        // random draws: per atTs candidate, a handful of keys; atTs sits
+        // exactly on one of the key's events or jittered < the smallest
+        // RANGE so every spec's frame is provably non-empty
+        val keys = evs.map(_._2).distinct
+        val draws = (0 until 4).flatMap { _ =>
+          val key = keys(rnd.nextInt(keys.length))
+          val keyEvs = evs.filter(_._2 == key)
+          val e = keyEvs(rnd.nextInt(keyEvs.length))
+          val at = e._1 + (if (rnd.nextBoolean()) 0L else rnd.nextInt(500).toLong)
+          (0 until 2).map { _ =>
+            val k2 = keys(rnd.nextInt(keys.length))
+            val ke2 = evs.filter(e2 => e2._2 == k2 && e2._1 <= at)
+            (k2, at, ke2.nonEmpty)
+          } :+ ((key, at, true))
+        }.distinct
+        for ((key, at, hasRows) <- draws if hasRows) {
+          val (code, got, gotAt) = lookup(key, at)
+          assert(code == 200, s"[$cfg] $key@$at -> HTTP $code")
+          assert(gotAt == at, s"[$cfg] $key@$at answered at $gotAt")
+          val want = bruteAsOf(evs, key, at, specs)
+          for ((n, w) <- want) {
+            assert(java.lang.Double.compare(got(n), w) == 0,
+              s"[$cfg] $key@$at $n: http=${got(n)} brute=$w")
+          }
+        }
+        // the batch as-of plan agrees at each drawn point (per-atTs jobs;
+        // Spark's aggregation order differs, so floats get 1e-9 relative)
+        val df = evs.toDF("ts_ms", "key", "value", "big", "cate")
+        for ((at, group) <- draws.groupBy(_._2)) {
+          val keysAt = group.filter(_._3).map(_._1).distinct
+          if (keysAt.nonEmpty) {
+            val res = graft.serving.RequestServing
+              .pointInTime(df, "key", "ts_ms", "value", specs, at)
+              .collect().map(r => r.getString(0) ->
+                // count comes back LONG, the rest DOUBLE — normalize
+                specs.indices.map(j => r.get(1 + j) match {
+                  case n: Number => n.doubleValue()
+                  case other => fail(s"non-numeric pointInTime cell: $other")
+                })).toMap
+            for (key <- keysAt; ((n, w), j) <- bruteAsOf(evs, key, at, specs).zipWithIndex) {
+              val got = res(key)(j)
+              assert(got == w || math.abs(got - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+                s"[$cfg] batch pointInTime $key@$at $n: spark=$got brute=$w")
+            }
+          }
+        }
+        // unknown key: the reference's empty-batch response -> 404
+        val (code404, _, _) = lookup("no_such_key", evs.head._1)
+        assert(code404 == 404, s"[$cfg] unknown key -> HTTP $code404")
+      } finally server.stop()
+    }
+  }
 }
