@@ -131,7 +131,7 @@ object ClusterBench {
     val worst = clusterTimes.map { case (n, _, cs) => (n, cs / lt(n)._3) }
       .sortBy(-_._2)
     val json =
-      s"""{
+      f"""{
 "tool": "graft.tools.ClusterBench",
 "what": "wall-clock of the top-$topN committed-series entries on local-cluster[2,2,2048] (2 forked executor JVMs, 4 cores) vs local[4] (same cores, 1 JVM); ratio compares STEADY (second) runs so fresh-JVM JIT does not bill to the shuffle path",
 "sf_dir": ${jstr(sfDir)},
