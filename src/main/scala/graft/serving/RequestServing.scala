@@ -99,14 +99,24 @@ object RequestServing {
       case RowsN(n)     => col("__rn") <= n + 1
     }
 
+    // Empty-frame convention matches the ENGINE (SlidingWindows.finish
+    // over a fresh Acc: sum 0.0, count 0, avg/min/max NaN) — SQL
+    // aggregates would return NULL instead, and the two public
+    // point-in-time paths (this plan and the live ServingBuffer /
+    // pointInTimeMulti evalAtPoint path) must not disagree on the same
+    // lookup. Caught by property family H: a key whose last event is
+    // older than a RANGE frame's span has rows at/below the point but an
+    // empty frame. Numeric kinds therefore evaluate to DOUBLE, like
+    // pointInTimeMulti.
     val aggs = specs.map { s =>
       val masked = when(frameCond(s.frame), v)
       (s.kind match {
-        case "sum"   => sum(masked)
+        case "sum"   => coalesce(sum(masked).cast("double"), lit(0.0))
         case "count" => count(masked)
-        case "avg"   => sum(masked).cast("double") / count(masked)
-        case "min"   => min(masked)
-        case "max"   => max(masked)
+        case "avg"   => coalesce(sum(masked).cast("double") / count(masked),
+          lit(Double.NaN))
+        case "min"   => coalesce(min(masked).cast("double"), lit(Double.NaN))
+        case "max"   => coalesce(max(masked).cast("double"), lit(Double.NaN))
         case other   => throw new IllegalArgumentException(
           s"pointInTime supports sum/count/avg/min/max, got $other")
       }).as(s.name)
