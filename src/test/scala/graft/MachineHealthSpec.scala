@@ -2,7 +2,9 @@ package graft
 
 import java.util.concurrent.atomic.AtomicBoolean
 
+import org.scalatest.Retries
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.tagobjects.Retryable
 
 /** The bench's machine-health stamp must actually detect the failure
   * mode it exists for: a box that was idle at start and degraded
@@ -12,13 +14,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * calibration score moves past the contamination gate, then releases
   * the load and asserts the score recovers below it.
   */
-class MachineHealthSpec extends AnyFunSuite {
+class MachineHealthSpec extends AnyFunSuite with Retries {
 
   // small work unit: the spec needs relative movement, not the bench's
   // absolute stability, and 3 calibrations must not dominate suite time
   private val iters = 20000000L
 
-  test("calibration gate fires under synthetic CPU load and clears after") {
+  // wall-clock-sensitive: one transient scheduler/GC hiccup inside the
+  // 16-minute full suite can fail a leg that passes in isolation — the
+  // test retries once before reporting failure (observed flaking exactly
+  // once in an otherwise-green full-suite run)
+  override def withFixture(test: NoArgTest) =
+    if (isRetryable(test)) withRetry { super.withFixture(test) }
+    else super.withFixture(test)
+
+  test("calibration gate fires under synthetic CPU load and clears after",
+      Retryable) {
     // Wall-clock-sensitive: on an already-contended box the "idle"
     // baseline is inflated and the recovery assertion below can fail
     // for reasons unrelated to the code. Skip (don't fail) unless a

@@ -2,7 +2,9 @@ package graft
 
 import java.util.concurrent.atomic.AtomicBoolean
 
+import org.scalatest.Retries
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.tagobjects.Retryable
 
 /** Per-section contamination stamps (VERDICT r15 #3).
   *
@@ -16,7 +18,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * for catalog entries 1.8-3x their committed reference (above 3x the
   * outlier-retry machinery already fires).
   */
-class SectionStampSpec extends AnyFunSuite {
+class SectionStampSpec extends AnyFunSuite with Retries {
+
+  // same retry-once policy as MachineHealthSpec: the real-load leg is
+  // wall-clock-sensitive and a transient hiccup mid-suite must not red
+  // an otherwise-green run
+  override def withFixture(test: NoArgTest) =
+    if (isRetryable(test)) withRetry { super.withFixture(test) }
+    else super.withFixture(test)
 
   private val bounds = Seq(
     ("catalog", "start", "after_catalog"),
@@ -93,7 +102,8 @@ class SectionStampSpec extends AnyFunSuite {
     assert(st.map(_._1) == Seq("catalog"))
   }
 
-  test("stamp fires end-to-end from a REAL synthetic load on one boundary") {
+  test("stamp fires end-to-end from a REAL synthetic load on one boundary",
+      Retryable) {
     // same preconditions as MachineHealthSpec: skip on a box that is
     // already contended (the idle baseline would be inflated)
     val iters = 20000000L
