@@ -9,8 +9,10 @@ import graft.GraftSession
 
 /** Registry-driven fuzz of the STREAMING surface (VERDICT r15 #4) — the
   * companion to [[SqlFuzz]]'s batch sweep: seeded random watermarked
-  * tumbling / sliding / session-window aggregations and stream-stream
-  * interval joins, each executed as a REAL Structured Streaming query
+  * tumbling / sliding / session-window aggregations, stream-stream
+  * interval joins, and allowed-lateness DROP shapes (two-phase arrival;
+  * the oracle replays the strict window_end > watermark absorption rule
+  * q_late_drop pins), each executed as a REAL Structured Streaming query
   * (file source, per-trigger arrival, append mode, flush sentinels) and
   * value-compared against a batch SQL oracle replayed by DuckDB over the
   * same events parquet. Reference semantics under test:
@@ -206,7 +208,60 @@ object StreamFuzz {
       })
     }
 
-    r.nextInt(12) match {
+    r.nextInt(14) match {
+      case f if f >= 12 => // allowed-lateness drops (two-phase arrival)
+        // q_late_drop's deterministic pattern, randomized: the majority
+        // phase lands first and pushes the watermark to max(phase-1 ts)
+        // − delay; the straggler phase then arrives, and the engine
+        // absorbs exactly the stragglers whose window END is strictly
+        // past that watermark (closed windows were already evicted).
+        // Deterministic because phase 2 is written only after phase 1
+        // fully processes, and each phase is ONE file (no intra-phase
+        // watermark movement).
+        val wMs = pick(r, Seq(900000L, 3600000L, 14400000L))
+        val dMs = pick(r, Seq(0L, 3600000L, 86400000L, 604800000L))
+        val m = 2 + r.nextInt(3)
+        val r0 = r.nextInt(m)
+        val keys = pick(r, Seq(Seq(), Seq("user_id"), Seq("event_type")))
+        val outCols = Seq("window_start") ++ keys ++ Seq("n", "s")
+        val oracle =
+          s"""WITH ev AS (SELECT * FROM $evDuck),
+              wm AS (SELECT max(ts_ms) - $dMs AS w FROM ev WHERE event_id % $m <> $r0),
+              kept AS (
+                SELECT * FROM ev WHERE event_id % $m <> $r0
+                UNION ALL
+                SELECT e.* FROM ev e, wm WHERE e.event_id % $m = $r0
+                  AND (e.ts_ms - e.ts_ms % $wMs) + $wMs > wm.w)
+              SELECT (ts_ms - ts_ms % $wMs) AS window_start${keys.map(k => s", $k").mkString},
+                     count(*) AS n, sum(value_c) AS s
+              FROM kept GROUP BY window_start${keys.map(k => s", $k").mkString} ${orderBySql(outCols)}"""
+        Shape(name, oracle, spark => {
+          val root = GraftSession.tempDir(s"graft_sfz_${i}_")
+          val in = spark.sql(evSpark)
+          in.where(s"event_id % $m <> $r0").coalesce(1).write.parquet(s"$root/in")
+          val st = streamFrom(spark, s"$root/in", s"$dMs milliseconds", None)
+          val grouped = st.groupBy(
+            (window(col("ts"), s"${wMs / 1000} seconds") +: keys.map(col)).toSeq: _*)
+            .agg(count(lit(1)).as("n"), sum(col("value_c")).as("s"))
+          val out = grouped
+            .withColumn("window_start", unix_millis(col("window.start")))
+            .select(outCols.map(col).toSeq: _*)
+            .where(col("window_start") < flushCut)
+          val q = out.writeStream.outputMode("append").format("parquet")
+            .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+          try {
+            q.processAllAvailable() // phase 1: wm -> max(phase-1 ts) − delay
+            in.where(s"event_id % $m = $r0").coalesce(1)
+              .write.mode("append").parquet(s"$root/in")
+            q.processAllAvailable() // stragglers: closed windows drop them
+            for (round <- 0 until 2) {
+              writeFlush(spark, s"$root/in", flushTs + round * 1000L)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+          orderedOut(spark.read.schema(out.schema).parquet(s"$root/out"))
+        })
       case f if f <= 3 => // tumbling window aggregate
         val wMs = pick(r, Seq(60000L, 300000L, 900000L, 3600000L, 14400000L))
         val keys = pick(r, Seq(Seq(), Seq("user_id"), Seq("event_type"),
