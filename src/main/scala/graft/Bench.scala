@@ -171,6 +171,41 @@ object Bench {
         .map(r => n -> s / r)
     }
 
+  /** Compact single-line headline emitted as the bench's FINAL stdout
+    * line (VERDICT r16 #1): the driver's per-round artifact keeps only a
+    * 2000-char stdout tail, so the full summary line (a 156-entry queries
+    * map, several thousand chars) has recorded `parsed:null` since r14.
+    * This line carries the totals, the per-section contamination stamps,
+    * the suspect labels, and as many of the heaviest per-entry seconds as
+    * fit under `cap`; the complete record's path rides along in `record`.
+    * Pure — pinned by SectionStampSpec (valid JSON, cap honored at full
+    * catalog size, heaviest entries kept first). */
+  def headline(total: Double, sfDir: String, nEntries: Int, nFailed: Int,
+               contaminated: Boolean,
+               sections: Seq[(String, Double, Double, Boolean)],
+               suspects: Seq[(String, Double)],
+               queries: Seq[(String, Double)],
+               record: String, cap: Int = 1900): String = {
+    def js(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val secJson = sections.map { case (n, c, i, bad) =>
+      js(n) + f""":{"cpu_ratio":$c%.2f,"io_ratio":$i%.2f,"contaminated":$bad}"""
+    }.mkString("{", ",", "}")
+    val susJson = suspects.sortBy(-_._2).take(10)
+      .map { case (n, r) => js(n) + f":$r%.2f" }.mkString("{", ",", "}")
+    val base = f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":${js(sfDir)},"n_entries":$nEntries,"n_failed":$nFailed,"contaminated":$contaminated,"sections":$secJson,"suspects_total":${suspects.size},"suspects":$susJson,"record":${js(record)},"queries_top":"""
+    val entries = queries.filter(_._2 > 0).sortBy(-_._2)
+      .map { case (n, s) => js(n) + f":$s%.3f" }
+    // +3: the "{}" of queries_top and the final "}"
+    val budget = cap - base.length - 3
+    val kept = Seq.newBuilder[String]
+    var used = 0
+    for (e <- entries if used + e.length + 1 <= budget) {
+      kept += e; used += e.length + 1
+    }
+    base + kept.result().mkString("{", ",", "}") + "}"
+  }
+
   private def wPercentile(samples: Seq[(Long, Long)], p: Double): Long =
     Metrics.wPercentile(samples, p)
 
@@ -1162,16 +1197,10 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val qi = txt.indexOf("\"queries\":{")
         // the reference only means anything at the SAME scale factor —
         // a 10x scale run would trip every heavy entry otherwise
-        if (qi < 0 || !txt.contains("\"sf\":" + "\"" + sfDir + "\"")) Map.empty
-        else {
-          val start = qi + "\"queries\":{".length
-          val body = txt.substring(start, txt.indexOf('}', start))
-          "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
+        if (!txt.contains("\"sf\":" + "\"" + sfDir + "\"")) Map.empty
+        else Metrics.parseQueriesMap(txt)
       }
     } catch { case _: Exception => Map.empty }
     val outliers = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
@@ -1270,7 +1299,10 @@ object Bench {
         errors("streaming_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
       }
-    checkpoint("after_streaming")
+    // checkpoint only when the phase actually ran (ADVICE r16): a
+    // workload-filtered run must OMIT the section from the stamps map —
+    // "never guessed" — not stamp an empty phase
+    if (runWorkload("streaming")) checkpoint("after_streaming")
 
     // word-count workload (reference word_count_benchmark.rs:355-400)
     val wordcount =
@@ -1282,7 +1314,7 @@ object Bench {
         errors("wordcount_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
       }
-    checkpoint("after_wordcount")
+    if (runWorkload("wordcount")) checkpoint("after_wordcount")
 
     // request-mode workload (reference window_operator_benchmark.rs:590-625)
     // bracketed by calibration checkpoints: the serving qps claims are
@@ -1499,6 +1531,11 @@ object Bench {
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), summary + "\n")
     catch { case _: Throwable => () }
+    // the LAST stdout line is the compact headline (VERDICT r16 #1): the
+    // driver's round artifact tails 2000 chars of stdout, which clips the
+    // full summary line above — this one is sized to survive the window
+    println(headline(total, sfDir, results.size, errors.size, contaminated,
+      sections, suspects, results, outFile))
     spark.stop()
   }
 }

@@ -127,6 +127,27 @@ object Metrics {
     case x => String.valueOf(x)
   }
 
+  /** Parses the flat `"queries":{name:seconds,...}` map out of a bench
+    * record — the ONE implementation (ADVICE r16: Bench's outlier
+    * reference and ClusterBench's entry selection each carried an ad-hoc
+    * scan-to-first-`}` copy, which silently returns wrong/partial entries
+    * if the record format ever nests an object inside `queries`). Fails
+    * loudly on nesting instead: a format change must break the caller. */
+  def parseQueriesMap(txt: String): Map[String, Double] = {
+    val marker = "\"queries\":{"
+    val qi = txt.indexOf(marker)
+    require(qi >= 0, "bench record has no \"queries\":{ map")
+    val start = qi + marker.length
+    val end = txt.indexOf('}', start)
+    require(end >= 0, "bench record's queries map is unterminated")
+    val body = txt.substring(start, end)
+    require(!body.contains("{"),
+      "queries map is no longer a flat name:seconds object — " +
+        "update Metrics.parseQueriesMap before trusting any parse of it")
+    "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   /** Waits until the buffer's size has been stable for `quietPolls`
     * consecutive 100 ms polls — the listener bus delivers asynchronously,
     * so tail progress events can land AFTER the query stops; reading

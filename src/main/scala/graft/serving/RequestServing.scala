@@ -75,8 +75,10 @@ object RequestServing {
 
   /** @param atTs the virtual point (event-time ms): features as of `atTs`.
     * @return one row per key: keyCol + one column per spec.
-    *         sum/min/max preserve the value column's type, count is LONG,
-    *         avg is DOUBLE (sum/count — exact when values are integers).
+    *         Every numeric kind evaluates to DOUBLE (the aggregate is
+    *         cast and coalesced with the engine's empty-frame value — the
+    *         pointInTimeMulti convention, so the two public point-in-time
+    *         paths agree on the same lookup); count stays LONG.
     */
   def pointInTime(df: DataFrame, keyCol: String, tsMsCol: String,
                   valueCol: String, specs: Seq[AggSpec], atTs: Long,

@@ -44,12 +44,9 @@ object ClusterBench {
 
   private def topEntries(refPath: String, n: Int): Seq[(String, Double)] = {
     val txt = new String(Files.readAllBytes(Paths.get(refPath)), StandardCharsets.UTF_8)
-    val qi = txt.indexOf("\"queries\":{")
-    require(qi >= 0, s"$refPath has no queries map")
-    val body = txt.substring(qi + "\"queries\":{".length,
-      txt.indexOf('}', qi + "\"queries\":{".length))
-    "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    // shared parser (ADVICE r16): fails loudly if the record format ever
+    // nests an object inside `queries`, instead of selecting wrong entries
+    graft.Metrics.parseQueriesMap(txt).toSeq
       .filter(_._2 > 0).sortBy(-_._2).take(n)
   }
 

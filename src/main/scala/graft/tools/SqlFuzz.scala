@@ -2,7 +2,7 @@ package graft.tools
 
 import java.util.Random
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.GraftSession
 
@@ -101,6 +101,25 @@ object SqlFuzz {
       strVals: Map[(String, String), Seq[String]],
       uniqueOk: Set[String])
 
+  /** Distinct sampled values for a string predicate pool.
+    *
+    * NULLs are dropped at the source (ADVICE r16: ascending order puts
+    * nulls inside the limit-24 window first, and one null reaching
+    * strVals NPE'd `sqlStr` — taking down the whole fuzz run, not one
+    * query). Backslash values are dropped too: Spark's default string
+    * literals treat \ as an escape (escapedStringLiterals=false) and it
+    * is Spark's default LIKE escape char, while DuckDB takes both
+    * literally — a sampled backslash would make the two engines evaluate
+    * DIFFERENT predicates from the same SQL text. Pinned by SqlFuzzSpec
+    * on a frame engineered to put nulls + backslashes in the window. */
+  def stringPool(df: DataFrame, colName: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(colName)).filter(col(colName).isNotNull)
+      .distinct().orderBy(col(colName))
+      .limit(24).collect().map(_.getString(0)).toSeq
+      .filterNot(v => v == null || v.contains("\\"))
+  }
+
   def samplePools(spark: SparkSession, sfDir: String): Pools = {
     import org.apache.spark.sql.functions._
     var num = Map.empty[(String, String), (Double, Double)]
@@ -125,21 +144,8 @@ object SqlFuzz {
           ts += ((t.name, c.name) ->
             (row.getAs[String](s"mn_${c.name}"), row.getAs[String](s"mx_${c.name}")))
       }
-      for (c <- t.of(S) if c.name != "text" && c.name != "props") {
-        // exclude values containing a backslash: Spark's default string
-        // literals treat \ as an escape (escapedStringLiterals=false) and
-        // it is also Spark's default LIKE escape char, while DuckDB takes
-        // both literally — a sampled backslash would make the two engines
-        // evaluate DIFFERENT predicates from the same SQL text
-        // NULL values would NPE the .contains below (ascending order puts
-        // nulls inside the limit-24 window first) and a null reaching
-        // strVals would later NPE sqlStr — drop them at the source
-        val vals = df.select(col(c.name)).filter(col(c.name).isNotNull)
-          .distinct().orderBy(col(c.name))
-          .limit(24).collect().map(_.getString(0)).toSeq
-          .filterNot(v => v == null || v.contains("\\"))
-        sv += ((t.name, c.name) -> vals)
-      }
+      for (c <- t.of(S) if c.name != "text" && c.name != "props")
+        sv += ((t.name, c.name) -> stringPool(df, c.name))
       // VERIFY the declared unique key against the data instead of
       // trusting the schema: the driver's synthetic lineitem violates
       // real TPC-H's (l_orderkey, l_linenumber) uniqueness, and a

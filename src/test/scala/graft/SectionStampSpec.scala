@@ -102,6 +102,51 @@ class SectionStampSpec extends AnyFunSuite with Retries {
     assert(st.map(_._1) == Seq("catalog"))
   }
 
+  // ---- compact headline (VERDICT r16 #1) -------------------------------
+
+  private val fullCatalog: Seq[(String, Double)] =
+    (1 to 156).map(i => f"q_entry_with_a_realistic_name_$i%03d" -> (0.1 + i * 0.05))
+  private val fiveSections = Seq(
+    ("catalog", 1.0, 1.2, false), ("streaming", 1.01, 1.1, false),
+    ("wordcount", 0.99, 1.0, false), ("request", 1.02, 1.54, false),
+    ("tail", 0.96, 1.12, false))
+  private val twelveSuspects =
+    (1 to 12).map(i => f"q_suspect_entry_name_$i%02d" -> (1.8 + i * 0.3))
+
+  test("headline fits the driver's 2000-char stdout tail at full catalog size") {
+    val h = Bench.headline(133.2, "/root/testdata/sf0.1", 156, 0, false,
+      fiveSections, twelveSuspects, fullCatalog, "/tmp/BENCH_local.json")
+    assert(h.length <= 1900, s"headline ${h.length} chars blows the tail window")
+    assert(!h.contains("\n"))
+  }
+
+  test("headline is valid JSON carrying totals, stamps, suspects, heaviest entries") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val h = Bench.headline(133.2, "/root/testdata/sf0.1", 156, 2, true,
+      fiveSections, twelveSuspects, fullCatalog, "/root/repo/BENCH_local.json")
+    val j = JsonMethods.parse(h) // throws on malformed JSON
+    assert((j \ "metric") == JString("total"))
+    assert((j \ "n_entries") == JInt(156) && (j \ "n_failed") == JInt(2))
+    assert((j \ "contaminated") == JBool(true))
+    assert((j \ "suspects_total") == JInt(12))
+    val secs = (j \ "sections").asInstanceOf[JObject].obj.map(_._1)
+    assert(secs == List("catalog", "streaming", "wordcount", "request", "tail"))
+    // the heaviest catalog entry must be the FIRST thing trimmed-for, so
+    // whatever subset fits always includes it
+    val top = (j \ "queries_top").asInstanceOf[JObject].obj.map(_._1)
+    assert(top.head == "q_entry_with_a_realistic_name_156")
+    assert(top.nonEmpty && top.size < 156) // genuinely trimmed
+  }
+
+  test("headline survives pathological inputs (no sections, empty run, quotes in sf)") {
+    import org.json4s.jackson.JsonMethods
+    val h = Bench.headline(0.0, "/tmp/weird\"dir", 0, 0, false,
+      Nil, Nil, Nil, "/tmp/out.json")
+    JsonMethods.parse(h)
+    assert(h.length < 400)
+  }
+
   test("stamp fires end-to-end from a REAL synthetic load on one boundary",
       Retryable) {
     // same preconditions as MachineHealthSpec: skip on a box that is

@@ -61,6 +61,19 @@ class SqlFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("string pools drop NULLs and backslash values at the source (r16 NPE pin)") {
+    // the r16 failure: ascending distinct order put NULLs inside the
+    // limit-24 window, one reached strVals, and sqlStr NPE'd — killing
+    // the whole fuzz run. Engineer exactly that window shape.
+    import spark.implicits._
+    val df = Seq[Option[String]](None, None, Some("AAA"), Some("a\\b"),
+      Some("BUILDING"), None, Some("zz")).toDF("s")
+    val pool = SqlFuzz.stringPool(df, "s")
+    assert(pool == Seq("AAA", "BUILDING", "zz"), pool.toString)
+    // and every pooled value must round-trip the literal quoter (the NPE site)
+    pool.foreach { v => assert(v != null); spark.sql(s"SELECT '${v.replace("'", "''")}'") }
+  }
+
   test("ORDER BY is always total and deterministic-by-construction") {
     // structural guard: every generated query must end in an ORDER BY
     // over NULLS FIRST keys + LIMIT (the comparability contract the
