@@ -17,6 +17,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // global state-store provider knob (VERDICT r16 #5): the per-round
+    // RocksDB sweep (scripts/rocksdb_sweep.sh) re-runs every streaming
+    // catalog entry with the 100TB scale-path provider forced at session
+    // level — entries that snapshot/restore the state confs restore to
+    // THIS value, so it stays in force across the whole sweep
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      graft.streaming.StateStoreConf.setRocksDb(spark)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_CONF_CHECK=1: assert EVERY catalog entry leaves the
     // session conf exactly as it found it (the full-catalog version of

@@ -1,0 +1,279 @@
+package graft.tools
+
+import java.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.GraftSession
+import graft.api.Pipeline
+import graft.streaming.SlidingWindows
+
+/** Randomized fuzz of the pipeline-spec JSON front-end (VERDICT r16 #7):
+  * `api.Pipeline` is the one user-facing surface with no randomized
+  * layer — its unit tests pin a handful of hand-written specs. This tool
+  * generates seeded random spec DOCUMENTS (source kinds × execution
+  * modes × SQL shapes × window/agg blocks × sink kinds × knobs), runs
+  * each through `Pipeline.runJson` as a REAL query, and value-compares
+  * the result against the same SQL evaluated by Catalyst on the same
+  * rows in plain batch mode — batch-vs-streaming answer parity on a
+  * generated query, the same oracle discipline as the spec's own tests
+  * (reference front-end: `src/api/spec/pipeline.rs:33-55`,
+  * `src/api/compiler.rs:79-130`).
+  *
+  * Shapes: stateless projection+filter (append mode), grouped aggregate
+  * (complete mode, memory sink), and per-row OVER windows (RANGE/ROWS
+  * frames) compiled into the sliding-window engine (tws or fmgws), fed
+  * out of order within a covering allowed-lateness and closed with the
+  * two-round FLUSH_TS protocol. Sources alternate MemoryStream and a
+  * streaming parquet directory; sinks alternate memory and parquet.
+  *
+  * Determinism: each document derives from `new Random(seedBase + i)`
+  * alone; a failure replays from its printed (seedBase, i). Values are
+  * quarter-integers so sums are exact; cells compare with a 1e-6
+  * relative tolerance (engine fold order vs Catalyst frame order differ
+  * at the ulp).
+  *
+  * Usage: runMain graft.tools.PipelineFuzz <outJson> [n] [seedBase]
+  */
+object PipelineFuzz {
+
+  private def tol(a: Double, b: Double): Boolean =
+    (a.isNaN && b.isNaN) || a == b ||
+      math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  private def rowsEqual(got: Seq[Seq[Any]], want: Seq[Seq[Any]]): Option[String] = {
+    if (got.length != want.length)
+      return Some(s"rows ${got.length} vs ${want.length}")
+    def key(r: Seq[Any]): String = r.map {
+      case d: Double => f"$d%.4f"
+      case x => String.valueOf(x)
+    }.mkString("|")
+    val g = got.sortBy(key)
+    val w = want.sortBy(key)
+    g.zip(w).zipWithIndex.foreach { case ((a, b), i) =>
+      a.zip(b).foreach {
+        case (x: Double, y: Double) =>
+          if (!tol(x, y)) return Some(s"row $i: $x vs $y (${key(a)} / ${key(b)})")
+        case (x, y) =>
+          if (x != y) return Some(s"row $i: $x vs $y")
+      }
+    }
+    None
+  }
+
+  private def collect(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  /** One generated document + its oracle + how to drive it. */
+  private final case class Doc(
+      spec: String,
+      sql: String,
+      shape: String,
+      feed: (Pipeline.Handle, SparkSession) => Unit, // arrival + flush protocol
+      read: SparkSession => DataFrame)
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("PIPELINE_FUZZ_r17.json")
+    val n = args.lift(1).map(_.toInt).getOrElse(120)
+    val seedBase = args.lift(2).map(_.toLong).getOrElse(73000L)
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val shapes = scala.collection.mutable.Map.empty[String, Int]
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    for (i <- 0 until n) {
+      val r = new Random(seedBase + i)
+      val view = s"pf_in_$i"
+      val outName = s"pf_out_$i"
+
+      // ---- deterministic rows: ts strictly increasing, quarter values --
+      val nRows = 80 + r.nextInt(160)
+      val nKeys = 1 + r.nextInt(4)
+      val base = 1704067200000L
+      var ts = base
+      val rows = (0 until nRows).map { _ =>
+        ts += 1 + r.nextInt(5000)
+        (ts, s"k${r.nextInt(nKeys)}", r.nextInt(1000) / 4.0)
+      }
+      val spanMs = rows.last._1 - base
+
+      // ---- knobs -------------------------------------------------------
+      val srcKind = if (r.nextBoolean()) "Memory" else "Parquet"
+      val sinkMem = r.nextBoolean()
+      val engine = if (r.nextBoolean()) "tws" else "fmgws"
+      val lateness = spanMs + 3600000L
+      val gran = Seq(1000L, 5000L, 60000L, 600000L)(r.nextInt(4))
+      val withCoarse = r.nextInt(3) == 0
+      val parallelism = 1 + r.nextInt(4)
+      val provider = r.nextInt(3) match {
+        case 0 => """"state_store_provider": "rocksdb","""
+        case 1 => """"state_store_provider": "hdfs","""
+        case _ => ""
+      }
+
+      val root = GraftSession.tempDir(s"graft_pfz_${i}_")
+      val keys = rows.map(_._2).distinct
+
+      // ---- SQL shape -----------------------------------------------------
+      val shapeKind = r.nextInt(6)
+      val (sql, shapeName, needsFlush, outputMode) = shapeKind match {
+        case 0 | 1 => // stateless projection + filter
+          val cut = r.nextInt(1000) / 4.0
+          val op = if (r.nextBoolean()) ">" else "<="
+          (s"SELECT ts_ms, key, value * 2 AS v2 FROM $view WHERE value $op $cut",
+            "stateless", false, "append")
+        case 2 => // grouped aggregate, complete mode
+          val aggs = Seq("count(*) AS n", "sum(value) AS s", "min(value) AS mn",
+            "max(value) AS mx", "avg(value) AS av")
+          val k = 1 + r.nextInt(3)
+          val chosen = r.ints(0, aggs.length).distinct().limit(k)
+            .toArray.toSeq.sorted.map(aggs)
+          (s"SELECT key, ${chosen.mkString(", ")} FROM $view GROUP BY key",
+            "grouped", false, "complete")
+        case _ => // OVER windows through the sliding-window engine
+          val kinds = Seq("sum", "avg", "min", "max", "count", "stddev_samp")
+          val nAgg = 1 + r.nextInt(2)
+          val aggs = (0 until nAgg).map { a =>
+            val kind = kinds(r.nextInt(kinds.length))
+            val frame =
+              if (r.nextBoolean())
+                s"RANGE BETWEEN ${(1 + r.nextInt(120)) * 60000L} PRECEDING AND CURRENT ROW"
+              else s"ROWS BETWEEN ${1 + r.nextInt(80)} PRECEDING AND CURRENT ROW"
+            s"$kind(value) OVER (PARTITION BY key ORDER BY ts_ms $frame) AS w_$a"
+          }
+          (s"SELECT ts_ms, key, ${aggs.mkString(", ")} FROM $view",
+            s"over_$engine", true, "append")
+      }
+
+      // ---- source + sink blocks ----------------------------------------
+      val mem =
+        if (srcKind == "Memory") Some(MemoryStream[(Long, String, Double)])
+        else None
+      if (srcKind == "Parquet") {
+        // data first; flush files appended AFTER the query starts
+        rows.toDF("ts_ms", "key", "value").coalesce(1).write.parquet(s"$root/in")
+      }
+      val srcJson =
+        if (srcKind == "Memory") s"""{ "table_name": "$view", "source": { "Memory": {} } }"""
+        else s"""{ "table_name": "$view", "source": { "Parquet": {"path": "$root/in"} } }"""
+      val sinkJson =
+        if (sinkMem) s"""{ "Memory": {"table_name": "$outName", "output_mode": "$outputMode"} }"""
+        else s"""{ "Parquet": {"path": "$root/out"} }"""
+      // complete mode needs the memory sink; parquet sinks are append-only
+      val sink = if (outputMode == "complete")
+        s"""{ "Memory": {"table_name": "$outName", "output_mode": "complete"} }"""
+      else sinkJson
+      val coarseJson =
+        if (withCoarse && needsFlush)
+          s""""operator_overrides": { "defaults": { "tuning": { "Window": {
+              "tiling": { "granularities_ms": [$gran, ${gran * 4}] } } } } },"""
+        else ""
+      val spec = s"""{
+        "execution_mode": "Streaming",
+        "engine": "$engine",
+        "parallelism": $parallelism,
+        $provider
+        $coarseJson
+        "event_time": { "window": {"allowed_lateness_ms": $lateness} },
+        "window": { "tile_granularity_ms": $gran },
+        "sources": [ $srcJson ],
+        "sql": ${jsonStr(sql)},
+        "sink": $sink
+      }"""
+
+      // ---- run streaming, feed out of order, flush, read back ----------
+      val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val savedState = graft.streaming.StateStoreConf.snapshot(spark)
+      val outcome: Option[String] =
+        try {
+          val tables = mem.map(m => Map(view -> m.toDF().toDF("ts_ms", "key", "value")))
+            .getOrElse(Map.empty[String, DataFrame])
+          val handle = Pipeline.runJson(spark, spec, tables)
+          try {
+            val q = handle.query.get
+            mem match {
+              case Some(m) =>
+                val shuffled = {
+                  val a = scala.collection.mutable.ArrayBuffer(rows: _*)
+                  // Fisher-Yates off the shape's own Random
+                  for (j <- a.indices.reverse.dropRight(1)) {
+                    val k = r.nextInt(j + 1); val t = a(j); a(j) = a(k); a(k) = t
+                  }
+                  a.toSeq
+                }
+                shuffled.grouped(50).foreach { b => m.addData(b: _*); q.processAllAvailable() }
+                if (needsFlush) {
+                  m.addData(keys.map(k => (SlidingWindows.FLUSH_TS, k, 0.0)): _*)
+                  q.processAllAvailable()
+                  m.addData((SlidingWindows.FLUSH_TS, keys.head, 0.0))
+                  q.processAllAvailable()
+                }
+              case None =>
+                q.processAllAvailable()
+                if (needsFlush) {
+                  keys.map(k => (SlidingWindows.FLUSH_TS, k, 0.0))
+                    .toDF("ts_ms", "key", "value")
+                    .coalesce(1).write.mode("append").parquet(s"$root/in")
+                  q.processAllAvailable()
+                  Seq((SlidingWindows.FLUSH_TS, keys.head, 0.0))
+                    .toDF("ts_ms", "key", "value")
+                    .coalesce(1).write.mode("append").parquet(s"$root/in")
+                  q.processAllAvailable()
+                }
+            }
+            val got = collect(
+              if (sink.contains("Memory")) spark.table(outName)
+              else spark.read.parquet(s"$root/out"))
+            // oracle: the same SQL on the same rows, plain Catalyst batch
+            rows.toDF("ts_ms", "key", "value").createOrReplaceTempView(view)
+            val want = collect(spark.sql(sql))
+            rowsEqual(got, want)
+          } finally handle.stop()
+        } catch {
+          case e: Exception =>
+            Some(s"exception: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(300)}")
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+          graft.streaming.StateStoreConf.restore(spark, savedState)
+        }
+
+      shapes(shapeName) = shapes.getOrElse(shapeName, 0) + 1
+      outcome match {
+        case Some(err) =>
+          failures += s"pf_$i (seed=${seedBase + i}, $shapeName, src=$srcKind): $err"
+          println(s"[pfz] FAIL pf_$i seed=${seedBase + i} $shapeName src=$srcKind sink=${if (sinkMem) "mem" else "parquet"}: $err")
+        case None =>
+          if (i % 10 == 0)
+            println(s"[pfz] pf_$i ok  $shapeName src=$srcKind")
+      }
+    }
+
+    val report = graft.Metrics.toJson(Map(
+      "tool" -> "graft.tools.PipelineFuzz",
+      "what" -> ("random pipeline-spec JSON documents through api.Pipeline.runJson " +
+        "(source kinds x SQL shapes x window/agg blocks x sink kinds x knobs), " +
+        "streaming result value-compared against the same SQL on Catalyst batch"),
+      "n" -> n,
+      "seed_base" -> seedBase,
+      "shapes" -> shapes.toMap.map { case (k, v) => k -> (v: Any) },
+      "n_failed" -> failures.length,
+      "failures" -> failures.toSeq))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), report + "\n")
+    println(s"[pfz] ${n - failures.length}/$n green -> $outJson")
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(2)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

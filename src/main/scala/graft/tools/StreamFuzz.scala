@@ -41,7 +41,8 @@ import graft.GraftSession
   * parquet + `outDir/fuzz_sql.json` — so `scripts/sql_fuzz.py` replays
   * and compares unchanged.
   *
-  * Usage: runMain graft.tools.StreamFuzz <sfDir> <outDir> [n] [seedBase]
+  * Usage: runMain graft.tools.StreamFuzz <sfDir> <outDir> [n] [seedBase] [family]
+  * where family = mixed (default) | ooo (out-of-order arrival family).
   */
 object StreamFuzz {
 
@@ -81,19 +82,40 @@ object StreamFuzz {
       oracle: String,
       run: SparkSession => DataFrame)
 
+  /** Writes each slice into `dir` as one appended parquet file, then
+    * pins every new file's modification time to a strictly increasing
+    * (past) stamp, 2 s apart per slice. The file source replays files in
+    * mtime order; without the stamps, two slices landing inside the same
+    * filesystem timestamp granularity could be consumed out of order,
+    * and with a `0 seconds` watermark delay that drops rows the batch
+    * oracle keeps — a flaky false-failure mode (ADVICE r16). Sentinel
+    * files appended later keep their natural (newer) mtimes. */
+  private def writeOrderedSlices(slices: Seq[DataFrame], dir: String): Unit = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    val base = System.currentTimeMillis() - (slices.length + 2) * 2000L
+    slices.zipWithIndex.foreach { case (df, j) =>
+      df.coalesce(1).write.mode("append").parquet(dir)
+      val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      files.filter(f => f.isFile && !seen(f.getName)).foreach { f =>
+        require(f.setLastModified(base + j * 2000L),
+          s"could not pin mtime of ${f.getName} — slice arrival order would be FS-granularity luck")
+        seen += f.getName
+      }
+    }
+  }
+
   /** Writes `df` into `dir` as `k` contiguous event-time slices (one
-    * parquet file each, written oldest-slice first so the file source's
+    * parquet file each, oldest slice stamped oldest so the file source's
     * modification-time order replays arrival in event-time order). */
   private def writeStaged(df: DataFrame, dir: String, k: Int): Unit = {
     if (k <= 1) { df.orderBy("ts_ms", "event_id").coalesce(1).write.parquet(dir); return }
     val n = df.count()
     val w = org.apache.spark.sql.expressions.Window.orderBy("ts_ms", "event_id")
     val rn = df.withColumn("rn", row_number().over(w))
-    for (j <- 0 until k) {
+    writeOrderedSlices((0 until k).map { j =>
       val lo = j * n / k; val hi = (j + 1) * n / k
       rn.where(col("rn") > lo && col("rn") <= hi).drop("rn")
-        .coalesce(1).write.mode("append").parquet(dir)
-    }
+    }, dir)
   }
 
   /** A sentinel row matching `dir`'s schema with the given event time —
@@ -388,11 +410,93 @@ object StreamFuzz {
     }
   }
 
+  /** Out-of-order arrival family (VERDICT r16 #4): the mixed corpus
+    * writes event-time-ordered slices, so no row is ever late by
+    * construction and lateness was covered only by the deterministic
+    * two-phase drop family. Here rows are dealt into k (3..5) slices by
+    * `(event_id + off) % k` — modulo classes interleave arbitrarily with
+    * event time, so every slice after the first carries genuinely late
+    * rows — and the watermark-drop oracle is derived from the ACTUAL
+    * delivery schedule (the technique PropertyParitySpec family A uses):
+    * each slice is one file, `maxFilesPerTrigger=1` makes each file its
+    * own micro-batch, and the watermark that filters LATE EVENTS in
+    * batch j is the max event time of batches 0..j-2 minus the delay
+    * (monotone, floored at the initial 0) — one batch BEHIND the
+    * eviction watermark. That lag is Spark's two-watermark split
+    * (late-record filtering uses the previous batch's published
+    * watermark), measured directly by WatermarkLagProbe: a row whose
+    * window end was far below the just-advanced watermark still lands
+    * if it arrives in the very next batch. A row survives iff its
+    * window END is strictly past that late-filter watermark — the
+    * absorption rule `q_late_drop` pins; reference semantics
+    * `window_operator.rs:310-336`. (No double-emission is possible
+    * under the lag: re-opening an already-emitted window at batch j
+    * needs we > lateWM_j >= evictionWM_m >= we for the emitting batch
+    * m < j — a contradiction — so grouping kept rows by window is the
+    * complete output model.) The schedule's per-slice max-ts is
+    * computed at generation time and baked into the oracle as a CASE
+    * over the slice expression, so DuckDB replays the exact drop set
+    * without a streaming model. */
+  private def oooShape(spark: SparkSession, i: Int, seedBase: Long,
+                       pools: SqlFuzz.Pools, evT: SqlFuzz.Table): Shape = {
+    val r = new Random(seedBase + i)
+    val name = f"fzo_$i%04d"
+    val k = 3 + r.nextInt(3)
+    val off = r.nextInt(k)
+    val wMs = pick(r, Seq(300000L, 900000L, 3600000L, 14400000L))
+    val dMs = pick(r, Seq(0L, 60000L, 3600000L, 86400000L))
+    val keys = pick(r, Seq(Seq.empty[String], Seq("user_id"), Seq("event_type")))
+    val aggs = pickAggs(r)
+    // the optional predicate applies BATCH-SIDE, before slicing: both
+    // engines then see the same row set, and the watermark schedule is
+    // computed from exactly the rows that will arrive (a stream-side
+    // filter would need the sentinel escape AND would change which rows
+    // advance the watermark)
+    val pred = predOf(r, pools, evT)
+    val whereSql = pred.map(p => s"WHERE $p ").getOrElse("")
+    val sliceExpr = s"(event_id + $off) % $k"
+    val in0 = spark.sql(evSpark)
+    val in = pred.fold(in0)(p => in0.where(p))
+    val slices = (0 until k).map(j => in.where(s"$sliceExpr = $j"))
+    // scan(j) = watermark from slices 0..j-1; the LATE filter for slice j
+    // lags one more batch: lateWms(j) = scan(j-1) (0 for slices 0 and 1)
+    val scan: Seq[Long] = slices.map { df =>
+      Option(df.agg(max("ts_ms")).head().get(0)).map(_.asInstanceOf[Long])
+    }.scanLeft(0L)((wm, mt) => mt.map(t => math.max(wm, t - dMs)).getOrElse(wm))
+    val lateWms: Seq[Long] = (0L +: scan).take(k)
+    val wmCase = (0 until k).map(j => s"WHEN $j THEN ${lateWms(j)}").mkString(" ")
+    val outCols = Seq("window_start") ++ keys ++ aggs.map(_._1)
+    val oracle =
+      s"SELECT (ts_ms - ts_ms % $wMs) AS window_start" +
+        keys.map(kc => s", $kc").mkString +
+        aggs.map(a => s", ${a._3}").mkString + " " +
+        s"FROM (SELECT * FROM $evDuck $whereSql) e " +
+        s"WHERE (ts_ms - ts_ms % $wMs) + $wMs > (CASE $sliceExpr $wmCase END) " +
+        s"GROUP BY window_start${keys.map(kc => s", $kc").mkString} " +
+        orderBySql(outCols)
+    Shape(name, oracle, sp => {
+      val root = GraftSession.tempDir(s"graft_sfo_${i}_")
+      writeOrderedSlices(slices, s"$root/in")
+      val st = streamFrom(sp, s"$root/in", s"$dMs milliseconds", Some(1))
+      val grouped = st.groupBy(
+        (window(col("ts"), s"${wMs / 1000} seconds") +: keys.map(col)).toSeq: _*)
+        .agg(aggs.map(_._2).head, aggs.map(_._2).tail: _*)
+      val out = grouped
+        .withColumn("window_start", unix_millis(col("window.start")))
+        .select(outCols.map(col).toSeq: _*)
+        .where(col("window_start") < flushCut)
+      orderedOut(runStreaming(sp, out, root, Seq(s"$root/in"), 2))
+    })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 300
     val seedBase = if (args.length > 3) args(3).toLong else 52000L
+    // family selector: "mixed" (default) replays the r15/r16 corpus
+    // shapes; "ooo" generates ONLY the out-of-order arrival family
+    val family = if (args.length > 4) args(4) else "mixed"
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.prepare(spark, sfDir)
@@ -430,7 +534,9 @@ object StreamFuzz {
     var first = true
     var failed = 0
     for (i <- 0 until n) {
-      val shape = genShape(i, seedBase, pools, evT, types)
+      val shape =
+        if (family == "ooo") oooShape(spark, i, seedBase, pools, evT)
+        else genShape(i, seedBase, pools, evT, types)
       try {
         shape.run(spark).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/${shape.name}")
