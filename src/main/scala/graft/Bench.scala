@@ -177,7 +177,12 @@ object Bench {
     * map, several thousand chars) has recorded `parsed:null` since r14.
     * This line carries the totals, the per-section contamination stamps,
     * the suspect labels, and as many of the heaviest per-entry seconds as
-    * fit under `cap`; the complete record's path rides along in `record`.
+    * fit under `cap` — 1800 by default, leaving ~200 chars of margin for
+    * the tooling's own `[info] ` prefix and the trailing sbt success line
+    * inside the 2000-char tail (the full-catalog line measures 1891 at
+    * cap 1900; the margin is what keeps the line complete, and a clipped
+    * line is exactly the parsed:null failure this exists to end). The
+    * complete record's path rides along in `record`.
     * Pure — pinned by SectionStampSpec (valid JSON, cap honored at full
     * catalog size, heaviest entries kept first). */
   def headline(total: Double, sfDir: String, nEntries: Int, nFailed: Int,
@@ -185,7 +190,7 @@ object Bench {
                sections: Seq[(String, Double, Double, Boolean)],
                suspects: Seq[(String, Double)],
                queries: Seq[(String, Double)],
-               record: String, cap: Int = 1900): String = {
+               record: String, cap: Int = 1800): String = {
     def js(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val secJson = sections.map { case (n, c, i, bad) =>
