@@ -444,6 +444,12 @@ object StreamFuzz {
     val k = 3 + r.nextInt(3)
     val off = r.nextInt(k)
     val wMs = pick(r, Seq(300000L, 900000L, 3600000L, 14400000L))
+    // sliding windows in a third of the shapes: the late filter applies
+    // PER WINDOW INSTANCE (the explode happens before the stateful agg),
+    // so one late row can be absorbed by its newest windows and dropped
+    // from its oldest in the same batch — the oracle unnests the starts
+    // and applies the same end-vs-watermark rule per (row, window) pair
+    val sMs = if (r.nextInt(3) == 0) wMs / pick(r, Seq(2L, 4L)) else wMs
     val dMs = pick(r, Seq(0L, 60000L, 3600000L, 86400000L))
     val keys = pick(r, Seq(Seq.empty[String], Seq("user_id"), Seq("event_type")))
     val aggs = pickAggs(r)
@@ -466,20 +472,30 @@ object StreamFuzz {
     val lateWms: Seq[Long] = (0L +: scan).take(k)
     val wmCase = (0 until k).map(j => s"WHEN $j THEN ${lateWms(j)}").mkString(" ")
     val outCols = Seq("window_start") ++ keys ++ aggs.map(_._1)
+    // tumbling: window_start = aligned floor; sliding: every start in
+    // [floor_s(ts) - (w - s), floor_s(ts)] step s (same unnest as the
+    // in-order sliding family), each instance gated independently
+    val oracleFrom =
+      if (sMs == wMs) s"(SELECT *, (ts_ms - ts_ms % $wMs) AS ws FROM $evDuck e0)"
+      else
+        s"(SELECT *, unnest(generate_series((ts_ms - ts_ms % $sMs) - ${wMs - sMs}, " +
+          s"ts_ms - ts_ms % $sMs, $sMs)) AS ws FROM $evDuck e0)"
     val oracle =
-      s"SELECT (ts_ms - ts_ms % $wMs) AS window_start" +
+      s"SELECT ws AS window_start" +
         keys.map(kc => s", $kc").mkString +
         aggs.map(a => s", ${a._3}").mkString + " " +
-        s"FROM (SELECT * FROM $evDuck $whereSql) e " +
-        s"WHERE (ts_ms - ts_ms % $wMs) + $wMs > (CASE $sliceExpr $wmCase END) " +
+        s"FROM (SELECT * FROM $oracleFrom $whereSql) e " +
+        s"WHERE ws + $wMs > (CASE $sliceExpr $wmCase END) " +
         s"GROUP BY window_start${keys.map(kc => s", $kc").mkString} " +
         orderBySql(outCols)
     Shape(name, oracle, sp => {
       val root = GraftSession.tempDir(s"graft_sfo_${i}_")
       writeOrderedSlices(slices, s"$root/in")
       val st = streamFrom(sp, s"$root/in", s"$dMs milliseconds", Some(1))
-      val grouped = st.groupBy(
-        (window(col("ts"), s"${wMs / 1000} seconds") +: keys.map(col)).toSeq: _*)
+      val win =
+        if (sMs == wMs) window(col("ts"), s"${wMs / 1000} seconds")
+        else window(col("ts"), s"${wMs / 1000} seconds", s"${sMs / 1000} seconds")
+      val grouped = st.groupBy((win +: keys.map(col)).toSeq: _*)
         .agg(aggs.map(_._2).head, aggs.map(_._2).tail: _*)
       val out = grouped
         .withColumn("window_start", unix_millis(col("window.start")))
