@@ -171,6 +171,28 @@ object Bench {
         .map(r => n -> s / r)
     }
 
+  /** A 1.8-3x suspect entry with BOTH its draws (VERDICT r17 #2): after
+    * the catalog pass the bench re-runs each suspect once, so a
+    * driver-run record self-attributes — retry ≈ first is a real
+    * regression, retry ≈ clean is contention — without a separate
+    * attribution round. `retry < 0` means the re-measure itself failed
+    * (or was skipped under the REPEAT dev knob) and is emitted as null. */
+  final case class Suspect(name: String, first: Double, retry: Double,
+                           ref: Double) {
+    def ratio: Double = first / ref
+    def retryRatio: Double = if (retry > 0) retry / ref else -1.0
+  }
+
+  /** Median steady-probe drift for the official box gate (VERDICT r17
+    * #5). Each probe is (name, measuredSec, baselineSec); failed probes
+    * (sec <= 0) and missing baselines are ignored; -1 means nothing
+    * comparable (the gate passes — it can't refuse without evidence).
+    * Pure — the refuse path is pinned by SectionStampSpec. */
+  def gateMedianDrift(probes: Seq[(String, Double, Double)]): Double = {
+    val ratios = probes.collect { case (_, s, b) if s > 0 && b > 0 => s / b }
+    if (ratios.isEmpty) -1.0 else ratios.sorted.apply(ratios.size / 2)
+  }
+
   /** Compact single-line headline emitted as the bench's FINAL stdout
     * line (VERDICT r16 #1): the driver's per-round artifact keeps only a
     * 2000-char stdout tail, so the full summary line (a 156-entry queries
@@ -188,19 +210,29 @@ object Bench {
   def headline(total: Double, sfDir: String, nEntries: Int, nFailed: Int,
                contaminated: Boolean,
                sections: Seq[(String, Double, Double, Boolean)],
-               suspects: Seq[(String, Double)],
+               suspects: Seq[Suspect],
                queries: Seq[(String, Double)],
                record: String, cap: Int = 1800): String = {
     def js(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Locale.ROOT, not f-interpolators (ADVICE r17): under a
+    // comma-decimal default locale an f"" would emit "value":133,2 —
+    // invalid JSON, recreating the parsed:null failure this line ends
+    def num(pat: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pat, Double.box(v))
     val secJson = sections.map { case (n, c, i, bad) =>
-      js(n) + f""":{"cpu_ratio":$c%.2f,"io_ratio":$i%.2f,"contaminated":$bad}"""
+      js(n) + s""":{"cpu_ratio":${num("%.2f", c)},"io_ratio":${num("%.2f", i)},"contaminated":$bad}"""
     }.mkString("{", ",", "}")
-    val susJson = suspects.sortBy(-_._2).take(10)
-      .map { case (n, r) => js(n) + f":$r%.2f" }.mkString("{", ",", "}")
-    val base = f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":${js(sfDir)},"n_entries":$nEntries,"n_failed":$nFailed,"contaminated":$contaminated,"sections":$secJson,"suspects_total":${suspects.size},"suspects":$susJson,"record":${js(record)},"queries_top":"""
+    val susJson = suspects.sortBy(-_.ratio).take(10)
+      .map { s =>
+        val rr = if (s.retry > 0)
+          s""","retry":${num("%.3f", s.retry)},"retry_ratio":${num("%.2f", s.retryRatio)}"""
+        else ""","retry":null,"retry_ratio":null"""
+        js(s.name) + s""":{"ratio":${num("%.2f", s.ratio)},"first":${num("%.3f", s.first)}$rr}"""
+      }.mkString("{", ",", "}")
+    val base = s"""{"metric":"total","value":${num("%.1f", total)},"unit":"sec","sf":${js(sfDir)},"n_entries":$nEntries,"n_failed":$nFailed,"contaminated":$contaminated,"sections":$secJson,"suspects_total":${suspects.size},"suspects":$susJson,"record":${js(record)},"queries_top":"""
     val entries = queries.filter(_._2 > 0).sortBy(-_._2)
-      .map { case (n, s) => js(n) + f":$s%.3f" }
+      .map { case (n, s) => js(n) + ":" + num("%.3f", s) }
     // +3: the "{}" of queries_top and the final "}"
     val budget = cap - base.length - 3
     val kept = Seq.newBuilder[String]
@@ -213,6 +245,14 @@ object Bench {
 
   private def wPercentile(samples: Seq[(Long, Long)], p: Double): Long =
     Metrics.wPercentile(samples, p)
+
+  /** Attempts for the noisy serving measurements (VERDICT r17 #3):
+    * the concurrent/quiesced qps and the forked read-scaling probes are
+    * fork-JVM-timing-sensitive — committed single draws spanned
+    * 0.58-1.84x with no code change. Official records take the median of
+    * 3; the dev knob drops to 1 for quick iteration. */
+  private def servingAttempts: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SERVING_ATTEMPTS", "3").toInt
 
   private def streamingWorkload(spark: org.apache.spark.sql.SparkSession)
       : (Long, Double, String) = {
@@ -804,8 +844,22 @@ object Bench {
       require(pb2.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
       qpsOf(fa) + qpsOf(fb)
     }
-    val oneNodeQps = math.max(oneNode("1"), oneNode("2"))
-    val twoNodeQps = math.max(twoNode("1"), twoNode("2"))
+    // ...and median-of-3 ACROSS attempts (VERDICT r17 #3, the
+    // READ_SCALING_r17 protocol brought in-suite): each attempt is the
+    // max-of-2 pair above; the official figures are the attempt with the
+    // median 2-node/1-node scaling ratio — one attempt's pair, so the
+    // ratio stays self-consistent — and all raws land in the counters.
+    val attempts = (1 to servingAttempts).map { a =>
+      val one = math.max(oneNode(s"${a}_1"), oneNode(s"${a}_2"))
+      val two = math.max(twoNode(s"${a}_1"), twoNode(s"${a}_2"))
+      (one, two)
+    }
+    val (oneNodeQps, twoNodeQps) =
+      attempts.sortBy { case (o, t) => t / o }.apply(attempts.size / 2)
+    BenchCounters.put("read_scaling_attempts",
+      attempts.map { case (o, t) =>
+        f"""{"one_node_qps":$o%.1f,"two_node_qps":$t%.1f,"scaling":${t / o}%.2f}"""
+      }.mkString("[", ",", "]"))
 
     (storeQps, shardedQps, directQps, shardedLiveQps, liveQps, c.meanBatch,
       c.largestBatch, oneNodeQps, twoNodeQps)
@@ -1099,6 +1153,38 @@ object Bench {
     }
     val contaminatedStart = loadStart > 2.0
 
+    // Official-series box gate, part 1 of 2 (VERDICT r17 #5): two r17
+    // bench attempts ran uniformly ~1.1-1.5x slow with CLEAN calibration
+    // stamps — box-state drift (page cache, cgroup residue, scheduler
+    // state) the in-process stamps cannot see. An OFFICIAL run must start
+    // from a genuinely settled box: all three loadavg numbers < 1.5,
+    // waiting up to SPARK_GRAFT_GATE_WAIT_SEC (default 300) for the
+    // 15-minute number to decay. Part 2 (the median-drift cross-check
+    // against the committed record) runs after warm-up, where the
+    // reference times are loaded. A failed gate NEVER aborts the run —
+    // it refuses the official stamp (record lands in /tmp) and says why.
+    val officialIntent = sys.env.get("SPARK_GRAFT_BENCH_OFFICIAL").contains("1")
+    def loadAvg3: Seq[Double] = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+    } catch { case _: Exception => Seq(sysLoad, -1.0, -1.0) }
+    var gateLoad: Seq[Double] = loadAvg3
+    var gateWaited = 0
+    var gateLoadOk = true
+    if (officialIntent) {
+      val budget = sys.env.getOrElse("SPARK_GRAFT_GATE_WAIT_SEC", "300").toInt
+      while (gateLoad.exists(_ >= 1.5) && gateWaited < budget) {
+        System.err.println(s"[bench] official gate: loadavg " +
+          gateLoad.mkString("/") + s" not all < 1.5 — waiting (${gateWaited}s)")
+        Thread.sleep(15000); gateWaited += 15; gateLoad = loadAvg3
+      }
+      gateLoadOk = gateLoad.forall(_ < 1.5)
+      if (!gateLoadOk)
+        System.err.println(s"[bench] official gate REFUSED on loadavg " +
+          gateLoad.mkString("/") + " — record will not stamp official")
+    }
+
     // Machine-health stamps (VERDICT r11 #1): the start-only load gate
     // passed two driver records that degraded MID-run. Sample a pure-JVM
     // calibration score at start, between phases, and at end; any
@@ -1209,31 +1295,113 @@ object Bench {
       }
     } catch { case _: Exception => Map.empty }
     val outliers = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // one timed run of one catalog entry — shared by the sweep, the >3x
+    // outlier retry, and the post-catalog suspect re-measure pass
+    def runEntryOnce(name: String,
+                     fn: (org.apache.spark.sql.SparkSession, String) =>
+                         org.apache.spark.sql.DataFrame): Double = {
+      // counters reflect ONE run even under _REPEAT (cardinalities are
+      // deterministic, so last run == first run for the counts)
+      // BOTH streaming minhash entries (FMGWS and TWS) mutate the one
+      // JVM-global profile — reset before and snapshot right AFTER
+      // each, under its own counter key, or the post-catalog snapshot
+      // silently sums the engines (r13 review finding)
+      val profiled = name == "q_dedup_minhash_streaming" ||
+        name == "q_dedup_minhash_streaming_tws"
+      if (profiled) graft.streaming.StreamingDedup.Profile.reset()
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          false
+        }
+      if (ok && profiled)
+        BenchCounters.put(
+          if (name.endsWith("_tws")) "smh_tws" else "smh",
+          graft.streaming.StreamingDedup.Profile.snapshot)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // Official-series box gate, part 2 (VERDICT r17 #5): one throwaway
+    // warm entry, then 10 probe entries timed against the committed
+    // record — a median drift > 1.25x means the box is in a state the
+    // calibration stamps can't see (the r17 failure shape: every entry
+    // uniformly ~1.1-1.5x with clean stamps) and the run must not stamp
+    // official. Probe picks: cheap entries (0.15-1.2 s committed) at a
+    // deterministic stride, q1_agg reserved as the throwaway. The probes
+    // warm their entries, so those 10 sweep numbers step down ONCE (r18)
+    // vs the pre-gate series and are comparable thereafter — the price of
+    // a gate that measures the box with the workload itself.
+    var gateDrift = -1.0
+    var gateBaseline = "none"
+    var gateProbes = Seq.empty[(String, Double, Double)] // (name, sec, baseline)
+    val gateDriftOk =
+      if (!officialIntent || refTimes.isEmpty) true
+      else {
+        // steady-probe baselines from the PREVIOUS official record's own
+        // gate fields when it has them (apples-to-apples, threshold
+        // 1.25); first-gated-round fallback compares steady probes
+        // against the committed SWEEP times, where a clean box measures
+        // ~0.73 (min-of-2 strips the in-sweep first-run JIT) — threshold
+        // 1.0 ≈ clean x 1.37, low enough that the r17 failure shape
+        // (uniformly 1.1-1.5x slow, clean stamps) still refuses
+        val prevGate: Map[String, Double] = try {
+          val p = java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "/root/repo/BENCH_local.json"))
+          if (!java.nio.file.Files.exists(p)) Map.empty
+          else {
+            val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            val at = txt.indexOf("\"official_gate\":")
+            if (at < 0) Map.empty
+            else """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+),"ref":""".r
+              .findAllMatchIn(txt.substring(at))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        } catch { case _: Exception => Map.empty }
+        val eligible = refTimes.toSeq
+          .filter { case (n, r) => r >= 0.15 && r <= 1.2 && n != "q1_agg" &&
+            SparkEntry.queries.contains(n) }
+          .sortBy(_._1)
+        val picks =
+          if (eligible.size <= 10) eligible
+          else (0 until 10).map(i => eligible(i * eligible.size / 10))
+        val fns = SparkEntry.queries
+        // min-of-2 per probe: the first run pays first-run JIT/codegen the
+        // committed sweep amortized over 156 sorted entries (measured: an
+        // IDLE box probes at median 1.44x on first runs) — the steady
+        // (min) run is the real "can this box reproduce the committed
+        // numbers" measurement
+        def probe(n: String): Double = {
+          val hadErr = errors.contains(n)
+          val s1 = runEntryOnce(n, fns(n))
+          val s2 = runEntryOnce(n, fns(n))
+          if ((s1 < 0 || s2 < 0) && !hadErr) errors.remove(n)
+          if (s1 < 0) s2 else if (s2 < 0) s1 else math.min(s1, s2)
+        }
+        fns.get("q1_agg").foreach(fn => { // throwaway: absorbs residual first-entry cost
+          val hadErr = errors.contains("q1_agg")
+          if (runEntryOnce("q1_agg", fn) < 0 && !hadErr) errors.remove("q1_agg")
+        })
+        val usePrevGate = picks.count(p => prevGate.contains(p._1)) >= 5
+        val (baselineOf, threshold) =
+          if (usePrevGate) { gateBaseline = "prev_gate_probes"
+            ((n: String, _: Double) => prevGate.get(n), 1.25) }
+          else { gateBaseline = "committed_sweep"
+            ((_: String, r: Double) => Some(r), 1.0) }
+        gateProbes = picks.flatMap { case (n, r) =>
+          baselineOf(n, r).map(b => (n, probe(n), b)) }
+        gateDrift = gateMedianDrift(gateProbes)
+        val ok = gateDrift < 0 || gateDrift <= threshold
+        if (!ok)
+          System.err.println(f"[bench] official gate REFUSED on median " +
+            f"drift $gateDrift%.2f > $threshold%.2f vs $gateBaseline — " +
+            "record will not stamp official")
+        ok
+      }
+    val gateRefused = officialIntent && !(gateLoadOk && gateDriftOk)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(e => only.forall(_.contains(e._1)) && wl.isEmpty)
       .map { case (name, fn) =>
-      def timedRun(): Double = {
-        // counters reflect ONE run even under _REPEAT (cardinalities are
-        // deterministic, so last run == first run for the counts)
-        // BOTH streaming minhash entries (FMGWS and TWS) mutate the one
-        // JVM-global profile — reset before and snapshot right AFTER
-        // each, under its own counter key, or the post-catalog snapshot
-        // silently sums the engines (r13 review finding)
-        val profiled = name == "q_dedup_minhash_streaming" ||
-          name == "q_dedup_minhash_streaming_tws"
-        if (profiled) graft.streaming.StreamingDedup.Profile.reset()
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
-            false
-          }
-        if (ok && profiled)
-          BenchCounters.put(
-            if (name.endsWith("_tws")) "smh_tws" else "smh",
-            graft.streaming.StreamingDedup.Profile.snapshot)
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
+      def timedRun(): Double = runEntryOnce(name, fn)
       val secs = (1 to repeat).map(_ => timedRun())
       val first = secs.head
       val sec =
@@ -1264,6 +1432,43 @@ object Bench {
       } else if (repeat == 1) println(f"""{"q":${jstr(name)},"s":$sec%.3f}""")
       else println(s"""{"q":${jstr(name)},"s":${secs.map(s => f"$s%.3f").mkString("[", ",", "]")}}""")
       name -> sec
+    }
+    // Suspect re-measure pass (VERDICT r17 #2): the >3x outliers already
+    // retried inline, but the 1.8-3x suspect band (12 labels at r16, one
+    // at r17) was labeled and left — attribution needed a separate round.
+    // Re-run each suspect once AT CATALOG END (still inside the catalog
+    // calibration bracket) and record both draws: retry ≈ first means the
+    // regression reproduces; retry ≈ clean means the first draw was
+    // contention. The ledger keeps the FIRST draw (same accounting as
+    // every committed record — replacing it would bias the series
+    // optimistic, exactly the ADVICE-r11 argument for outlier retries in
+    // reverse); both numbers survive in `suspects`.
+    val suspects: Seq[Suspect] = {
+      val fns = SparkEntry.queries
+      suspectEntries(results, refTimes).map { case (n, _) =>
+        outliers.get(n) match {
+          // already re-measured by the 3x retry: the ledger value IS the
+          // reproduced retry, and both draws are on record — reuse them
+          case Some((f, rt)) => Suspect(n, f, rt, refTimes(n))
+          case None =>
+            val first = results.find(_._1 == n).map(_._2).getOrElse(-1.0)
+            val retry =
+              if (repeat != 1) -1.0 // dev knob: secs already repeated
+              else fns.get(n).map { fn =>
+                val hadErr = errors.contains(n)
+                val rt = runEntryOnce(n, fn)
+                // the TIMED sweep run succeeded; a transiently-failed
+                // re-measure must not stamp the record as a failed entry
+                if (rt < 0 && !hadErr) errors.remove(n)
+                rt
+              }.getOrElse(-1.0)
+            if (retry > 0)
+              println(s"""{"suspect":${jstr(n)},"first":${
+                String.format(java.util.Locale.ROOT, "%.3f", Double.box(first))},"retry":${
+                String.format(java.util.Locale.ROOT, "%.3f", Double.box(retry))}}""")
+            Suspect(n, first, retry, refTimes(n))
+        }
+      }
     }
     // online-LSH attribution for the biggest streaming entry: how much
     // state work the bucket index actually did during the sweep.
@@ -1333,9 +1538,21 @@ object Bench {
         val (recs, sec, secU, qps, shardedQps, liveQps, shardedLiveQps, hotLatJson) = requestWorkload(spark)
         val (coldQps, coldShardedQps, coldDirectQps, coldShardedLiveQps, coldLiveQps, meanBatch, largestBatch, procQps1, procQps2) = coldRequestWorkload(spark)
         val (satDirectQps, satCoalescedQps, satMeanBatch, satLargestBatch) = saturatingRequestWorkload(spark)
+        // median-of-3 for the noisiest committed numbers (VERDICT r17
+        // #3): the concurrent/quiesced qps series whipsawed 0.58-1.84x
+        // on fork-JVM timing luck as single in-suite draws; the dedicated
+        // READ_SCALING protocol (3 attempts, median) measured the path
+        // healthy each time. The official figures are the attempt with
+        // the MEDIAN concurrent qps (all fields from ONE attempt, so
+        // qps/p99 stay self-consistent); every attempt's raws ride along.
+        val concAttempts = (1 to servingAttempts).map(_ =>
+          concurrentRequestWorkload(spark))
         val (concQps, concP99, quiQps, quiP99, wRps, concBatches, concExhausted) =
-          concurrentRequestWorkload(spark)
-        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"sharded_lookup_qps":$shardedQps%.1f,"live_lookup_qps":$liveQps%.1f,"sharded_live_lookup_qps":$shardedLiveQps%.1f,"cold_keys":2000,"cold_lookup_qps":$coldQps%.1f,"cold_sharded_lookup_qps":$coldShardedQps%.1f,"cold_live_direct_qps":$coldDirectQps%.1f,"cold_sharded_live_qps":$coldShardedLiveQps%.1f,"cold_live_lookup_qps":$coldLiveQps%.1f,"coalesce_mean_batch":$meanBatch%.1f,"coalesce_largest_batch":$largestBatch,"saturating_direct_qps":$satDirectQps%.1f,"saturating_coalesced_qps":$satCoalescedQps%.1f,"saturating_mean_batch":$satMeanBatch%.1f,"saturating_largest_batch":$satLargestBatch,"proc_read_qps_1node":$procQps1%.1f,"proc_read_qps_2node":$procQps2%.1f,"concurrent_lookup_qps":$concQps%.1f,"concurrent_p99_ms":$concP99%.2f,"concurrent_quiesced_qps":$quiQps%.1f,"concurrent_quiesced_p99_ms":$quiP99%.2f,"concurrent_writer_rows_per_sec":$wRps%.1f,"concurrent_write_batches_during_read":$concBatches,"concurrent_exhausted_reads":$concExhausted$hotLatJson}"""
+          concAttempts.sortBy(_._1).apply(concAttempts.size / 2)
+        val concRawJson = concAttempts.map { case (cq, cp, qq, qp, wr, _, _) =>
+          f"""{"concurrent_lookup_qps":$cq%.1f,"concurrent_p99_ms":$cp%.2f,"concurrent_quiesced_qps":$qq%.1f,"concurrent_quiesced_p99_ms":$qp%.2f,"writer_rows_per_sec":$wr%.1f}"""
+        }.mkString("[", ",", "]")
+        f"""{"records":$recs,"keys":40,"rows_frame":10000,"eval_sec":$sec%.3f,"eval_unbounded_sec":$secU%.3f,"records_per_sec":${recs / sec}%.1f,"lookup_qps":$qps%.1f,"sharded_lookup_qps":$shardedQps%.1f,"live_lookup_qps":$liveQps%.1f,"sharded_live_lookup_qps":$shardedLiveQps%.1f,"cold_keys":2000,"cold_lookup_qps":$coldQps%.1f,"cold_sharded_lookup_qps":$coldShardedQps%.1f,"cold_live_direct_qps":$coldDirectQps%.1f,"cold_sharded_live_qps":$coldShardedLiveQps%.1f,"cold_live_lookup_qps":$coldLiveQps%.1f,"coalesce_mean_batch":$meanBatch%.1f,"coalesce_largest_batch":$largestBatch,"saturating_direct_qps":$satDirectQps%.1f,"saturating_coalesced_qps":$satCoalescedQps%.1f,"saturating_mean_batch":$satMeanBatch%.1f,"saturating_largest_batch":$satLargestBatch,"proc_read_qps_1node":$procQps1%.1f,"proc_read_qps_2node":$procQps2%.1f,"concurrent_lookup_qps":$concQps%.1f,"concurrent_p99_ms":$concP99%.2f,"concurrent_quiesced_qps":$quiQps%.1f,"concurrent_quiesced_p99_ms":$quiP99%.2f,"concurrent_attempts":$concRawJson,"concurrent_writer_rows_per_sec":$wRps%.1f,"concurrent_write_batches_during_read":$concBatches,"concurrent_exhausted_reads":$concExhausted$hotLatJson}"""
       } catch { case e: Throwable =>
         errors("request_workload") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         "null"
@@ -1494,25 +1711,49 @@ object Bench {
     // per-section contamination stamps (VERDICT r15 #3): section = the
     // phase between two calibration checkpoints; a section missing a
     // checkpoint (workload-filtered run) is omitted, never guessed
+    // lower bounds fall back to the last checkpoint actually taken
+    // (ADVICE r17): a workload-filtered run that skips streaming used to
+    // lose wordcount's stamp too, because wordcount's lower bound named
+    // the never-taken after_streaming checkpoint — a section that DID run
+    // kept no stamp. A section whose own (upper) checkpoint is missing is
+    // still omitted, never guessed.
+    def takenBound(pref: String*): String =
+      pref.find(calib.contains).getOrElse("start")
     val sectionBounds = Seq(
       ("catalog", "start", "after_catalog"),
-      ("streaming", "after_catalog", "after_streaming"),
-      ("wordcount", "after_streaming", "after_wordcount"),
+      ("streaming", takenBound("after_catalog"), "after_streaming"),
+      ("wordcount", takenBound("after_streaming", "after_catalog"),
+        "after_wordcount"),
       ("request", "before_request", "after_request"),
-      ("tail", "after_request", "end"))
+      ("tail", takenBound("after_request", "after_wordcount",
+        "after_streaming", "after_catalog"), "end"))
     val sections = sectionStamps(calib.toMap, calibIo.toMap, sectionBounds)
-    val suspects = suspectEntries(results, refTimes)
     val sectionsJson = (sections.map { case (n, c, i, bad) =>
       jstr(n) + f""":{"cpu_ratio":$c%.2f,"io_ratio":$i%.2f,"contaminated":$bad}"""
     } ++ (if (suspects.isEmpty) Nil
           else Seq("\"catalog_suspects\":" + suspects
-            .map { case (n, r) => jstr(n) + f":$r%.2f" }
+            .map { s =>
+              val rr = if (s.retry > 0)
+                f""","retry":${s.retry}%.3f,"retry_ratio":${s.retryRatio}%.2f"""
+              else ""","retry":null,"retry_ratio":null"""
+              jstr(s.name) + f""":{"ratio":${s.ratio}%.2f,"first":${s.first}%.3f$rr}"""
+            }
             .mkString("{", ",", "}"))))
       .mkString("{", ",", "}")
     for ((n, _, _, bad) <- sections if bad)
       System.err.println(s"[bench] section '$n' ran against a degraded " +
         "calibration boundary — its numbers carry contaminated:true")
-    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"concurrency":$concurrency,"errors":$es,"n_failed":${errors.size},"outliers":$outliersJson,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"cores":$cores},"calibration":$calibJson,"calibration_io":$calibIoJson,"contaminated":$contaminated,"sections":$sectionsJson,"counters":$counters,"sf":"$sfDir"}"""
+    // official-gate fields (VERDICT r17 #5): the record says whether the
+    // gate ran, what it saw, and whether it refused the official stamp
+    val gateJson =
+      if (!officialIntent) "null"
+      else {
+        val probesJson = gateProbes.map { case (n, s, r) =>
+          jstr(n) + f""":{"sec":$s%.3f,"ref":$r%.3f}"""
+        }.mkString("{", ",", "}")
+        f"""{"loadavg":${gateLoad.map(v => f"$v%.2f").mkString("[", ",", "]")},"waited_sec":$gateWaited,"load_ok":$gateLoadOk,"median_drift":${if (gateDrift < 0) "null" else f"$gateDrift%.2f"},"drift_baseline":"$gateBaseline","drift_ok":$gateDriftOk,"probes":$probesJson,"refused":$gateRefused}"""
+      }
+    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"concurrency":$concurrency,"errors":$es,"n_failed":${errors.size},"outliers":$outliersJson,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"cores":$cores},"calibration":$calibJson,"calibration_io":$calibIoJson,"contaminated":$contaminated,"official_gate":$gateJson,"sections":$sectionsJson,"counters":$counters,"sf":"$sfDir"}"""
     println(summary)
     // belt-and-braces: the whole summary also lands in a file that a
     // truncated stdout capture can't damage — in-repo, so the round
@@ -1525,9 +1766,14 @@ object Bench {
     // SPARK_GRAFT_BENCH_OFFICIAL=1 (or an explicit _OUT path) can touch
     // it; everything else lands in /tmp.
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
-      if (sys.env.get("SPARK_GRAFT_BENCH_OFFICIAL").contains("1"))
+      if (officialIntent && !gateRefused)
         "/root/repo/BENCH_local.json"
-      else {
+      else if (gateRefused) {
+        System.err.println("[bench] official stamp REFUSED by the box " +
+          "gate: record written to /tmp/BENCH_local.json — settle the box " +
+          "and re-run")
+        "/tmp/BENCH_local.json"
+      } else {
         System.err.println("[bench] non-official run: record written to " +
           "/tmp/BENCH_local.json (set SPARK_GRAFT_BENCH_OFFICIAL=1 for the " +
           "tracked series file)")

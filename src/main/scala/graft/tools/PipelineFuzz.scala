@@ -42,22 +42,34 @@ object PipelineFuzz {
     (a.isNaN && b.isNaN) || a == b ||
       math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
 
+  private def cellsEqual(a: Seq[Any], b: Seq[Any]): Boolean =
+    a.length == b.length && a.zip(b).forall {
+      case (x: Double, y: Double) => tol(x, y)
+      case (x, y) => x == y
+    }
+
   private def rowsEqual(got: Seq[Seq[Any]], want: Seq[Seq[Any]]): Option[String] = {
     if (got.length != want.length)
       return Some(s"rows ${got.length} vs ${want.length}")
     def key(r: Seq[Any]): String = r.map {
-      case d: Double => f"$d%.4f"
+      case d: Double =>
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
       case x => String.valueOf(x)
     }.mkString("|")
+    // fast path: positional zip after a sort. When it mismatches, fall
+    // back to tolerance-aware multiset matching (ADVICE r17): rows whose
+    // keys tie at 4 decimals but differ within tolerance can sort into
+    // different orders on the two sides, mispairing rows — a spurious
+    // failure, not a real one. Fuzz result sets are small, so the O(n^2)
+    // fallback only ever runs on (rare) positional mismatches.
     val g = got.sortBy(key)
     val w = want.sortBy(key)
-    g.zip(w).zipWithIndex.foreach { case ((a, b), i) =>
-      a.zip(b).foreach {
-        case (x: Double, y: Double) =>
-          if (!tol(x, y)) return Some(s"row $i: $x vs $y (${key(a)} / ${key(b)})")
-        case (x, y) =>
-          if (x != y) return Some(s"row $i: $x vs $y")
-      }
+    if (g.zip(w).forall { case (a, b) => cellsEqual(a, b) }) return None
+    val remaining = scala.collection.mutable.ArrayBuffer(w: _*)
+    g.foreach { a =>
+      val i = remaining.indexWhere(b => cellsEqual(a, b))
+      if (i < 0) return Some(s"unmatched row: ${key(a)}")
+      remaining.remove(i)
     }
     None
   }
@@ -181,7 +193,7 @@ object PipelineFuzz {
         "event_time": { "window": {"allowed_lateness_ms": $lateness} },
         "window": { "tile_granularity_ms": $gran },
         "sources": [ $srcJson ],
-        "sql": ${jsonStr(sql)},
+        "sql": ${graft.Metrics.toJson(sql)},
         "sink": $sink
       }"""
 
@@ -268,12 +280,4 @@ object PipelineFuzz {
     if (failures.nonEmpty) sys.exit(2)
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
 }

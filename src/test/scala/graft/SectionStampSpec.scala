@@ -110,8 +110,17 @@ class SectionStampSpec extends AnyFunSuite with Retries {
     ("catalog", 1.0, 1.2, false), ("streaming", 1.01, 1.1, false),
     ("wordcount", 0.99, 1.0, false), ("request", 1.02, 1.54, false),
     ("tail", 0.96, 1.12, false))
+  // twelve suspects with both draws (VERDICT r17 #2): odd ones reproduce
+  // on the retry (regression-shaped), even ones retry clean (contention),
+  // every third has no retry at all (re-measure failed / REPEAT knob)
   private val twelveSuspects =
-    (1 to 12).map(i => f"q_suspect_entry_name_$i%02d" -> (1.8 + i * 0.3))
+    (1 to 12).map { i =>
+      val ref = 1.0 + i * 0.1
+      val first = ref * (1.8 + i * 0.3)
+      val retry =
+        if (i % 3 == 0) -1.0 else if (i % 2 == 1) first * 0.95 else ref * 1.05
+      Bench.Suspect(f"q_suspect_entry_name_$i%02d", first, retry, ref)
+    }
 
   test("headline fits the driver's 2000-char stdout tail at full catalog size") {
     // <= 1800 leaves margin for the runner's [info] prefix and the
@@ -132,6 +141,19 @@ class SectionStampSpec extends AnyFunSuite with Retries {
     assert((j \ "n_entries") == JInt(156) && (j \ "n_failed") == JInt(2))
     assert((j \ "contaminated") == JBool(true))
     assert((j \ "suspects_total") == JInt(12))
+    // suspects self-attribute (VERDICT r17 #2): every label carries both
+    // draws; a reproduced retry reads regression-shaped, a clean retry
+    // reads contention-shaped, a missing retry reads null
+    val sus = (j \ "suspects").asInstanceOf[JObject].obj.toMap
+    val s12 = sus("q_suspect_entry_name_12") // i=12: no retry
+    assert((s12 \ "retry") == JNull && (s12 \ "retry_ratio") == JNull)
+    val s11 = sus("q_suspect_entry_name_11") // odd: reproduces
+    val r11 = (s11 \ "retry_ratio").asInstanceOf[JDouble].num
+    assert(r11 > 4.0, s"reproduced suspect must keep a high retry ratio: $r11")
+    val s10 = sus("q_suspect_entry_name_10") // even: retries clean
+    val r10 = (s10 \ "retry_ratio").asInstanceOf[JDouble].num
+    assert(r10 < 1.2, s"contention suspect must retry near clean: $r10")
+    assert((s10 \ "first").asInstanceOf[JDouble].num > 2.0)
     val secs = (j \ "sections").asInstanceOf[JObject].obj.map(_._1)
     assert(secs == List("catalog", "streaming", "wordcount", "request", "tail"))
     // the heaviest catalog entry must be the FIRST thing trimmed-for, so
@@ -147,6 +169,49 @@ class SectionStampSpec extends AnyFunSuite with Retries {
       Nil, Nil, Nil, "/tmp/out.json")
     JsonMethods.parse(h)
     assert(h.length < 400)
+  }
+
+  // ---- official box gate (VERDICT r17 #5) -------------------------------
+
+  test("box gate: the r17 failure shape (uniformly slow, clean stamps) refuses") {
+    // every probe ~1.4x its baseline — the exact drift two r17 official
+    // attempts showed with CLEAN calibration stamps
+    val probes = (1 to 10).map(i => (s"q_$i", 1.4 * i * 0.1, i * 0.1))
+    val d = Bench.gateMedianDrift(probes)
+    assert(d > 1.35 && d < 1.45, s"drift $d")
+    assert(d > 1.25, "must refuse at the prev-gate threshold")
+    assert(d > 1.0, "must refuse at the committed-sweep fallback threshold")
+  }
+
+  test("box gate: a clean box passes; failed probes and missing baselines don't vote") {
+    val probes = Seq(
+      ("a", 0.70, 1.0), ("b", 0.75, 1.0), ("c", 0.72, 1.0),
+      ("failed", -1.0, 1.0), // probe run failed — ignored
+      ("noref", 0.9, -1.0)) // baseline absent — ignored
+    val d = Bench.gateMedianDrift(probes)
+    assert(d > 0.7 && d < 0.76, s"clean steady probes must sit near 0.73: $d")
+    assert(Bench.gateMedianDrift(Nil) == -1.0, "no evidence -> no refusal")
+    assert(Bench.gateMedianDrift(Seq(("x", -1.0, 1.0))) == -1.0)
+  }
+
+  test("box gate: one outlier probe can't refuse a healthy box (median, not max)") {
+    val probes = (1 to 9).map(i => (s"q_$i", 0.75, 1.0)) :+ ("hiccup", 9.0, 1.0)
+    assert(Bench.gateMedianDrift(probes) < 1.0)
+  }
+
+  test("headline stays valid JSON under a comma-decimal default locale (ADVICE r17)") {
+    // an f-interpolator under fr_FR emits "value":133,2 — invalid JSON,
+    // recreating the parsed:null failure the headline exists to end; the
+    // fix formats every numeric field via Locale.ROOT
+    import org.json4s.jackson.JsonMethods
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.FRANCE)
+    try {
+      val h = Bench.headline(133.2, "/root/testdata/sf0.1", 156, 0, false,
+        fiveSections, twelveSuspects, fullCatalog, "/tmp/BENCH_local.json")
+      JsonMethods.parse(h) // throws on "133,2"
+      assert(h.contains("\"value\":133.2"), h.take(120))
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("stamp fires end-to-end from a REAL synthetic load on one boundary",
