@@ -1,0 +1,63 @@
+#!/bin/bash
+# Out-of-order SESSION-window fuzz sweep (VERDICT r17 #1): three legs —
+# two scales against the correct model, plus the MUTATION leg (no-lag
+# model) that must come back all-red or the corpus isn't exercising the
+# two-watermark split. Assembles SESSIONFUZZ_r{N}.json.
+#
+# Usage: scripts/session_fuzz.sh [outJson] [n_small] [n_mid] [n_mut]
+set -euo pipefail
+OUT="${1:-/root/repo/SESSIONFUZZ_r18.json}"
+N1="${2:-120}"
+N2="${3:-60}"
+NM="${4:-20}"
+cd /root/repo
+sbt -batch compile 'export Runtime/fullClasspath' 2>/dev/null | tail -1 > /tmp/graft_sess_cp.txt
+CP="$(cat /tmp/graft_sess_cp.txt)"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
+done
+RUN="java $ADD_OPENS -Xmx8g -Duser.timezone=UTC -cp $CP graft.tools.SessionFuzz"
+$RUN /root/testdata/sf0.001 /tmp/sessfuzz_sf0001.json "$N1" 61000
+$RUN /root/testdata/sf0.01  /tmp/sessfuzz_sf001.json  "$N2" 62000
+# mutation leg EXPECTS exit 2 (all shapes must fail under the wrong model)
+set +e
+$RUN /root/testdata/sf0.001 /tmp/sessfuzz_nolag.json "$NM" 61000 nolag
+MUT_RC=$?
+set -e
+python3 - "$OUT" "$MUT_RC" <<'EOF'
+import json, sys
+out, mut_rc = sys.argv[1], int(sys.argv[2])
+a = json.load(open('/tmp/sessfuzz_sf0001.json'))
+b = json.load(open('/tmp/sessfuzz_sf001.json'))
+m = json.load(open('/tmp/sessfuzz_nolag.json'))
+doc = {
+ "tool": "graft.tools.SessionFuzz (scripts/session_fuzz.sh)",
+ "what": ("out-of-order SESSION windows vs a single-threaded Scala model of "
+          "Spark's streaming session semantics: merge-on-touch, the one-batch "
+          "late-filter lag (two-watermark split), append-mode evict-after-merge, "
+          "and double-emission when a late row re-opens an evicted session "
+          "(the case a batch SQL oracle cannot express). Exact multiset "
+          "compare over (key, session_start, session_end, integer aggs), "
+          "session bounds taken from the ENGINE's session_window struct."),
+ "legs": {"sf0.001": a, "sf0.01": b},
+ "n_total": a["n"] + b["n"],
+ "n_failed": a["n_failed"] + b["n_failed"],
+ "coverage": {
+   "shapes_with_late_drops": a["shapes_with_late_drops"] + b["shapes_with_late_drops"],
+   "shapes_with_mid_evictions": a["shapes_with_mid_evictions"] + b["shapes_with_mid_evictions"],
+   "shapes_with_double_emission": a["shapes_with_double_emission"] + b["shapes_with_double_emission"],
+   "total_late_dropped": a["total_late_dropped"] + b["total_late_dropped"],
+   "total_model_sessions": a["total_model_sessions"] + b["total_model_sessions"]},
+ "mutation_leg": {
+   "what": ("same corpus against the no-lag model (late filter = eviction "
+            "watermark): every shape must FAIL or the corpus is not "
+            "exercising the lag"),
+   "n": m["n"], "n_failed": m["n_failed"],
+   "all_red_as_required": m["n_failed"] == m["n"] and mut_rc != 0}}
+json.dump(doc, open(out, 'w'), indent=1)
+print(f"[session_fuzz] {doc['n_total']-doc['n_failed']}/{doc['n_total']} green, "
+      f"mutation all-red={doc['mutation_leg']['all_red_as_required']} -> {out}")
+EOF

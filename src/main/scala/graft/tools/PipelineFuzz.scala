@@ -85,10 +85,136 @@ object PipelineFuzz {
       feed: (Pipeline.Handle, SparkSession) => Unit, // arrival + flush protocol
       read: SparkSession => DataFrame)
 
+  /** Brute-force as-of oracle over the generated rows — family H's
+    * semantics (PropertyParitySpec.bruteAsOf): frame rows are the key's
+    * events at or before `at`; RANGE keeps [at - len, at], ROWS n keeps
+    * the last n+1 (n PRECEDING + CURRENT ROW, WindowSql's RowsN(n)
+    * mapping). Values are quarter-integers, so sums are exact in binary
+    * and the compare is Double.compare-strict. */
+  private def bruteAsOf(rows: Seq[(Long, String, Double)], key: String,
+                        at: Long,
+                        aggs: Seq[(String, String, Either[Long, Int])])
+      : Seq[(String, Double)] = {
+    val evs = rows.filter(e => e._2 == key && e._1 <= at).sortBy(_._1)
+    aggs.map { case (name, kind, frame) =>
+      val fr = frame match {
+        case Left(len) => evs.dropWhile(_._1 < at - len) // RANGE len ms
+        case Right(k) => evs.takeRight(k + 1) // ROWS k PRECEDING
+      }
+      val vs = fr.map(_._3)
+      val v = kind match {
+        case "sum" => vs.foldLeft(0.0)(_ + _)
+        case "count" => vs.length.toDouble
+        case "avg" => if (vs.isEmpty) Double.NaN else vs.foldLeft(0.0)(_ + _) / vs.length
+        case "min" => if (vs.isEmpty) Double.NaN else vs.min
+        case "max" => if (vs.isEmpty) Double.NaN else vs.max
+      }
+      name -> v
+    }
+  }
+
+  /** One REQUEST-mode document (VERDICT r17 #6): a random OVER-window
+    * query compiled through the spec loader into the request-serving
+    * tail (engine -> upsert store + live buffer -> HTTP server), with
+    * random sharded/coalesce knobs, then random point-in-time lookups
+    * against the live endpoint compared to [[bruteAsOf]]. Draw points sit
+    * ON one of the key's own events, so every frame provably holds at
+    * least one row (an empty frame's NaN doesn't round-trip JSON —
+    * family H's restriction). Returns None on match. */
+  private def runRequestDoc(spark: SparkSession, i: Int, r: Random,
+                            view: String): Option[String] = {
+    import spark.implicits._
+    val nRows = 80 + r.nextInt(160)
+    val nKeys = 1 + r.nextInt(4)
+    val base = 1704067200000L
+    var ts = base
+    val rows = (0 until nRows).map { _ =>
+      ts += 1 + r.nextInt(5000)
+      (ts, s"k${r.nextInt(nKeys)}", r.nextInt(1000) / 4.0)
+    }
+    val spanMs = rows.last._1 - base
+    val engine = if (r.nextBoolean()) "tws" else "fmgws"
+    val sharded = r.nextInt(3) == 0
+    val coalesce = r.nextBoolean()
+    val gran = Seq(1000L, 5000L, 60000L)(r.nextInt(3))
+    val kinds = Seq("sum", "avg", "min", "max", "count")
+    // anchor spec: a RANGE wider than the corpus span, so the serving
+    // buffer's horizon trim (2x max range from the newest row) can never
+    // drop a row any draw's frame needs — family H's rule; without it,
+    // draws near the corpus start evaluate a truncated buffer and answer
+    // NaN (measured on the first smoke: 2/8 shapes, both early draws)
+    val anchor = ("w_anchor", kinds(r.nextInt(kinds.length)),
+      Left(spanMs + 60000L): Either[Long, Int])
+    val aggs = anchor +: (0 until 1 + r.nextInt(3)).map { a =>
+      val kind = kinds(r.nextInt(kinds.length))
+      val frame: Either[Long, Int] =
+        if (r.nextBoolean()) Left((1 + r.nextInt(120)) * 60000L)
+        else Right(1 + r.nextInt(60))
+      (s"w_$a", kind, frame)
+    }
+    val aggSql = aggs.map { case (name, kind, frame) =>
+      val fr = frame match {
+        case Left(len) => s"RANGE BETWEEN $len PRECEDING AND CURRENT ROW"
+        case Right(k) => s"ROWS BETWEEN $k PRECEDING AND CURRENT ROW"
+      }
+      s"$kind(value) OVER (PARTITION BY key ORDER BY ts_ms $fr) AS $name"
+    }.mkString(", ")
+    val sql = s"SELECT ts_ms, key, $aggSql FROM $view"
+    val root = GraftSession.tempDir(s"graft_pfr_${i}_")
+    rows.toDF("ts_ms", "key", "value").coalesce(1).write.parquet(s"$root/in")
+    val shardedJson =
+      if (sharded) s""", "sharded": {"num_shards": ${2 + r.nextInt(4)}}""" else ""
+    val spec = s"""{
+      "execution_mode": "Request",
+      "engine": "$engine",
+      "event_time": { "window": {"allowed_lateness_ms": ${spanMs + 3600000L}} },
+      "window": { "tile_granularity_ms": $gran },
+      "sources": [ { "table_name": "$view", "source": { "Parquet": {"path": "$root/in"} } } ],
+      "sql": ${graft.Metrics.toJson(sql)},
+      "request_source_sink": { "bind_address": "127.0.0.1:0", "coalesce": $coalesce$shardedJson }
+    }"""
+    val handle = Pipeline.runJson(spark, spec)
+    try {
+      handle.query.foreach(_.processAllAvailable())
+      handle.feeder.foreach(_.processAllAvailable())
+      val port = handle.port.getOrElse(return Some("no port on request handle"))
+      val client = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val keys = rows.map(_._2).distinct
+      val draws = (0 until 8).map { _ =>
+        val key = keys(r.nextInt(keys.length))
+        val keyEvs = rows.filter(_._2 == key)
+        (key, keyEvs(r.nextInt(keyEvs.length))._1)
+      }.distinct
+      for ((key, at) <- draws) {
+        val resp = client.send(
+          java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(s"http://localhost:$port/request"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              s"""{"key": "$key", "ts_ms": $at}"""))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() != 200)
+          return Some(s"$key@$at -> HTTP ${resp.statusCode()} (${resp.body().take(120)})")
+        val fo = mapper.readTree(resp.body()).get("features")
+        for ((name, want) <- bruteAsOf(rows, key, at, aggs)) {
+          val got = fo.get(name).asDouble()
+          if (java.lang.Double.compare(got, want) != 0)
+            return Some(s"$key@$at $name: http=$got brute=$want " +
+              s"(engine=$engine sharded=$sharded coalesce=$coalesce)")
+        }
+      }
+      None
+    } finally handle.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("PIPELINE_FUZZ_r17.json")
     val n = args.lift(1).map(_.toInt).getOrElse(120)
     val seedBase = args.lift(2).map(_.toLong).getOrElse(73000L)
+    // family selector: "mixed" (default) = the r17 batch-parity corpus;
+    // "request" = request-mode documents vs the as-of oracle (r17 #6)
+    val family = args.lift(3).getOrElse("mixed")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -96,6 +222,35 @@ object PipelineFuzz {
 
     val shapes = scala.collection.mutable.Map.empty[String, Int]
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    if (family == "request") {
+      for (i <- 0 until n) {
+        val r = new Random(seedBase + i)
+        val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        val savedState = graft.streaming.StateStoreConf.snapshot(spark)
+        val outcome =
+          try runRequestDoc(spark, i, r, s"pfr_in_$i")
+          catch {
+            case e: Exception => Some(s"exception: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+          } finally {
+            spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+            graft.streaming.StateStoreConf.restore(spark, savedState)
+          }
+        shapes("request") = shapes.getOrElse("request", 0) + 1
+        outcome match {
+          case Some(err) =>
+            failures += s"pfr_$i (seed=${seedBase + i}): $err"
+            println(s"[pfz] FAIL pfr_$i seed=${seedBase + i}: $err")
+          case None =>
+            if (i % 10 == 0) println(s"[pfz] pfr_$i ok")
+        }
+      }
+      writeReport(outJson, "request", n, seedBase, shapes, failures.toSeq)
+      spark.stop()
+      if (failures.nonEmpty) sys.exit(2)
+      return
+    }
 
     for (i <- 0 until n) {
       val r = new Random(seedBase + i)
@@ -264,20 +419,35 @@ object PipelineFuzz {
       }
     }
 
-    val report = graft.Metrics.toJson(Map(
-      "tool" -> "graft.tools.PipelineFuzz",
-      "what" -> ("random pipeline-spec JSON documents through api.Pipeline.runJson " +
-        "(source kinds x SQL shapes x window/agg blocks x sink kinds x knobs), " +
-        "streaming result value-compared against the same SQL on Catalyst batch"),
-      "n" -> n,
-      "seed_base" -> seedBase,
-      "shapes" -> shapes.toMap.map { case (k, v) => k -> (v: Any) },
-      "n_failed" -> failures.length,
-      "failures" -> failures.toSeq))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), report + "\n")
-    println(s"[pfz] ${n - failures.length}/$n green -> $outJson")
+    writeReport(outJson, "mixed", n, seedBase, shapes, failures.toSeq)
     spark.stop()
     if (failures.nonEmpty) sys.exit(2)
   }
 
+  private def writeReport(outJson: String, family: String, n: Int,
+                          seedBase: Long,
+                          shapes: scala.collection.Map[String, Int],
+                          failures: Seq[String]): Unit = {
+    val what =
+      if (family == "request")
+        "random REQUEST-mode pipeline-spec documents through api.Pipeline.runJson " +
+          "(OVER-window SQL x engine x sharded/coalesce serving knobs), live " +
+          "HTTP point-in-time lookups compared exactly against the brute-force " +
+          "as-of oracle (family H's compare, driven from the spec loader)"
+      else
+        "random pipeline-spec JSON documents through api.Pipeline.runJson " +
+          "(source kinds x SQL shapes x window/agg blocks x sink kinds x knobs), " +
+          "streaming result value-compared against the same SQL on Catalyst batch"
+    val report = graft.Metrics.toJson(Map(
+      "tool" -> "graft.tools.PipelineFuzz",
+      "what" -> what,
+      "family" -> family,
+      "n" -> n,
+      "seed_base" -> seedBase,
+      "shapes" -> shapes.toMap.map { case (k, v) => k -> (v: Any) },
+      "n_failed" -> failures.length,
+      "failures" -> failures))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), report + "\n")
+    println(s"[pfz] ${n - failures.length}/$n green -> $outJson")
+  }
 }

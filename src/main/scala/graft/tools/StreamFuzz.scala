@@ -46,23 +46,23 @@ import graft.GraftSession
   */
 object StreamFuzz {
 
-  private val flushTs = 4102444800000L // 2100-01-01, past any event
-  private val flushCut = flushTs - 86400000L
+  private[tools] val flushTs = 4102444800000L // 2100-01-01, past any event
+  private[tools] val flushCut = flushTs - 86400000L
 
   /** DuckDB-side normalized events (same snippet as the catalog's
     * oracles): ts_ms epoch millis, value_c exact integer cents. */
-  private val evDuck =
+  private[tools] val evDuck =
     "(SELECT *, epoch_ms(ts) AS ts_ms, CAST(round(value * 100) AS BIGINT) AS value_c FROM events)"
   /** Spark-side equivalent over the prepared views (ts = BIGINT nanos). */
-  private val evSpark =
+  private[tools] val evSpark =
     "SELECT event_id, user_id, event_type, ts DIV 1000000 AS ts_ms, " +
       "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"
 
-  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.length))
+  private[tools] def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.length))
 
   /** The aggregate menu: (alias, spark column, oracle SQL fragment).
     * Integer-exact only — see the determinism rules above. */
-  private def aggMenu: Seq[(String, Column, String)] = Seq(
+  private[tools] def aggMenu: Seq[(String, Column, String)] = Seq(
     ("n", count(lit(1)).as("n"), "count(*) AS n"),
     ("s", sum(col("value_c")).as("s"), "sum(value_c) AS s"),
     ("mn", min(col("value_c")).as("mn"), "min(value_c) AS mn"),
@@ -70,7 +70,7 @@ object StreamFuzz {
     ("tmn", min(col("ts_ms")).as("tmn"), "min(ts_ms) AS tmn"),
     ("tmx", max(col("ts_ms")).as("tmx"), "max(ts_ms) AS tmx"))
 
-  private def pickAggs(r: Random): Seq[(String, Column, String)] = {
+  private[tools] def pickAggs(r: Random): Seq[(String, Column, String)] = {
     val menu = aggMenu
     val k = 1 + r.nextInt(3)
     r.ints(0, menu.length).distinct().limit(k).toArray.toSeq.sorted.map(menu)
@@ -90,7 +90,7 @@ object StreamFuzz {
     * and with a `0 seconds` watermark delay that drops rows the batch
     * oracle keeps — a flaky false-failure mode (ADVICE r16). Sentinel
     * files appended later keep their natural (newer) mtimes. */
-  private def writeOrderedSlices(slices: Seq[DataFrame], dir: String): Unit = {
+  private[tools] def writeOrderedSlices(slices: Seq[DataFrame], dir: String): Unit = {
     val seen = scala.collection.mutable.Set.empty[String]
     val base = System.currentTimeMillis() - (slices.length + 2) * 2000L
     slices.zipWithIndex.foreach { case (df, j) =>
@@ -121,7 +121,7 @@ object StreamFuzz {
   /** A sentinel row matching `dir`'s schema with the given event time —
     * event_id/user_id -1, event_type 'zz', so every consumer filters it
     * by construction (window filter, key domain, event_id >= 0). */
-  private def writeFlush(spark: SparkSession, dir: String, tsMs: Long): Unit = {
+  private[tools] def writeFlush(spark: SparkSession, dir: String, tsMs: Long): Unit = {
     val schema = spark.read.parquet(dir).schema
     val exprs = schema.fields.map { f =>
       (f.name match {
@@ -134,7 +134,7 @@ object StreamFuzz {
       .coalesce(1).write.mode("append").parquet(dir)
   }
 
-  private def streamFrom(spark: SparkSession, dir: String, delay: String,
+  private[tools] def streamFrom(spark: SparkSession, dir: String, delay: String,
                          maxFiles: Option[Int]): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     val rd = spark.readStream.schema(schema)
@@ -149,7 +149,7 @@ object StreamFuzz {
     * read-back pins the sink's schema explicitly: a legitimately empty
     * result (a restrictive random predicate) has no part files to infer
     * from and must read as zero rows, not fail. */
-  private def runStreaming(spark: SparkSession, out: DataFrame,
+  private[tools] def runStreaming(spark: SparkSession, out: DataFrame,
                            root: String, inDirs: Seq[String],
                            flushRounds: Int): DataFrame = {
     val q = out.writeStream.outputMode("append").format("parquet")
@@ -165,7 +165,36 @@ object StreamFuzz {
     spark.read.schema(out.schema).parquet(s"$root/out")
   }
 
-  private def orderedOut(df: DataFrame): DataFrame =
+  /** Predicate-generator pools over the normalized events columns:
+    * integer ranges + the event_type value list, sampled from the data.
+    * Shared with [[SessionFuzz]]. */
+  private[tools] def eventPools(spark: SparkSession)
+      : (SqlFuzz.Pools, SqlFuzz.Table, Seq[String]) = {
+    import SqlFuzz.{Col, I, S, Table, Pools}
+    val ev = spark.sql(evSpark)
+    val row = ev.agg(
+      min("user_id").cast("double"), max("user_id").cast("double"),
+      min("ts_ms").cast("double"), max("ts_ms").cast("double"),
+      min("value_c").cast("double"), max("value_c").cast("double"),
+      min("event_id").cast("double"), max("event_id").cast("double")).head()
+    val types = ev.select("event_type").where(col("event_type").isNotNull)
+      .distinct().orderBy("event_type")
+      .collect().map(_.getString(0)).toSeq.filterNot(_.contains("\\"))
+    val evT = Table("ev", Seq(Col("event_id", I), Col("user_id", I),
+      Col("ts_ms", I), Col("value_c", I), Col("event_type", S)), Seq("event_id"))
+    val pools = Pools(
+      numRange = Map(
+        ("ev", "user_id") -> (row.getDouble(0), row.getDouble(1)),
+        ("ev", "ts_ms") -> (row.getDouble(2), row.getDouble(3)),
+        ("ev", "value_c") -> (row.getDouble(4), row.getDouble(5)),
+        ("ev", "event_id") -> (row.getDouble(6), row.getDouble(7))),
+      tsRange = Map.empty,
+      strVals = Map(("ev", "event_type") -> types),
+      uniqueOk = Set("ev"))
+    (pools, evT, types)
+  }
+
+  private[tools] def orderedOut(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toSeq: _*)
 
   private def orderBySql(cols: Seq[String]): String =
@@ -187,7 +216,7 @@ object StreamFuzz {
     * guaranteeing the watermark still sees the flush row; sentinel
     * GROUPS are dropped by the window_start/session_start < flushCut
     * output filter as usual. */
-  private def predOf(r: Random, pools: SqlFuzz.Pools,
+  private[tools] def predOf(r: Random, pools: SqlFuzz.Pools,
                      evT: SqlFuzz.Table): Option[String] =
     if (r.nextBoolean()) Some(SqlFuzz.predicate(r, evT, "", pools)) else None
 
@@ -524,27 +553,7 @@ object StreamFuzz {
 
     // pools for the predicate generator: integer ranges + event_type
     // values sampled from the normalized stream columns
-    val ev = spark.sql(evSpark)
-    val row = ev.agg(
-      min("user_id").cast("double"), max("user_id").cast("double"),
-      min("ts_ms").cast("double"), max("ts_ms").cast("double"),
-      min("value_c").cast("double"), max("value_c").cast("double"),
-      min("event_id").cast("double"), max("event_id").cast("double")).head()
-    val types = ev.select("event_type").where(col("event_type").isNotNull)
-      .distinct().orderBy("event_type")
-      .collect().map(_.getString(0)).toSeq.filterNot(_.contains("\\"))
-    import SqlFuzz.{Col, I, S, Table, Pools}
-    val evT = Table("ev", Seq(Col("event_id", I), Col("user_id", I),
-      Col("ts_ms", I), Col("value_c", I), Col("event_type", S)), Seq("event_id"))
-    val pools = Pools(
-      numRange = Map(
-        ("ev", "user_id") -> (row.getDouble(0), row.getDouble(1)),
-        ("ev", "ts_ms") -> (row.getDouble(2), row.getDouble(3)),
-        ("ev", "value_c") -> (row.getDouble(4), row.getDouble(5)),
-        ("ev", "event_id") -> (row.getDouble(6), row.getDouble(7))),
-      tsRange = Map.empty,
-      strVals = Map(("ev", "event_type") -> types),
-      uniqueOk = Set("ev"))
+    val (pools, evT, types) = eventPools(spark)
 
     val manifest = new StringBuilder("{\n")
     var first = true
