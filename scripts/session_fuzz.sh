@@ -53,10 +53,14 @@ doc = {
    "total_model_sessions": a["total_model_sessions"] + b["total_model_sessions"]},
  "mutation_leg": {
    "what": ("same corpus against the no-lag model (late filter = eviction "
-            "watermark): every shape must FAIL or the corpus is not "
-            "exercising the lag"),
+            "watermark): every LAG-SENSITIVE shape (where the two models "
+            "disagree on the schedule) must FAIL, or the corpus is not "
+            "exercising the lag; lag-insensitive shapes are classified out "
+            "by the tool, not counted green"),
    "n": m["n"], "n_failed": m["n_failed"],
-   "all_red_as_required": m["n_failed"] == m["n"] and mut_rc != 0}}
+   "lag_insensitive": m.get("lag_insensitive", 0),
+   "all_red_as_required": (m["n_failed"] + m.get("lag_insensitive", 0) == m["n"]
+                           and m["n_failed"] > 0 and mut_rc != 0)}}
 json.dump(doc, open(out, 'w'), indent=1)
 print(f"[session_fuzz] {doc['n_total']-doc['n_failed']}/{doc['n_total']} green, "
       f"mutation all-red={doc['mutation_leg']['all_red_as_required']} -> {out}")

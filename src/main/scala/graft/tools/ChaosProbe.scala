@@ -318,6 +318,98 @@ object ChaosProbe {
         writerPids.nonEmpty && !writerPids.contains(driverPid))
     }
 
+    // ---- phase 4 (r18, VERDICT r17 #8): OUT-OF-ORDER session windows
+    // under executor loss. The late-event filter's one-batch lag is
+    // CHECKPOINT state too (prevOffsetSeqMetadata carries the previous
+    // batch's watermark) — a SIGKILL mid-stream must recover the session
+    // state AND the lagged watermark pair on a survivor, or late rows get
+    // filtered differently after the restart. One deterministic OOO shape
+    // (4 modulo slices, genuinely late rows in every later slice, gap
+    // 30 min, delay 1 min) runs on the wounded cluster and must match the
+    // SessionFuzz model oracle exactly.
+    locally {
+      import org.apache.spark.sql.functions.{col, count => cnt, lit, min => fmin,
+        session_window, sum => fsum, timestamp_millis, unix_millis}
+      val oooNode = report.putObject("ooo")
+      try {
+        GraftSession.prepare(cluster, sfDir)
+        val gapMs = 1800000L; val dMs = 60000L; val k = 4
+        val in = cluster.sql(StreamFuzz.evSpark)
+          .withColumn("kk", col("user_id").cast("string"))
+        val slices = (0 until k).map(j => in.where(s"(event_id + 1) % $k = $j"))
+        // model side first — its collects must not trip the assassin
+        val modelSlices = slices.map(df =>
+          df.select("kk", "ts_ms", "value_c").collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+        val (emitted, stats) = SessionFuzz.SessionModel.run(modelSlices, gapMs, dMs)
+        val want = emitted.map { case (kv, s) =>
+          Seq[Any](kv, s.start, s.end, s.rows.length.toLong, s.rows.map(_._2).sum)
+        }.sortBy(_.mkString("|"))
+        oooNode.put("model_rows", want.length)
+        oooNode.put("model_late_dropped", stats.lateDropped)
+        oooNode.put("model_mid_emissions", stats.emittedMid)
+        val root = GraftSession.tempDir("graft_chaos_ooo_")
+        StreamFuzz.writeOrderedSlices(slices.map(_.drop("kk")), s"$root/in")
+        // arm the assassin only now: prep + model collects + slice writes
+        // all submit their own stages
+        val midPids4 = execPids(cluster) - driverPid
+        val victim4 = midPids4.max
+        val stagesSeen4 = new AtomicInteger(0)
+        cluster.sparkContext.addSparkListener(new SparkListener {
+          override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+            stagesSeen4.incrementAndGet(); ()
+          }
+        })
+        @volatile var killed4At = -1L
+        @volatile var stagesAtKill4 = -1
+        val assassin4 = new Thread(() => {
+          // >= 4 stages in: several micro-batches of the 6-batch replay
+          // (4 slices + 2 flush rounds) are behind us, several ahead
+          while (stagesSeen4.get() < 4) Thread.sleep(20)
+          Thread.sleep(100)
+          stagesAtKill4 = stagesSeen4.get()
+          new ProcessBuilder("kill", "-9", victim4.toString).start().waitFor()
+          killed4At = System.nanoTime()
+        }, "executor-assassin-ooo")
+        assassin4.setDaemon(true)
+        assassin4.start()
+        val schema = cluster.read.parquet(s"$root/in").schema
+        val st = cluster.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+          .withColumn("ts", timestamp_millis(col("ts_ms")))
+          .withWatermark("ts", s"$dMs milliseconds")
+        val out = st
+          .groupBy(col("user_id").cast("string").as("kk"),
+            session_window(col("ts"), s"${gapMs / 1000} seconds"))
+          .agg(cnt(lit(1)).as("n"), fsum(col("value_c")).as("s"),
+            fmin(col("ts_ms")).as("tmn"))
+          .withColumn("session_start", unix_millis(col("session_window.start")))
+          .withColumn("session_end", unix_millis(col("session_window.end")))
+          .select(col("kk"), col("session_start"), col("session_end"),
+            col("n"), col("s"))
+          .where(col("session_start") < StreamFuzz.flushCut)
+        val landed = StreamFuzz
+          .runStreaming(cluster, out, root, Seq(s"$root/in"), 2)
+          .collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+        assassin4.join(2000)
+        oooNode.put("cluster_rows", landed.length)
+        oooNode.put("stages_at_kill", stagesAtKill4)
+        oooNode.put("stages_total", stagesSeen4.get())
+        oooNode.put("victim_killed", killed4At > 0)
+        val v4Handle = ProcessHandle.of(victim4)
+        oooNode.put("victim_alive_after",
+          v4Handle.isPresent && v4Handle.get().isAlive)
+        oooNode.put("equal", landed == want)
+        if (landed != want)
+          failures.add(s"ooo: cluster=${landed.length} rows, model=${want.length}; " +
+            s"firstDiff=${landed.diff(want).headOption.orElse(want.diff(landed).headOption)}")
+      } catch {
+        case e: Throwable =>
+          failures.add(s"ooo: ${e.getClass.getName}: ${e.getMessage}")
+          oooNode.put("equal", false)
+      }
+    }
+
     cluster.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

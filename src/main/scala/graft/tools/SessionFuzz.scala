@@ -200,6 +200,19 @@ object SessionFuzz {
     val want: Seq[Seq[Any]] = emitted.map { case (kv, s) =>
       Seq[Any](kv, s.start, s.end) ++ aggs.map(a => modelAgg(a._1, s.rows))
     }
+    // a MUTATION run only proves anything on shapes whose schedule
+    // actually distinguishes the mutated model from the correct one —
+    // where they agree, the engine trivially matches both and the shape
+    // can neither pass nor fail the all-red requirement. Classify it
+    // instead of running the engine.
+    if (lateLag != 1) {
+      val (correct, _) = SessionModel.run(modelSlices, gapMs, dMs)
+      val correctRows = correct.map { case (kv, s) =>
+        Seq[Any](kv, s.start, s.end) ++ aggs.map(a => modelAgg(a._1, s.rows))
+      }
+      def key(rows: Seq[Seq[Any]]) = rows.map(_.map(String.valueOf).mkString("|")).sorted
+      if (key(correctRows) == key(want)) return Some("LAG_INSENSITIVE")
+    }
 
     // ---- engine side ----------------------------------------------------
     val root = GraftSession.tempDir(s"graft_sess_${i}_")
@@ -261,9 +274,13 @@ object SessionFuzz {
       "shapes_with_late_drops" -> 0, "shapes_with_mid_evictions" -> 0,
       "shapes_with_double_emission" -> 0)
     val failures = Vector.newBuilder[Failure]
+    var lagInsensitive = 0
     for (i <- 0 until n) {
       try {
         runShape(spark, i, seedBase, pools, evT, counts, lateLag) match {
+          case Some("LAG_INSENSITIVE") =>
+            lagInsensitive += 1
+            println(s"[sessfuzz] sess_$i lag-insensitive (mutation can't bite) seed=${seedBase + i}")
           case Some(detail) =>
             failures += Failure(f"sess_$i%04d", seedBase + i, detail)
             println(s"[sessfuzz] MISMATCH sess_$i seed=${seedBase + i}: ${detail.take(500)}")
@@ -284,6 +301,7 @@ object SessionFuzz {
       "n" -> n,
       "seed_base" -> seedBase,
       "late_lag_batches" -> lateLag,
+      "lag_insensitive" -> lagInsensitive,
       "total_input_rows" -> counts("rows"),
       "total_model_sessions" -> counts("sessions"),
       "total_late_dropped" -> counts("late_dropped"),

@@ -124,5 +124,22 @@ class ChaosClusterSpec extends AnyFunSuite {
     // the torn-tail-repair claim was never exercised this run
     assert(node.get("store_kill_mid_stream").asBoolean(),
       s"store-phase kill landed after the stream drained (vacuous run): $report")
+
+    // phase 4 (r18): an OUT-OF-ORDER session-window stream under executor
+    // SIGKILL must recover byte-identical to the SessionFuzz model — the
+    // lagged late-filter watermark (prevOffsetSeqMetadata) and the open
+    // session state both reload from the checkpoint on a survivor
+    val ooo = node.get("ooo")
+    assert(ooo != null, s"no ooo phase in report: $report")
+    assert(ooo.get("victim_killed").asBoolean(),
+      s"ooo-phase victim not killed: $report")
+    assert(!ooo.get("victim_alive_after").asBoolean(),
+      s"ooo-phase victim survived: $report")
+    assert(ooo.get("cluster_rows").asInt() > 0,
+      s"ooo shape returned no rows on the wounded cluster: $report")
+    assert(ooo.get("model_late_dropped").asInt() > 0,
+      s"ooo shape dropped no late rows — not actually out of order: $report")
+    assert(ooo.get("equal").asBoolean(),
+      s"ooo session output differs from the model after executor loss: $report")
   }
 }
