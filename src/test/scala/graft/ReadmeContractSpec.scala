@@ -33,6 +33,26 @@ class ReadmeContractSpec extends AnyFunSuite {
         "so the count stays under this spec's check")
   }
 
+  test("the README's suite/test counts match the source tree") {
+    // r16's count drift repeated at r18 ("40 suites, 216 tests" vs the
+    // actual 43/238), so stamp these from the tree too. Every test in
+    // this repo is a statically-declared `test("...")` call (verified:
+    // the static count equals the sbt-reported run count), so a source
+    // scan is exact, not an approximation.
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get("src/test/scala"))
+      .iterator().asScala.filter(_.toString.endsWith(".scala")).toSeq
+    val bodies = files.map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    val suites = bodies.count(_.contains("extends AnyFunSuite"))
+    val tests = bodies.map("(?m)^\\s+test\\(".r.findAllIn(_).size).sum
+    val claim = "(\\d+) suites, (\\d+) tests".r.findFirstMatchIn(readme)
+    assert(claim.nonEmpty, "README no longer states the suite/test counts")
+    assert(claim.get.group(1).toInt == suites,
+      s"README claims ${claim.get.group(1)} suites but the tree has $suites")
+    assert(claim.get.group(2).toInt == tests,
+      s"README claims ${claim.get.group(2)} tests but the tree declares $tests")
+  }
+
   test("queries and oracleSql stay in lockstep") {
     // every oracle names a real entry; entries without an oracle are the
     // documented weaker rows-only check, but an oracle for a DELETED
