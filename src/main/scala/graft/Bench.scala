@@ -1334,6 +1334,31 @@ object Bench {
     var gateDrift = -1.0
     var gateBaseline = "none"
     var gateProbes = Seq.empty[(String, Double, Double)] // (name, sec, baseline)
+    // part 3 state (end-side re-check): the r18 attempt-3 failure shape —
+    // the box is clean at gate time (start drift 0.68), contamination
+    // arrives MID-RUN (stream-stream join suspects reproducing on retry,
+    // addBatch 2.7x), and a degraded record stamps official anyway. The
+    // same probes re-run after the last workload phase close that hole;
+    // the check is symmetric in time and blind to the result, so it can't
+    // cherry-pick fast records — it only certifies "the box at the end
+    // still reproduces the committed numbers".
+    var gateEndDrift = -1.0
+    var gateEndProbes = Seq.empty[(String, Double, Double)]
+    var gateEndOk = true
+    var gateThreshold = -1.0
+    var gatePickRefs = Seq.empty[(String, Double)] // (name, baseline) for the end pass
+    def gateProbePass(pairs: Seq[(String, Double)]): Seq[(String, Double, Double)] =
+      pairs.flatMap { case (n, b) =>
+        SparkEntry.queries.get(n).map { fn =>
+          // min-of-2 per probe, probe failures never stamp record errors
+          val hadErr = errors.contains(n)
+          val s1 = runEntryOnce(n, fn)
+          val s2 = runEntryOnce(n, fn)
+          if ((s1 < 0 || s2 < 0) && !hadErr) errors.remove(n)
+          val s = if (s1 < 0) s2 else if (s2 < 0) s1 else math.min(s1, s2)
+          (n, s, b)
+        }
+      }
     val gateDriftOk =
       if (!officialIntent || refTimes.isEmpty) true
       else {
@@ -1352,9 +1377,16 @@ object Bench {
             val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
             val at = txt.indexOf("\"official_gate\":")
             if (at < 0) Map.empty
-            else """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+),"ref":""".r
-              .findAllMatchIn(txt.substring(at))
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            else {
+              // start probes only: the end-side pass (part 3) re-probes in
+              // a fully-warm JVM and reads lower — end_probes as baselines
+              // would make every future start gate spuriously strict
+              val cut = txt.indexOf("\"end_median_drift\"", at) match {
+                case -1 => txt.length; case e => e }
+              """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+),"ref":""".r
+                .findAllMatchIn(txt.substring(at, cut))
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            }
           }
         } catch { case _: Exception => Map.empty }
         val eligible = refTimes.toSeq
@@ -1365,18 +1397,11 @@ object Bench {
           if (eligible.size <= 10) eligible
           else (0 until 10).map(i => eligible(i * eligible.size / 10))
         val fns = SparkEntry.queries
-        // min-of-2 per probe: the first run pays first-run JIT/codegen the
-        // committed sweep amortized over 156 sorted entries (measured: an
-        // IDLE box probes at median 1.44x on first runs) — the steady
-        // (min) run is the real "can this box reproduce the committed
-        // numbers" measurement
-        def probe(n: String): Double = {
-          val hadErr = errors.contains(n)
-          val s1 = runEntryOnce(n, fns(n))
-          val s2 = runEntryOnce(n, fns(n))
-          if ((s1 < 0 || s2 < 0) && !hadErr) errors.remove(n)
-          if (s1 < 0) s2 else if (s2 < 0) s1 else math.min(s1, s2)
-        }
+        // min-of-2 per probe (inside gateProbePass): the first run pays
+        // first-run JIT/codegen the committed sweep amortized over 156
+        // sorted entries (measured: an IDLE box probes at median 1.44x on
+        // first runs) — the steady (min) run is the real "can this box
+        // reproduce the committed numbers" measurement
         fns.get("q1_agg").foreach(fn => { // throwaway: absorbs residual first-entry cost
           val hadErr = errors.contains("q1_agg")
           if (runEntryOnce("q1_agg", fn) < 0 && !hadErr) errors.remove("q1_agg")
@@ -1387,8 +1412,9 @@ object Bench {
             ((n: String, _: Double) => prevGate.get(n), 1.25) }
           else { gateBaseline = "committed_sweep"
             ((_: String, r: Double) => Some(r), 1.0) }
-        gateProbes = picks.flatMap { case (n, r) =>
-          baselineOf(n, r).map(b => (n, probe(n), b)) }
+        gateThreshold = threshold
+        gatePickRefs = picks.flatMap { case (n, r) => baselineOf(n, r).map(n -> _) }
+        gateProbes = gateProbePass(gatePickRefs)
         gateDrift = gateMedianDrift(gateProbes)
         val ok = gateDrift < 0 || gateDrift <= threshold
         if (!ok)
@@ -1397,7 +1423,7 @@ object Bench {
             "record will not stamp official")
         ok
       }
-    val gateRefused = officialIntent && !(gateLoadOk && gateDriftOk)
+    var gateRefused = officialIntent && !(gateLoadOk && gateDriftOk)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(e => only.forall(_.contains(e._1)) && wl.isEmpty)
       .map { case (name, fn) =>
@@ -1665,6 +1691,26 @@ object Bench {
       val ex = graft.serving.ShardedFeatureStore.exhaustedReads.sum()
       if (ex > 0) BenchCounters.put("store_exhausted_reads", ex.toString)
     }
+    // Official gate, part 3: re-run the SAME probe set after the last
+    // workload phase. A start-clean box that degraded mid-run (the r18
+    // attempt-3 shape: start drift 0.68, then host-IO interference landed
+    // during the sweep — stream-stream suspects reproducing on retry,
+    // total 188 s vs the 134.8 committed series) must not stamp a
+    // degraded record official. Probe time lands inside the tail section,
+    // whose cpu/io stamps cover it. Runs only when the start gate passed
+    // — a refused run is already /tmp-bound.
+    if (officialIntent && !gateRefused && gatePickRefs.nonEmpty) {
+      gateEndProbes = gateProbePass(gatePickRefs)
+      gateEndDrift = gateMedianDrift(gateEndProbes)
+      gateEndOk = gateEndDrift < 0 || gateEndDrift <= gateThreshold
+      if (!gateEndOk) {
+        gateRefused = true
+        System.err.println(f"[bench] official gate REFUSED on END-side " +
+          f"median drift $gateEndDrift%.2f > $gateThreshold%.2f vs " +
+          f"$gateBaseline — the box degraded mid-run; record will not " +
+          "stamp official")
+      }
+    }
     checkpoint("end")
     val loadEnd = sysLoad
     val cores = Runtime.getRuntime.availableProcessors()
@@ -1751,7 +1797,10 @@ object Bench {
         val probesJson = gateProbes.map { case (n, s, r) =>
           jstr(n) + f""":{"sec":$s%.3f,"ref":$r%.3f}"""
         }.mkString("{", ",", "}")
-        f"""{"loadavg":${gateLoad.map(v => f"$v%.2f").mkString("[", ",", "]")},"waited_sec":$gateWaited,"load_ok":$gateLoadOk,"median_drift":${if (gateDrift < 0) "null" else f"$gateDrift%.2f"},"drift_baseline":"$gateBaseline","drift_ok":$gateDriftOk,"probes":$probesJson,"refused":$gateRefused}"""
+        val endProbesJson = gateEndProbes.map { case (n, s, r) =>
+          jstr(n) + f""":{"sec":$s%.3f,"ref":$r%.3f}"""
+        }.mkString("{", ",", "}")
+        f"""{"loadavg":${gateLoad.map(v => f"$v%.2f").mkString("[", ",", "]")},"waited_sec":$gateWaited,"load_ok":$gateLoadOk,"median_drift":${if (gateDrift < 0) "null" else f"$gateDrift%.2f"},"drift_baseline":"$gateBaseline","drift_ok":$gateDriftOk,"probes":$probesJson,"end_median_drift":${if (gateEndDrift < 0) "null" else f"$gateEndDrift%.2f"},"end_drift_ok":$gateEndOk,"end_probes":$endProbesJson,"refused":$gateRefused}"""
       }
     val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streaming,"wordcount":$wordcount,"request":$request,"concurrency":$concurrency,"errors":$es,"n_failed":${errors.size},"outliers":$outliersJson,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"cores":$cores},"calibration":$calibJson,"calibration_io":$calibIoJson,"contaminated":$contaminated,"official_gate":$gateJson,"sections":$sectionsJson,"counters":$counters,"sf":"$sfDir"}"""
     println(summary)

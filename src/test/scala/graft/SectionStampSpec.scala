@@ -199,6 +199,24 @@ class SectionStampSpec extends AnyFunSuite with Retries {
     assert(Bench.gateMedianDrift(probes) < 1.0)
   }
 
+  test("box gate part 3: the r18 attempt-3 shape (clean start, mid-run degradation) refuses at the end") {
+    // measured r18 attempt 3: start probes 0.68 (clean — gate passed),
+    // then host-IO interference landed mid-run; batch entries inflated
+    // ~1.35-1.5x (tpch_q11 2.47->3.45, tpch_q2 2.07->3.05, ann_pq
+    // 2.66->3.58) and the record totaled 188 s vs the 134.8 committed
+    // series. The end-side pass re-runs the SAME probes with the SAME
+    // threshold — those inflations must refuse.
+    val startProbes = (1 to 10).map(i => (s"q_$i", 0.68 * i * 0.1, i * 0.1))
+    assert(Bench.gateMedianDrift(startProbes) <= 1.0, "start gate passes clean")
+    val endProbes = (1 to 10).map(i => (s"q_$i", 1.38 * i * 0.1, i * 0.1))
+    val d = Bench.gateMedianDrift(endProbes)
+    assert(d > 1.25, "mid-run degradation must refuse at the prev-gate threshold")
+    assert(d > 1.0, "and at the committed-sweep fallback threshold")
+    // a fully-warm clean end reads LOWER than the cold start — never refuses
+    val warmEnd = (1 to 10).map(i => (s"q_$i", 0.60 * i * 0.1, i * 0.1))
+    assert(Bench.gateMedianDrift(warmEnd) <= 1.0)
+  }
+
   test("headline stays valid JSON under a comma-decimal default locale (ADVICE r17)") {
     // an f-interpolator under fr_FR emits "value":133,2 — invalid JSON,
     // recreating the parsed:null failure the headline exists to end; the
