@@ -1,18 +1,28 @@
 #!/usr/bin/env python3
-"""Assemble the r15 HEAD refresh of the scale record (VERDICT r14
-"what's missing" #4): BENCH_sf1/sf10 predate the fuzzy pair-blocking
-ladder, conf hygiene, and the TWS streaming row, so the committed 100x
-slopes were measured against code that no longer ships. This stitches the
-three fresh legs (sf0.1 reference, sf10 batch slopers, sf10 streaming
-engines — all at local[4] like every committed scale record) into
-BENCH_sf10_r15.json with per-query slopes and the attribution counters.
+"""Assemble a HEAD refresh of the 100x scale record (VERDICT r14 "what's
+missing" #4; provenance stamping added r19 per VERDICT r18 #5 — the r18
+artifact shipped with the r15 note verbatim, misstating which HEAD it
+measured). Stitches the three fresh legs (sf0.1 reference, sf10 batch
+slopers, sf10 streaming engines — all at local[4] like every committed
+scale record) into one artifact with per-query slopes, the attribution
+counters, and a provenance block (round, git SHA, testdata/scale-corpus
+mtimes, assembly time) stamped by THIS script so no hand-written prose
+can go stale.
 
-Usage: scale_refresh.py <sf01.json> <sf10_batch.json> <sf10_stream.json> <out.json>
-Dev tool only — not part of the shipped library.
+Usage: scale_refresh.py <sf01.json> <sf10_batch.json> <sf10_stream.json> \
+           <out.json> [prior_record.json]
+The optional prior record supplies `prior_record_slopes` for structural
+comparison (slopes are not digit-comparable across rounds — the driver
+regenerates testdata). Dev tool only — not part of the shipped library.
 """
-import json, sys
+import datetime
+import json
+import os
+import subprocess
+import sys
 
 sf01, sf10b, sf10s, out = sys.argv[1:5]
+prior_path = sys.argv[5] if len(sys.argv) > 5 else None
 a = json.load(open(sf01))
 b = json.load(open(sf10b))
 s = json.load(open(sf10s))
@@ -20,6 +30,7 @@ s = json.load(open(sf10s))
 BATCH = ["q_fuzzy_join", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_cluster"]
 STREAM = ["q_dedup_minhash_streaming", "q_dedup_minhash_streaming_tws",
           "q_window_streaming_mk", "q_join_stream_stream"]
+
 
 def leg(d, keys):
     return {
@@ -30,18 +41,47 @@ def leg(d, keys):
         "contaminated": d.get("contaminated"),
     }
 
+
+def mtime(path):
+    try:
+        return datetime.datetime.fromtimestamp(
+            os.stat(path).st_mtime, datetime.timezone.utc).isoformat()
+    except OSError:
+        return None
+
+
+def git(*args):
+    try:
+        return subprocess.check_output(
+            ["git", "-C", "/root/repo"] + list(args), text=True).strip()
+    except Exception:
+        return None
+
+
+round_tag = os.environ.get("GRAFT_ROUND", "unknown")
+provenance = {
+    "round": round_tag,
+    "git_sha": git("rev-parse", "HEAD"),
+    "git_describe": git("log", "-1", "--format=%h %cI %s"),
+    "assembled_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+    "testdata_sf01_mtime": mtime("/root/testdata/sf0.1/events.parquet"),
+    "scale_sf10_mtime": mtime("/root/repo/scale/sf10/events.parquet"),
+    "legs": {"sf0.1": sf01, "sf10_batch": sf10b, "sf10_stream": sf10s},
+}
+
 ref = leg(a, BATCH + STREAM)
 doc = {
-    "note": ("r15 HEAD refresh of the 100x scale record: same ScaleUp "
-             "permutation generator (factor 100 of /root/testdata/sf0.1, "
-             "clone-free), same local[4] series conditions, but measured "
-             "against the code that actually ships at r15 — the r12-era "
-             "BENCH_sf10.json predates the fuzzy extended-prefix ladder "
-             "tuning, conf hygiene, and the transformWithState minhash row "
-             "(never measured beyond 10x before). Streaming legs ran with "
+    "note": (f"round-{round_tag} HEAD refresh of the 100x scale record: "
+             "ScaleUp permutation generator (factor 100 of "
+             "/root/testdata/sf0.1, clone-free), local[4] series "
+             "conditions, measured against the code at the git SHA in "
+             "`provenance` (stamped by scripts/scale_refresh.py at "
+             "assembly time — hand-written HEAD claims went stale in the "
+             "r18 artifact, VERDICT r18 #5). Streaming legs run with "
              "SPARK_DRIVER_MEM=48g (one-trigger replay holds the whole "
              "100x corpus's state in a single JVM; on a cluster the "
              "executors partition it — the slope is the signal)."),
+    "provenance": provenance,
     "generator": "graft.tools.ScaleUp permutation, factor 100 of /root/testdata/sf0.1",
     "sf0.1": ref,
     "sf10_batch": leg(b, BATCH),
@@ -60,13 +100,10 @@ doc["slope_100x"] = slopes
 # testdata between rounds, so slope numbers are not digit-comparable
 # across rounds — the check is "every slope sub-linear (< 100) and in the
 # same decade as last time", not equality
-doc["prior_record_slopes"] = {
-    "q_fuzzy_join": 47.9, "q_dedup_minhash": 59.4, "q_dedup_ngram": 56.3,
-    "q_dedup_cluster": 42.9, "q_dedup_minhash_streaming": 69.0,
-    "q_dedup_minhash_streaming_tws": 79.9, "q_window_streaming_mk": 29.1,
-    "q_join_stream_stream": 4.2,
-    "_source": "BENCH_sf10_r15.json (r15 code, r15-era testdata)",
-}
+if prior_path:
+    prior = json.load(open(prior_path))
+    doc["prior_record_slopes"] = dict(prior.get("slope_100x", {}))
+    doc["prior_record_slopes"]["_source"] = os.path.basename(prior_path)
 
 with open(out, "w") as f:
     json.dump(doc, f, indent=1)

@@ -169,19 +169,27 @@ object StreamingDedup {
       .toDF("__lid", "__rid")
   }
 
-  /** [[minhashStreamingPairs]] on the `transformWithState` engine with
-    * APPEND-ONLY bucket state (VERDICT r12 "what's wrong" #2): the FMGWS
-    * engine's `GroupState[Array[Byte]]` is a whole-value store, so every
-    * arrival re-serializes its ENTIRE bucket — with ~1 state round-trip
-    * per (doc, band) row (the `smh` counters: 76.5k calls / 80k arrivals
-    * at sf0.1), the store traffic is O(bucket²) bytes over a bucket's
-    * lifetime. Here each member is its own `ListState` element:
-    * an arrival READS the membership once (it must — the LSH verify
-    * compares against every member) and APPENDS only itself, O(bucket)
-    * read + O(1) write — the same asymmetry the reference's bucket index
-    * exploits by appending to per-bucket segments
-    * (src/storage/index/bucket_index.rs). On RocksDB the append is a
-    * native merge op and changelog checkpointing ships only the delta.
+  /** [[minhashStreamingPairs]] on the `transformWithState` engine with a
+    * CONSOLIDATED bucket blob (r19, VERDICT r18 #1). The r12–r18 layout
+    * kept each member as its own `ListState` element (append-only, O(1)
+    * write — the asymmetry the reference's bucket index exploits,
+    * src/storage/index/bucket_index.rs), but the 100× scale record
+    * measured the real cost driver elsewhere: with ~7.64M touched buckets
+    * averaging ~1 member each, the per-KEY overhead of the public
+    * `ListState` surface (a RocksDB range iterator per `get()` plus the
+    * per-element codec round-trip) charged ~85 µs to every touched
+    * bucket and made this the repo's only super-linear slope (154.8 vs
+    * the FMGWS twin's 74.6 on counter-identical work —
+    * BENCH_sf10_r18.json `tws_slope_attribution`; the provider was
+    * exonerated by a control run). This layout stores the bucket as ONE
+    * `ValueState[Array[Byte]]` blob in the FMGWS engine's exact pack
+    * format: a touched bucket costs one point `get()` + one `put()` per
+    * trigger regardless of member count — the state-shape twin of
+    * [[minhashStreamingPairs]], so the engines differ only in API
+    * machinery and the slope gap isolates `transformWithState` itself
+    * (pinned by the TwsCodecProbe floor artifact when the gap persists).
+    * Whole-blob rewrite is O(bucket²) bytes over a bucket's lifetime,
+    * the same bound FMGWS carries — capped by `maxBucket`.
     *
     * Math, arrival order, cap semantics, overflow marker, and emitted
     * pair set are IDENTICAL to [[minhashStreamingPairs]]
@@ -221,18 +229,19 @@ object StreamingDedup {
       .toDF("__lid", "__rid")
   }
 
-  /** Append-only LSH bucket state: one ListState element per member
-    * (8 id bytes + the packed signature). See [[minhashStreamingPairsTws]]. */
+  /** Consolidated LSH bucket state: the whole membership as ONE
+    * [[pack]]-format blob — a point read and a point write per touched
+    * bucket per trigger. See [[minhashStreamingPairsTws]]. */
   private final class MinhashBucketProcessor(numHashes: Int, threshold: Double,
                                              maxBucket: Int)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       String, (String, Long, Array[Byte]), (Long, Long)] {
 
-    @transient private var members: org.apache.spark.sql.streaming.ListState[Array[Byte]] = _
+    @transient private var members: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
 
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      members = getHandle.getListState[Array[Byte]]("members",
+      members = getHandle.getValueState[Array[Byte]]("members",
         org.apache.spark.sql.Encoders.BINARY,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
@@ -240,17 +249,11 @@ object StreamingDedup {
         key: String, rows: Iterator[(String, Long, Array[Byte])],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
       Profile.stateCalls.incrementAndGet()
-      // one full read per touched bucket per trigger — the comparisons
-      // need every member anyway; the WRITE below is what shrinks
-      val existing = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
-      members.get().foreach { m =>
-        val buf = ByteBuffer.wrap(m)
-        val id = buf.getLong
-        val sig = new Array[Byte](numHashes * 8)
-        buf.get(sig)
-        existing += (id -> sig)
-      }
-      val fresh = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      // one point read per touched bucket per trigger — the comparisons
+      // need every member anyway
+      var existing = Option(members.get()).map(unpack(_, numHashes))
+        .getOrElse(Vector.empty)
+      var grew = false
       val out = Vector.newBuilder[(Long, Long)]
       rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
         Profile.arrivals.incrementAndGet()
@@ -272,13 +275,13 @@ object StreamingDedup {
               out += ((mid, id)); Profile.pairsEmitted.incrementAndGet()
             }
           }
-          existing += (id -> sig)
-          val packed = ByteBuffer.allocate(8 + numHashes * 8)
-          packed.putLong(id); packed.put(sig)
-          fresh += packed.array()
+          existing = existing :+ (id -> sig)
+          grew = true
         }
       }
-      if (fresh.nonEmpty) members.appendList(fresh.toArray)
+      // write only when membership actually changed: dup-delivery-only and
+      // overflow-only triggers leave the blob (and the changelog) untouched
+      if (grew) members.update(pack(existing, numHashes))
       out.result().iterator
     }
   }

@@ -258,13 +258,21 @@ object SessionFuzz {
     val outJson = args(1)
     val n = if (args.length > 2) args(2).toInt else 150
     val seedBase = if (args.length > 3) args(3).toLong else 61000L
-    // "nolag" runs the MUTATION: a model without the two-watermark split.
-    // It exists to prove the corpus detects a wrong model — a nolag sweep
-    // that comes back green means the shapes aren't exercising the lag.
-    val lateLag = if (args.length > 4 && args(4) == "nolag") 0 else 1
+    // mode (arg 4): "nolag" runs the MUTATION — a model without the
+    // two-watermark split. It exists to prove the corpus detects a wrong
+    // model; a nolag sweep that comes back green means the shapes aren't
+    // exercising the lag. "rocksdb" runs the CORRECT model with the
+    // RocksDB state-store provider forced (VERDICT r18 #3): the
+    // session-window save path (SessionWindowStateStoreSaveExec) was the
+    // one streaming family the per-round ROCKSDB_SWEEP didn't cover —
+    // the default-provider legs exercise it on HDFS only.
+    val mode = if (args.length > 4) args(4) else ""
+    val lateLag = if (mode == "nolag") 0 else 1
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.prepare(spark, sfDir)
+    if (mode == "rocksdb")
+      graft.streaming.StateStoreConf.setRocksDb(spark)
     // tiny streams: 4 state partitions (see StreamFuzz.main)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val (pools, evT, _) = eventPools(spark)
@@ -301,6 +309,7 @@ object SessionFuzz {
       "n" -> n,
       "seed_base" -> seedBase,
       "late_lag_batches" -> lateLag,
+      "provider" -> (if (mode == "rocksdb") "rocksdb" else "default(hdfs)"),
       "lag_insensitive" -> lagInsensitive,
       "total_input_rows" -> counts("rows"),
       "total_model_sessions" -> counts("sessions"),

@@ -217,6 +217,46 @@ class SectionStampSpec extends AnyFunSuite with Retries {
     assert(Bench.gateMedianDrift(warmEnd) <= 1.0)
   }
 
+  test("headline carries box_drift fields on every record (VERDICT r18 #2)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // probed run: both drifts are numbers — a driver-run record
+    // self-classifies box interference in one field instead of via
+    // suspect forensics (the r18 record carried 12 suspects with retries
+    // still 5-8x yet stamped contaminated:false)
+    val h = Bench.headline(262.1, "/root/testdata/sf0.1", 156, 0, false,
+      fiveSections, twelveSuspects, fullCatalog, "/tmp/BENCH_local.json",
+      boxDriftStart = 0.71, boxDriftEnd = 2.43)
+    val j = JsonMethods.parse(h)
+    assert((j \ "box_drift_start") == JDouble(0.71))
+    assert((j \ "box_drift_end") == JDouble(2.43))
+    assert(h.length <= 1800, s"headline ${h.length} chars blows the tail window")
+    // un-probed run (subset/dev knobs, or no reference at this sf):
+    // never guessed — the fields read null, not 0 or -1
+    val h2 = Bench.headline(0.0, "/tmp/x", 0, 0, false, Nil, Nil, Nil, "/tmp/o")
+    val j2 = JsonMethods.parse(h2)
+    assert((j2 \ "box_drift_start") == JNull && (j2 \ "box_drift_end") == JNull)
+  }
+
+  test("newest committed 100x scale artifact carries machine-stamped provenance (VERDICT r18 #5)") {
+    // the r18 artifact shipped with the r15 note verbatim — scale records
+    // must carry provenance the assembler stamps, not hand-written prose.
+    // The corrected r18 artifact carries note_corrected; every artifact
+    // scripts/scale_refresh.py produces from r19 on carries `provenance`
+    // (round, git SHA, corpus mtimes).
+    import org.json4s.jackson.JsonMethods
+    val arts = new java.io.File("/root/repo").listFiles()
+      .filter(f => f.getName.matches("BENCH_sf10_r\\d+\\.json")).sortBy(_.getName)
+    assume(arts.nonEmpty, "no committed scale artifacts on this checkout")
+    val newest = arts.last
+    val j = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8"))
+    val stamped = (j \ "provenance") != org.json4s.JNothing ||
+      (j \ "note_corrected") != org.json4s.JNothing
+    assert(stamped, s"${newest.getName} lacks provenance/note_corrected — " +
+      "regenerate it through scripts/scale_refresh.py")
+  }
+
   test("headline stays valid JSON under a comma-decimal default locale (ADVICE r17)") {
     // an f-interpolator under fr_FR emits "value":133,2 — invalid JSON,
     // recreating the parsed:null failure the headline exists to end; the
