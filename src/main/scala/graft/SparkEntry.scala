@@ -1474,6 +1474,19 @@ object SparkEntry {
         ev.write.parquet(s"$root/in")
         val flush = ev.select("user_id").distinct()
           .select(col("user_id"), lit(-1L).as("event_id"), lit(flushTs).as("ts_ms"))
+        // state partition count: every session-window state store pays a
+        // fixed commit/maintenance cost per trigger regardless of its row
+        // count — the same per-store fixed cost the stream-stream join
+        // attributed at r6 (README "Stream-stream join cost attribution"),
+        // and this entry runs ~6 triggers (initial + 2 sentinel rounds +
+        // fallbacks), so at the session default of 32 it paid ~192 store
+        // commits for ~7k session rows (r19 on a slow-commit box: 7.0 s at
+        // 32 parts vs 3.5 s at 8). 8 carries this state volume with
+        // headroom; production sizes this to state volume / cluster cores,
+        // so the env knob stays.
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SW_PARTS", "8"))
         val stream = s.readStream.schema(s.read.parquet(s"$root/in").schema)
           .parquet(s"$root/in")
           .withColumn("ts", timestamp_millis(col("ts_ms")))
@@ -1512,7 +1525,10 @@ object SparkEntry {
             flush.write.mode("append").parquet(s"$root/in"); q.processAllAvailable()
             round += 1
           }
-        } finally q.stop()
+        } finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         s.read.parquet(s"$root/out")
           .select(col("user_id"), col("n_events"), col("session_start"), col("session_end"))
           .orderBy("user_id", "session_start")
@@ -1603,6 +1619,16 @@ object SparkEntry {
         val ev = s.sql(s"SELECT event_id, user_id, ts_ms, value_c FROM $eventsMsSpark")
         ev.where("event_id % 2 = 0").coalesce(1).write.parquet(s"$root/in")
         val flushTs = 4102444800000L
+        // state partition count: ~720 window rows of state across ~6
+        // triggers (initial + stragglers + 2 sentinel rounds + fallbacks);
+        // at the session default of 32 every trigger paid 32 fixed-cost
+        // store commits (the r6 stream-stream-join attribution — commit
+        // cost is per store instance, not per row; r19 on a slow-commit
+        // box: 12-18 s at 32 parts vs ~4 s at 8). Production sizes this
+        // to state volume / cluster cores — hence the env knob.
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_LATE_PARTS", "8"))
         val stream = s.readStream.schema(s.read.parquet(s"$root/in").schema)
           .parquet(s"$root/in")
           .withColumn("ts", timestamp_millis(col("ts_ms")))
@@ -1643,7 +1669,10 @@ object SparkEntry {
             q.processAllAvailable()
             round += 1
           }
-        } finally q.stop()
+        } finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         s.read.parquet(s"$root/out").orderBy("win_start")
       },
       Some(s"""
@@ -3039,10 +3068,20 @@ object SparkEntry {
           .select(col("token"), fexplode(fexpr("sequence(0, 3)")).as("i"))
           .select(col("i"), fexpr(bucketOf).as("bucket"))
           .groupBy("i", "bucket").agg(fcount(flit(1)).as("cell"))
+        // 64 state rows total (4 x 16 CMS cells): the per-store fixed
+        // commit cost dominates at the 32-partition session default (the
+        // r6 attribution); 8 stores carry this sketch with headroom and
+        // the env knob sizes it for real deployments
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CMS_PARTS", "8"))
         val q = cells.writeStream.outputMode("complete").format("memory")
           .queryName("cms_cells")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-        try q.processAllAvailable() finally q.stop()
+        try q.processAllAvailable() finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         // estimates from the STREAMED cells; true counts batch-side
         s.table("cms_cells").createOrReplaceTempView("cms_stream")
         s.sql(s"""
