@@ -3358,9 +3358,36 @@ object SparkEntry {
         val emb = GraftSession.table(s, dir, "embeddings")
         val km = graft.operators.SemDedup.semanticDedupKmeans(
           emb, "vec_id", "embedding", nlist = 16, threshold = 0.35)
-        val exact = Dedup.embeddingDedupExact(emb, "vec_id", "embedding", 0.35)
-          .select(col("vec_id"))
-        val missing = exact.join(km.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        // Containment check with the anti-join PUSHED INTO the exact pass
+        // (r19, guide §1.2 "don't compute things you throw away"):
+        //   exactSurv ∖ kmSurv  =  exactSurv ∩ kmLosers
+        // and for v ∈ kmLosers, v ∈ exactSurv ⟺ no u < v anywhere has
+        // cos(u,v) >= threshold — so the O(n²) all-pairs exact dedup
+        // (12.5M pairs at sf0.1) shrinks to corpus × kmLosers (~15% of
+        // pairs), same `missing` set by construction. The cosine is the
+        // embeddingDedupExact expression verbatim (same quantization,
+        // same integer dots/norms, same IEEE widening), so the survivor
+        // decision per pair is bit-identical to the replaced pass.
+        val kmLosers = emb.select(col("vec_id"))
+          .join(km.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        val withN = emb.select(col("vec_id").as("__id"),
+            Dedup.quantizeEmbedding(col("embedding")).as("__q"))
+          .select(col("__id"), col("__q"),
+            graft.functions.ArrayMath.norm2Long(col("__q")).as("__n2"))
+        val loseSide = withN
+          .join(kmLosers.select(col("vec_id").as("__id")), Seq("__id"))
+          .select(col("__id").as("__rid"), col("__q").as("__rq"),
+            col("__n2").as("__rn2"))
+        val allSide = withN.select(col("__id").as("__lid"),
+          col("__q").as("__lq"), col("__n2").as("__ln2"))
+        val cosE = graft.functions.ArrayMath.dotLong(col("__lq"), col("__rq"))
+          .cast("double") /
+          (org.apache.spark.sql.functions.sqrt(col("__ln2").cast("double")) *
+            org.apache.spark.sql.functions.sqrt(col("__rn2").cast("double")))
+        val exactLosersAmongKmLosers = allSide.crossJoin(loseSide)
+          .where(col("__lid") < col("__rid")).where(cosE >= 0.35)
+          .select(col("__rid").as("vec_id")).distinct()
+        val missing = kmLosers.join(exactLosersAmongKmLosers, Seq("vec_id"), "left_anti")
         emb.agg(count(lit(1)).cast("long").as("n_vectors"))
           .crossJoin(missing.agg((count(lit(1)) === 0).as("containment_ok")))
           .crossJoin(km.agg(count(lit(1)).cast("long").as("__n_surv")))
@@ -3797,8 +3824,10 @@ object SparkEntry {
     m += "q_multimodal_codec" -> op(
       (s, dir) => {
         import s.implicits._
-        val payloads = GraftSession.table(s, dir, "documents")
-          .select(col("doc_id").cast("long")).as[Long]
+        // per-row payload synthesis + byte-level parse — spread the
+        // under-split scan across cores (see q_multimodal_jdk)
+        val payloads = Dedup.spread(GraftSession.table(s, dir, "documents")
+            .select(col("doc_id").cast("long")), workFactor = 64).as[Long]
           .map(id => (id,
             if (id % 2 == 0) Multimodal.syntheticPpm(id)
             else Multimodal.syntheticWav(id)))
@@ -3848,8 +3877,15 @@ object SparkEntry {
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.functions.{col, concat_ws, lit, transform, when}
-        val payloads = GraftSession.table(s, dir, "documents")
-          .select(col("doc_id").cast("long")).as[Long]
+        // the ImageIO/AudioSystem encode+decode round trip per row is
+        // orders of magnitude heavier per scan byte than any text pass;
+        // a single small parquet split would otherwise pin all 5000
+        // round trips to one core (guide §2 under-split scans — same
+        // rationale as Dedup.spread for shingle passes, measured r19:
+        // warm 2.46 s single-core -> 1.18 s spread at sf0.1, with
+        // ImageIO.setUseCache(false) — see operators/Multimodal.scala)
+        val payloads = Dedup.spread(GraftSession.table(s, dir, "documents")
+            .select(col("doc_id").cast("long")), workFactor = 64).as[Long]
           .map(id => (id, (id % 4) match {
             case 0 => Multimodal.syntheticImage(id, "png")
             case 1 => Multimodal.syntheticImage(id, "jpeg")
@@ -3902,8 +3938,10 @@ object SparkEntry {
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.functions.{col, concat_ws, transform}
-        val payloads = GraftSession.table(s, dir, "documents")
-          .select(col("doc_id").cast("long")).as[Long]
+        // two ImageIO round trips per row — spread the under-split scan
+        // across cores (same rationale/measurement as q_multimodal_jdk)
+        val payloads = Dedup.spread(GraftSession.table(s, dir, "documents")
+            .select(col("doc_id").cast("long")), workFactor = 64).as[Long]
           .map { id =>
             val w2 = (id % 5 + 1).toInt; val h2 = (id % 3 + 1).toInt
             (id, Multimodal.resizeImage(

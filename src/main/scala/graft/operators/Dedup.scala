@@ -123,7 +123,7 @@ object Dedup {
     * no-op; locally a single small parquet file would otherwise pin the
     * whole linear pass to one core.
     */
-  private def spread(df: DataFrame, workFactor: Int = 1): DataFrame = {
+  private[graft] def spread(df: DataFrame, workFactor: Int = 1): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val plan = df.queryExecution.optimizedPlan

@@ -23,6 +23,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per createImage{Input,
+  // Output}Stream call (FileCacheImage*Stream) — every encode/decode of a
+  // KB-sized in-memory payload paid a disk create+write+delete, and N
+  // concurrent tasks contend on the temp filesystem (measured r19:
+  // q_multimodal_resize 32-way REGRESSED 2.6 -> 4.6 s on a slow-I/O box
+  // with the file cache; 0.9 s without it). Payloads here are bounded
+  // in-memory byte arrays, so the memory-cached stream is strictly
+  // better. JVM-global, set on class load in driver and executors alike
+  // (every call site lives in this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Output schema of the decode stage. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

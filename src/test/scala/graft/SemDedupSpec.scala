@@ -95,6 +95,47 @@ class SemDedupSpec extends AnyFunSuite {
       out.contains(3L) && out.contains(20L))
   }
 
+  test("r19 containment pushdown: kmLosers-restricted exact pass equals the full exact anti-join") {
+    // pins the q_semdedup_kmeans rewrite: exactSurv ∖ kmSurv computed the
+    // original way (full O(n²) exact dedup, then anti-join) must equal the
+    // entry's pushed-down form (exact pairs restricted to km LOSERS) on
+    // real data with the entry's exact parameters. One km frame feeds both
+    // sides, so only the exact-pass restriction is under test.
+    val dir = new java.io.File("/root/testdata/sf0.001")
+    assume(dir.exists())
+    import graft.operators.Dedup
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val km = SemDedup.semanticDedupKmeans(emb, "vec_id", "embedding",
+      nlist = 16, threshold = 0.35)
+    val missingFull = Dedup.embeddingDedupExact(emb, "vec_id", "embedding", 0.35)
+      .select("vec_id")
+      .join(km.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val kmLosers = emb.select(col("vec_id"))
+      .join(km.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val withN = emb.select(col("vec_id").as("__id"),
+        Dedup.quantizeEmbedding(col("embedding")).as("__q"))
+      .select(col("__id"), col("__q"),
+        graft.functions.ArrayMath.norm2Long(col("__q")).as("__n2"))
+    val loseSide = withN
+      .join(kmLosers.select(col("vec_id").as("__id")), Seq("__id"))
+      .select(col("__id").as("__rid"), col("__q").as("__rq"), col("__n2").as("__rn2"))
+    val allSide = withN.select(col("__id").as("__lid"),
+      col("__q").as("__lq"), col("__n2").as("__ln2"))
+    val cosE = graft.functions.ArrayMath.dotLong(col("__lq"), col("__rq"))
+      .cast("double") / (sqrt(col("__ln2").cast("double")) *
+        sqrt(col("__rn2").cast("double")))
+    val exactLosersAmongKmLosers = allSide.crossJoin(loseSide)
+      .where(col("__lid") < col("__rid")).where(cosE >= 0.35)
+      .select(col("__rid").as("vec_id")).distinct()
+    val missingPushed = kmLosers
+      .join(exactLosersAmongKmLosers, Seq("vec_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(missingPushed == missingFull)
+    // and the containment theorem itself holds on this data
+    assert(missingFull.isEmpty)
+  }
+
   test("matches a brute-force within-cluster replay on real sf0.001 embeddings") {
     val dir = new java.io.File("/root/testdata/sf0.001")
     assume(dir.exists())
