@@ -186,8 +186,12 @@ object StreamingDedup {
     * format: a touched bucket costs one point `get()` + one `put()` per
     * trigger regardless of member count — the state-shape twin of
     * [[minhashStreamingPairs]], so the engines differ only in API
-    * machinery and the slope gap isolates `transformWithState` itself
-    * (pinned by the TwsCodecProbe floor artifact when the gap persists).
+    * machinery and the slope gap isolates `transformWithState` itself.
+    * Measured r19 at 100× (BENCH_sf10_tws_r19.json, counter-identical
+    * work): TWS/FMGWS wall ratio 1.99 (ListState layout, r18) → 1.62
+    * (this layout); the residual per-touched-key API floor is pinned by
+    * TWSPROBE_r19.json. Engine policy: FMGWS stays the shipping
+    * default; this row exists for API parity.
     * Whole-blob rewrite is O(bucket²) bytes over a bucket's lifetime,
     * the same bound FMGWS carries — capped by `maxBucket`.
     *

@@ -97,7 +97,7 @@ object TwsCodecProbe {
     val root = GraftSession.tempDir("graft_twsprobe_")
     val inDir = s"$root/in"
     spark.range(keys).select(col("id"),
-        expr(s"repeat(x'ab', $payload)").as("payload"))
+        expr(s"CAST(repeat('a', $payload) AS BINARY)").as("payload"))
       .write.parquet(inDir)
     val inSchema = spark.read.parquet(inDir).schema
 
@@ -140,7 +140,7 @@ object TwsCodecProbe {
     Seq("fmgws", "tws_value", "tws_list").foreach { leg =>
       val warmDir = s"$root/warm_$leg"
       spark.range(1000).select(col("id"),
-          expr(s"repeat(x'ab', $payload)").as("payload"))
+          expr(s"CAST(repeat('a', $payload) AS BINARY)").as("payload"))
         .write.parquet(warmDir)
       val ckpt = s"$root/warmckpt_$leg"
       val s = spark.readStream.schema(inSchema).parquet(warmDir)
