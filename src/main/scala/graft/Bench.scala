@@ -224,7 +224,8 @@ object Bench {
                queries: Seq[(String, Double)],
                record: String,
                boxDriftStart: Double = -1.0, boxDriftEnd: Double = -1.0,
-               cap: Int = 1800): String = {
+               cap: Int = 1800,
+               errors: Seq[(String, String)] = Nil): String = {
     def js(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // numeric fields via the Locale.ROOT `num` helper, never
@@ -246,7 +247,24 @@ object Bench {
     // contaminated:false — one field here makes such a record
     // self-classifying instead of requiring suspect forensics
     def drift(v: Double): String = if (v < 0) "null" else num("%.2f", v)
-    val base = s"""{"metric":"total","value":${num("%.1f", total)},"unit":"sec","sf":${js(sfDir)},"n_entries":$nEntries,"n_failed":$nFailed,"contaminated":$contaminated,"box_drift_start":${drift(boxDriftStart)},"box_drift_end":${drift(boxDriftEnd)},"sections":$secJson,"suspects_total":${suspects.size},"suspects":$susJson,"record":${js(record)},"queries_top":"""
+    def baseWith(errJson: String): String =
+      s"""{"metric":"total","value":${num("%.1f", total)},"unit":"sec","sf":${js(sfDir)},"n_entries":$nEntries,"n_failed":$nFailed,"errors":$errJson,"contaminated":$contaminated,"box_drift_start":${drift(boxDriftStart)},"box_drift_end":${drift(boxDriftEnd)},"sections":$secJson,"suspects_total":${suspects.size},"suspects":$susJson,"record":${js(record)},"queries_top":"""
+    // named failures ride IN the headline (VERDICT r19 #2): the r19 32-core
+    // sweep stamped n_failed:1 but the /tmp record carrying the errors map
+    // was overwritten by the next sweep — a run record must be able to name
+    // its own failure after the fact. Byte-budgeted (60-char messages, and
+    // the map as a whole takes only what the cap leaves over after the
+    // fixed fields — a failure's NAME outranks the tail of queries_top,
+    // which trims itself against whatever remains) so a mass failure
+    // can't blow the tail window; n_failed keeps the true count either way.
+    val errBudget = math.min(600, cap - baseWith("{}").length)
+    val errEntries = Seq.newBuilder[String]
+    var errUsed = 0
+    for ((n, m) <- errors) {
+      val e = js(n) + ":" + js(m.take(60))
+      if (errUsed + e.length + 1 <= errBudget) { errEntries += e; errUsed += e.length + 1 }
+    }
+    val base = baseWith(errEntries.result().mkString("{", ",", "}"))
     val entries = queries.filter(_._2 > 0).sortBy(-_._2)
       .map { case (n, s) => js(n) + ":" + num("%.3f", s) }
     // +3: the "{}" of queries_top and the final "}"
@@ -1898,21 +1916,38 @@ object Bench {
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), summary + "\n")
     catch { case _: Throwable => () }
+    // ...and to a per-run unique path (VERDICT r19 #2): the r19 driver ran
+    // two sweeps back-to-back and the second's /tmp/BENCH_local.json
+    // overwrote the first's errors ledger, leaving an n_failed:1 record
+    // that could not name its failure. The PID-suffixed copy survives any
+    // number of sweeps in one driver invocation (each runs in its own
+    // forked JVM). Only the clobberable default path gets the twin — an
+    // explicit _OUT path is the caller's own uniqueness problem.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      val uniq = outFile.stripSuffix(".json") +
+        s".pid${ProcessHandle.current().pid()}.json"
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(uniq), summary + "\n")
+      catch { case _: Throwable => () }
+    }
     // the LAST stdout line is the compact headline (VERDICT r16 #1): the
     // driver's round artifact tails 2000 chars of stdout, which clips the
     // full summary line above — this one is sized to survive the window
     val headlineLine = headline(total, sfDir, results.size, errors.size,
       contaminated, sections, suspects, results, outFile,
-      boxDriftStart = gateDrift, boxDriftEnd = gateEndDrift)
-    // sidecar (VERDICT r18 #6, the end of the parsed:null era): the exact
-    // headline line also lands in a FILE next to the record, immune to
-    // any stdout-tail surgery — sbt's [info] prefix defeated the driver's
-    // parser for six rounds running. Same clobber discipline as the
-    // record itself: only an accepted official run touches the tracked
-    // repo path; everything else lands in /tmp.
-    val headlineFile =
-      if (outFile == "/root/repo/BENCH_local.json") "/root/repo/BENCH_headline.json"
-      else "/tmp/BENCH_headline.json"
+      boxDriftStart = gateDrift, boxDriftEnd = gateEndDrift,
+      errors = errors.toSeq)
+    // sidecar (VERDICT r18 #6 / r19 #1, the end of the parsed:null era):
+    // the exact headline line also lands in a FILE at a stable tracked
+    // path, immune to any stdout-tail surgery — sbt's [info] prefix
+    // defeated the driver's parser for seven rounds running. Written
+    // UNCONDITIONALLY (official and non-official alike): the r18 fix
+    // gated it on the official stamp, but official runs refuse on a
+    // drifting box by design, so the driver's own sweeps never produced
+    // the sidecar where the driver looks. Clobbering is safe here — the
+    // headline self-classifies (record path, box_drift, contaminated,
+    // errors), and the clean-series discipline lives in BENCH_local.json,
+    // not in this pointer-to-latest.
+    val headlineFile = "/root/repo/BENCH_headline.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(headlineFile), headlineLine + "\n")
     catch { case _: Throwable => () }

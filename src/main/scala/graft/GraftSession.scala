@@ -45,6 +45,24 @@ object GraftSession {
     p.toString
   }
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` set to `parts`,
+    * restoring the entry value on EVERY exit path (ADVICE/VERDICT r19:
+    * the catalog entries used to set the conf before their `try` and
+    * restore it after `q.stop()` inside the `finally` — a throw during
+    * stream construction/`start()`, or from `stop()` itself, leaked the
+    * stream-sized partition count into every subsequent entry of the
+    * same session, silently changing their plans). Streaming queries
+    * started inside `body` plan against a session clone taken at
+    * `start()`, so the restore here cannot disturb a query `body` is
+    * still draining — but `body` must still stop its queries so the
+    * NEXT entry's conf mutation cannot race a straggler trigger. */
+  def withShuffleParts[T](spark: SparkSession, parts: String)(body: => T): T = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   def builder(master: String = "local[32]"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)

@@ -915,9 +915,11 @@ object SparkEntry {
         // with headroom; production sizes this to state volume / cluster
         // cores, so the env knob stays.
         val ssParts = sys.env.get("SPARK_GRAFT_SSJ_PARTS").map(_.toInt).getOrElse(8)
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", ssParts)
-        val savedStateConfs = graft.streaming.StateStoreConf.snapshot(s)
+        // conf mutations wrapped from the set onward (ADVICE/VERDICT r19):
+        // a throw during stream build/start/stop used to leak the 8-part
+        // conf (and the provider override) into every later entry
+        GraftSession.withShuffleParts(s, ssParts.toString) {
+        graft.streaming.StateStoreConf.withSaved(s) {
         if (provider == "rocksdb")
           s.conf.set(graft.streaming.StateStoreConf.ProviderKey,
             graft.streaming.StateStoreConf.RocksDbProvider)
@@ -944,11 +946,7 @@ object SparkEntry {
         val q = joined.writeStream.outputMode("append").format("parquet")
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-        try q.processAllAvailable() finally {
-          q.stop()
-          s.conf.set("spark.sql.shuffle.partitions", savedParts)
-          graft.streaming.StateStoreConf.restore(s, savedStateConfs)
-        }
+        try q.processAllAvailable() finally q.stop()
         // attribution: state rows/memory and per-trigger commit cost land in
         // stderr so bench runs record WHY the number is what it is
         val progs = q.recentProgress
@@ -966,6 +964,8 @@ object SparkEntry {
         if (sys.env.contains("SPARK_GRAFT_SSJ_DEBUG"))
           progs.foreach(p => System.err.println(s"[ssj-trigger] ${p.json}"))
         s.read.parquet(s"$root/out").orderBy("event_id", "e_event_id")
+        }
+        }
       },
       Some(s"""
       SELECT l.event_id, l.user_id, l.ts_ms, r.event_id AS e_event_id, r.value_c AS e_value_c
@@ -1004,8 +1004,7 @@ object SparkEntry {
         sentinel("event_id" -> lit(-1L), "user_id" -> lit(-1L),
             "ts_ms" -> lit(maxTs + 172800000L), "value_c" -> lit(0L))
           .write.mode("append").parquet(s"$root/r")
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        GraftSession.withShuffleParts(s, "8") {
         def side(sub: String): DataFrame =
           s.readStream.schema(s.read.parquet(s"$root/$sub").schema)
             .parquet(s"$root/$sub")
@@ -1021,13 +1020,11 @@ object SparkEntry {
         val q = joined.writeStream.outputMode("append").format("parquet")
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-        try q.processAllAvailable() finally {
-          q.stop()
-          s.conf.set("spark.sql.shuffle.partitions", savedParts)
-        }
+        try q.processAllAvailable() finally q.stop()
         s.read.parquet(s"$root/out")
           .where(col("event_id") =!= -1L)
           .orderBy(col("event_id").asc, col("e_event_id").asc_nulls_first)
+        }
       },
       Some(s"""
       SELECT l.event_id, l.user_id, l.ts_ms, r.event_id AS e_event_id, r.value_c AS e_value_c
@@ -1063,8 +1060,7 @@ object SparkEntry {
         sentinel("event_id" -> lit(-1L), "user_id" -> lit(-1L),
             "ts_ms" -> lit(maxTs + 172800000L), "value_c" -> lit(0L))
           .write.mode("append").parquet(s"$root/r")
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        GraftSession.withShuffleParts(s, "8") {
         def side(sub: String): DataFrame =
           s.readStream.schema(s.read.parquet(s"$root/$sub").schema)
             .parquet(s"$root/$sub")
@@ -1080,14 +1076,12 @@ object SparkEntry {
         val q = joined.writeStream.outputMode("append").format("parquet")
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-        try q.processAllAvailable() finally {
-          q.stop()
-          s.conf.set("spark.sql.shuffle.partitions", savedParts)
-        }
+        try q.processAllAvailable() finally q.stop()
         s.read.parquet(s"$root/out")
           .where(coalesce(col("l_event_id"), lit(0L)) =!= -1L &&
                  coalesce(col("r_event_id"), lit(0L)) =!= -1L)
           .orderBy(col("l_event_id").asc_nulls_first, col("r_event_id").asc_nulls_first)
+        }
       },
       Some(s"""
       SELECT l.event_id AS l_event_id, l.user_id AS l_user_id, l.ts_ms AS l_ts_ms,
@@ -1484,9 +1478,8 @@ object SparkEntry {
         // 32 parts vs 3.5 s at 8). 8 carries this state volume with
         // headroom; production sizes this to state volume / cluster cores,
         // so the env knob stays.
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_SW_PARTS", "8"))
+        GraftSession.withShuffleParts(s,
+          sys.env.getOrElse("SPARK_GRAFT_SW_PARTS", "8")) {
         val stream = s.readStream.schema(s.read.parquet(s"$root/in").schema)
           .parquet(s"$root/in")
           .withColumn("ts", timestamp_millis(col("ts_ms")))
@@ -1525,13 +1518,11 @@ object SparkEntry {
             flush.write.mode("append").parquet(s"$root/in"); q.processAllAvailable()
             round += 1
           }
-        } finally {
-          q.stop()
-          s.conf.set("spark.sql.shuffle.partitions", savedParts)
-        }
+        } finally q.stop()
         s.read.parquet(s"$root/out")
           .select(col("user_id"), col("n_events"), col("session_start"), col("session_end"))
           .orderBy("user_id", "session_start")
+        }
       },
       Some(s"""
       SELECT user_id, count(*) AS n_events,
@@ -1626,9 +1617,8 @@ object SparkEntry {
         // cost is per store instance, not per row; r19 on a slow-commit
         // box: 12-18 s at 32 parts vs ~4 s at 8). Production sizes this
         // to state volume / cluster cores — hence the env knob.
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_LATE_PARTS", "8"))
+        GraftSession.withShuffleParts(s,
+          sys.env.getOrElse("SPARK_GRAFT_LATE_PARTS", "8")) {
         val stream = s.readStream.schema(s.read.parquet(s"$root/in").schema)
           .parquet(s"$root/in")
           .withColumn("ts", timestamp_millis(col("ts_ms")))
@@ -1669,11 +1659,9 @@ object SparkEntry {
             q.processAllAvailable()
             round += 1
           }
-        } finally {
-          q.stop()
-          s.conf.set("spark.sql.shuffle.partitions", savedParts)
-        }
+        } finally q.stop()
         s.read.parquet(s"$root/out").orderBy("win_start")
+        }
       },
       Some(s"""
       WITH ev AS (SELECT event_id, ts_ms, value_c FROM $eventsMsDuck),
@@ -3072,15 +3060,12 @@ object SparkEntry {
         // commit cost dominates at the 32-partition session default (the
         // r6 attribution); 8 stores carry this sketch with headroom and
         // the env knob sizes it for real deployments
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CMS_PARTS", "8"))
-        val q = cells.writeStream.outputMode("complete").format("memory")
-          .queryName("cms_cells")
-          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-        try q.processAllAvailable() finally {
-          q.stop()
-          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        GraftSession.withShuffleParts(s,
+          sys.env.getOrElse("SPARK_GRAFT_CMS_PARTS", "8")) {
+          val q = cells.writeStream.outputMode("complete").format("memory")
+            .queryName("cms_cells")
+            .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+          try q.processAllAvailable() finally q.stop()
         }
         // estimates from the STREAMED cells; true counts batch-side
         s.table("cms_cells").createOrReplaceTempView("cms_stream")
@@ -3222,9 +3207,15 @@ object SparkEntry {
         // at this state volume, exactly like the stream-stream join's
         // (README "Stream-stream join cost attribution"): size the state
         // partitioning to the data, not the session default
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_SDD_PARTS", "8"))
+        // conf mutations wrapped from the set onward (ADVICE/VERDICT r19):
+        // a throw during stream build/start/stop used to leak the 8-part
+        // conf (and the provider override) into every later entry. All
+        // THREE state-store confs restore, not just the provider (r13
+        // nit): the env knob sets them here, and the TWS engine sets them
+        // inside minhashStreamingPairsTws.
+        GraftSession.withShuffleParts(s,
+          sys.env.getOrElse("SPARK_GRAFT_SDD_PARTS", "8")) {
+        graft.streaming.StateStoreConf.withSaved(s) {
         // state-store provider knob (r13): the HDFS-backed default
         // measures fastest at catalog state volumes (sf0.1 steady: 18.4
         // vs 20.8 s), RocksDB overtakes once the store outgrows cheap
@@ -3232,21 +3223,13 @@ object SparkEntry {
         // flatness 1.37 vs 1.99 — BENCH_steady_r13.json). A 100 TB
         // deployment sets rocksdb; the committed bench series keeps the
         // small-corpus optimum.
-        val savedStateConfs = graft.streaming.StateStoreConf.snapshot(s)
         if (sys.env.get("SPARK_GRAFT_SDD_PROVIDER").contains("rocksdb"))
           graft.streaming.StateStoreConf.setRocksDb(s)
         val q = pairs(stream).writeStream.outputMode("append").format("parquet")
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-        try q.processAllAvailable() finally {
-          q.stop()
-          s.conf.set("spark.sql.shuffle.partitions", savedParts)
-          // ALWAYS restore — and all THREE state-store confs, not just
-          // the provider (r13 nit: the rocksdb aux knobs leaked): the env
-          // knob sets them here, and the TWS engine sets them inside
-          // minhashStreamingPairsTws — either way later entries must see
-          // the session default again
-          graft.streaming.StateStoreConf.restore(s, savedStateConfs)
+        try q.processAllAvailable() finally q.stop()
+        }
         }
         val losers = (try s.read.parquet(s"$root/out")
           catch { case _: Exception => s.emptyDataFrame.select() })

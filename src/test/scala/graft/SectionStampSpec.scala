@@ -171,6 +171,41 @@ class SectionStampSpec extends AnyFunSuite with Retries {
     assert(h.length < 400)
   }
 
+  test("headline names its failures, capped (VERDICT r19 #2)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // the r19 32-core sweep stamped n_failed:1 but the /tmp record holding
+    // the errors map was overwritten by the next sweep — the headline must
+    // carry the names itself
+    val errs = Seq(
+      "q_broke" -> ("x" * 300),
+      "q_also_broke" -> "short message")
+    val h = Bench.headline(133.2, "/root/testdata/sf0.1", 156, 2, false,
+      fiveSections, twelveSuspects, fullCatalog, "/tmp/BENCH_local.json",
+      errors = errs)
+    val j = JsonMethods.parse(h)
+    val em = (j \ "errors").asInstanceOf[JObject].obj.toMap
+    assert(em.keySet == Set("q_broke", "q_also_broke"))
+    assert(em("q_broke").asInstanceOf[JString].s.length == 60, "messages truncated")
+    assert(em("q_also_broke") == JString("short message"))
+    assert(h.length <= 1800, s"headline ${h.length} chars blows the tail window")
+    // mass failure can't blow the window: 40 failures -> byte-budgeted
+    // subset named, cap held, true count kept
+    val many = (1 to 40).map(i => f"q_failed_entry_$i%02d" -> ("m" * 300))
+    val h2 = Bench.headline(0.0, "/root/testdata/sf0.1", 156, 40, false,
+      fiveSections, twelveSuspects, fullCatalog, "/tmp/BENCH_local.json",
+      errors = many)
+    val j2 = JsonMethods.parse(h2)
+    assert((j2 \ "n_failed") == JInt(40))
+    val named = (j2 \ "errors").asInstanceOf[JObject].obj
+    assert(named.nonEmpty && named.size < 40, s"expected a budgeted subset, got ${named.size}")
+    assert(named.head._1 == "q_failed_entry_01", "earliest failures kept first")
+    assert(h2.length <= 1800, s"headline ${h2.length} chars blows the tail window")
+    // clean run: empty map, not absent — parsers can rely on the field
+    val h3 = Bench.headline(1.0, "/tmp/x", 1, 0, false, Nil, Nil, Nil, "/tmp/o")
+    assert(((JsonMethods.parse(h3) \ "errors")).asInstanceOf[JObject].obj.isEmpty)
+  }
+
   // ---- official box gate (VERDICT r17 #5) -------------------------------
 
   test("box gate: the r17 failure shape (uniformly slow, clean stamps) refuses") {
