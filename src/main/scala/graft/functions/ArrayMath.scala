@@ -189,6 +189,58 @@ case class PackLongsBE(child: Expression)
     copy(child = newChild)
 }
 
+/** `array<bigint>` -> BINARY, big-endian 4-byte values — [[PackLongsBE]]
+  * narrowed for arrays whose values provably fit 32 bits (MinHash mins
+  * are `(a*x+b) % P31 < 2^31`): half the shuffle/state bytes of the
+  * 8-byte pack, and 4-byte-group equality is value equality (guide §2.3
+  * "narrower types", safe because the mod-P fold bounds the domain).
+  * Values outside [0, 2^32) would alias — callers own that contract.
+  */
+case class PackIntsBE(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pack_ints needs array<bigint>, got $t")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "pack_ints"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Byte](arr.numElements() * 4)
+    var i = 0
+    while (i < arr.numElements()) {
+      val v = arr.getLong(i)
+      var j = 0
+      while (j < 4) { out(i * 4 + j) = (v >>> (24 - 8 * j)).toByte; j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val v = ctx.freshName("v"); val j = ctx.freshName("j")
+      s"""
+      byte[] $out = new byte[$arr.numElements() * 4];
+      for (int $i = 0; $i < $arr.numElements(); $i++) {
+        long $v = $arr.getLong($i);
+        for (int $j = 0; $j < 4; $j++) {
+          $out[$i * 4 + $j] = (byte) ($v >>> (24 - 8 * $j));
+        }
+      }
+      ${ev.value} = $out;"""
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackIntsBE =
+    copy(child = newChild)
+}
+
 object ArrayMath {
 
   /** Exact integer dot product of two array<long> columns. */
@@ -205,4 +257,7 @@ object ArrayMath {
 
   def packLongs(c: Column): Column =
     ColumnBridge.column(PackLongsBE(ColumnBridge.expression(c)))
+
+  def packInts(c: Column): Column =
+    ColumnBridge.column(PackIntsBE(ColumnBridge.expression(c)))
 }

@@ -37,7 +37,7 @@ import graft.operators.Dedup
   *    bound per bucket).
   *
   * State per bucket: up to `maxBucket` (id, signature) members —
-  * `maxBucket * (numHashes+1) * 8` bytes, RocksDB-backed and sharded by
+  * `maxBucket * (8 + numHashes*4)` bytes, RocksDB-backed and sharded by
   * bucket key across executors at scale; the state IS the LSH index.
   * Emitted rows are `(__lid, __rid)` with lid the earlier arrival; a pair
   * may emit from several shared buckets — `.distinct()` downstream, the
@@ -104,22 +104,10 @@ object StreamingDedup {
                             maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rpb = numHashes / bands
-    // the signature rides the shuffle PACKED (one binary memcpy per row)
-    // — as Seq[Long] the Dataset encoder boxed ~10M longs per corpus
-    // replay (16 band rows x 128 mins per doc); band keys still derive
-    // from the array form before it is dropped
-    val banded = df
-      .where(col(textCol).isNotNull)
-      .withColumn("__sig", signatureCol(textCol, k, numHashes))
-      .withColumn("__sigb", graft.functions.ArrayMath.packLongs(col("__sig")))
-      .select(col(idCol).cast("long").as("__id"), col("__sigb"),
-        explode(array((0 until bands).map { b =>
-          concat_ws(",", lit(b.toString) +: (0 until rpb).map(r =>
-            element_at(col("__sig"), b * rpb + r + 1).cast("string")): _*)
-        }: _*)).as("__bucket"))
+    val banded = bandedRows(df, idCol, textCol, k, numHashes, bands, rpb)
 
     import banded.sparkSession.implicits._
-    val fn = (_: String, rows: Iterator[(String, Long, Array[Byte])],
+    val fn = (_: Array[Byte], rows: Iterator[(Array[Byte], Long, Array[Byte])],
               state: GroupState[Array[Byte]]) => {
       var members = state.getOption.map(unpack(_, numHashes)).getOrElse(Vector.empty)
       val out = Vector.newBuilder[(Long, Long)]
@@ -142,16 +130,8 @@ object StreamingDedup {
           Profile.overflows.incrementAndGet()
         } else {
           members.foreach { case (mid, msig) =>
-            // two mins are equal iff their 8 big-endian bytes are equal
-            var eq = 0; var i = 0
-            while (i < numHashes) {
-              var same = true; var j = i * 8
-              while (same && j < i * 8 + 8) { same = msig(j) == sig(j); j += 1 }
-              if (same) eq += 1
-              i += 1
-            }
             Profile.comparisons.incrementAndGet()
-            if (eq.toDouble / numHashes >= threshold) {
+            if (sigAgreement(msig, sig, numHashes) >= threshold) {
               out += ((mid, id)); Profile.pairsEmitted.incrementAndGet()
             }
           }
@@ -162,11 +142,57 @@ object StreamingDedup {
       out.result().iterator
     }
     banded
-      .select(col("__bucket"), col("__id"), col("__sigb"))
-      .as[(String, Long, Array[Byte])]
+      .as[(Array[Byte], Long, Array[Byte])]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
       .toDF("__lid", "__rid")
+  }
+
+  /** The banded shuffle frame shared by both engines: `(__bucket, __id,
+    * __sigb)` rows, everything heavier than the id in COMPACT BINARY.
+    *
+    *  - `__sigb` is the signature packed 4 bytes per min ([[graft.functions.ArrayMath.packInts]]
+    *    — mins are `(a*x+b) % P31 < 2^31`, so the narrow pack is
+    *    injective and 4-byte-group equality IS min equality): half the
+    *    shuffle and state bytes of the r12–r19 8-byte pack, which itself
+    *    replaced the boxed `Seq[Long]` ride (~10M boxed longs per sf0.1
+    *    replay). 16 band rows carry each doc's signature, so signature
+    *    width is ~94% of this stream's shuffle payload (guide §2.3
+    *    "narrower types", "shuffle fewer bytes").
+    *  - `__bucket` is `1 + rpb*4` BYTES — the band index byte plus that
+    *    band's packed mins sliced straight out of `__sigb` — replacing
+    *    the r12–r19 decimal-string key (`"b,min1,...,min8"`, ~90 chars at
+    *    the catalog's numHashes=128/bands=16): ~2.7x fewer key bytes
+    *    through the exchange and the state-store key codec, zero string
+    *    building in the hot projection. The mapping (band, mins) -> key
+    *    is INJECTIVE both ways, so bucket membership — and therefore
+    *    candidate comparisons, the online cap, and the emitted pair set —
+    *    is bit-identical to the string form (StreamingDedupSpec pins the
+    *    batch parity; the bench oracle hash-checks both engines).
+    */
+  private def bandedRows(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, numHashes: Int, bands: Int, rpb: Int): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .withColumn("__sigb",
+        graft.functions.ArrayMath.packInts(signatureCol(textCol, k, numHashes)))
+      .select(col(idCol).cast("long").as("__id"), col("__sigb"),
+        explode(array((0 until bands).map { b =>
+          concat(lit(Array(b.toByte)),
+            substring(col("__sigb"), b * rpb * 4 + 1, rpb * 4))
+        }: _*)).as("__bucket"))
+      .select(col("__bucket"), col("__id"), col("__sigb"))
+
+  /** Fraction of mins on which two packed signatures agree — two mins are
+    * equal iff their 4 big-endian bytes are equal ([[bandedRows]]). */
+  private def sigAgreement(a: Array[Byte], b: Array[Byte], numHashes: Int): Double = {
+    var eq = 0; var i = 0
+    while (i < numHashes) {
+      var same = true; var j = i * 4
+      while (same && j < i * 4 + 4) { same = a(j) == b(j); j += 1 }
+      if (same) eq += 1
+      i += 1
+    }
+    eq.toDouble / numHashes
   }
 
   /** [[minhashStreamingPairs]] on the `transformWithState` engine with a
@@ -211,20 +237,11 @@ object StreamingDedup {
     // [[StateStoreConf]]): bounded callers wrap build+run in
     // StateStoreConf.withSaved so later queries see the session default.
     StateStoreConf.setRocksDb(df.sparkSession)
-    val banded = df
-      .where(col(textCol).isNotNull)
-      .withColumn("__sig", signatureCol(textCol, k, numHashes))
-      .withColumn("__sigb", graft.functions.ArrayMath.packLongs(col("__sig")))
-      .select(col(idCol).cast("long").as("__id"), col("__sigb"),
-        explode(array((0 until bands).map { b =>
-          concat_ws(",", lit(b.toString) +: (0 until rpb).map(r =>
-            element_at(col("__sig"), b * rpb + r + 1).cast("string")): _*)
-        }: _*)).as("__bucket"))
+    val banded = bandedRows(df, idCol, textCol, k, numHashes, bands, rpb)
 
     import banded.sparkSession.implicits._
     banded
-      .select(col("__bucket"), col("__id"), col("__sigb"))
-      .as[(String, Long, Array[Byte])]
+      .as[(Array[Byte], Long, Array[Byte])]
       .groupByKey(_._1)
       .transformWithState(
         new MinhashBucketProcessor(numHashes, threshold, maxBucket),
@@ -239,7 +256,7 @@ object StreamingDedup {
   private final class MinhashBucketProcessor(numHashes: Int, threshold: Double,
                                              maxBucket: Int)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
-      String, (String, Long, Array[Byte]), (Long, Long)] {
+      Array[Byte], (Array[Byte], Long, Array[Byte]), (Long, Long)] {
 
     @transient private var members: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
 
@@ -250,7 +267,7 @@ object StreamingDedup {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
     override def handleInputRows(
-        key: String, rows: Iterator[(String, Long, Array[Byte])],
+        key: Array[Byte], rows: Iterator[(Array[Byte], Long, Array[Byte])],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
       Profile.stateCalls.incrementAndGet()
       // one point read per touched bucket per trigger — the comparisons
@@ -267,15 +284,8 @@ object StreamingDedup {
           Profile.overflows.incrementAndGet()
         } else {
           existing.foreach { case (mid, msig) =>
-            var eq = 0; var i = 0
-            while (i < numHashes) {
-              var same = true; var j = i * 8
-              while (same && j < i * 8 + 8) { same = msig(j) == sig(j); j += 1 }
-              if (same) eq += 1
-              i += 1
-            }
             Profile.comparisons.incrementAndGet()
-            if (eq.toDouble / numHashes >= threshold) {
+            if (sigAgreement(msig, sig, numHashes) >= threshold) {
               out += ((mid, id)); Profile.pairsEmitted.incrementAndGet()
             }
           }
@@ -307,23 +317,28 @@ object StreamingDedup {
                               threshold: Double = 0.99, planes: Int = 16,
                               dim: Int = 64,
                               maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    // the quantized vector rides the shuffle PACKED (one binary memcpy
+    // per row) — as Seq[Long] the Dataset encoder boxed 64 longs per row
+    // (the same boxing the minhash path shed at r12); values can be
+    // negative and unbounded-ish, so the 8-byte pack, not the narrow one
     val q = df
       .where(col(embCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         Dedup.quantizeEmbedding(col(embCol)).as("__q"))
       .withColumn("__bucket", Dedup.embeddingBucket(col("__q"), planes, dim))
+      .withColumn("__qb", graft.functions.ArrayMath.packLongs(col("__q")))
 
     import q.sparkSession.implicits._
-    val fn = (_: Long, rows: Iterator[(Long, Long, Seq[Long])],
+    val fn = (_: Long, rows: Iterator[(Long, Long, Array[Byte])],
               state: GroupState[Array[Byte]]) => {
       var members = state.getOption.map(unpackVec(_, dim)).getOrElse(Vector.empty)
       val out = Vector.newBuilder[(Long, Long)]
-      rows.toSeq.sortBy(_._2).foreach { case (_, id, qvSeq) =>
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, qb) =>
         if (members.exists(_._1 == id)) () // duplicate delivery: ignore
         else if (members.size >= maxBucket) {
           out += ((OverflowMarker, id)) // see minhashStreamingPairs
         } else {
-          val qv = qvSeq.toArray
+          val qv = readLongsBE(qb, dim)
           var n2 = 0L; var i = 0
           while (i < dim) { n2 += qv(i) * qv(i); i += 1 }
           members.foreach { case (mid, mn2, mqv) =>
@@ -340,11 +355,21 @@ object StreamingDedup {
       state.update(packVec(members, dim))
       out.result().iterator
     }
-    q.select(col("__bucket"), col("__id"), col("__q"))
-      .as[(Long, Long, Seq[Long])]
+    q.select(col("__bucket"), col("__id"), col("__qb"))
+      .as[(Long, Long, Array[Byte])]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
       .toDF("__lid", "__rid")
+  }
+
+  /** The packed big-endian longs of [[graft.functions.ArrayMath.packLongs]],
+    * read back into a primitive array. */
+  private def readLongsBE(bytes: Array[Byte], n: Int): Array[Long] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = buf.getLong; i += 1 }
+    out
   }
 
   /** Bucket state packed as longs: [n, (id, n2, qvec...)...]. */
@@ -370,9 +395,10 @@ object StreamingDedup {
 
   /** Bucket state packed as [n, (id, sigBytes)...] — signatures stay in
     * their packed big-endian byte form end to end (shuffle ride, state,
-    * comparison), so pack/unpack are plain array copies. */
+    * comparison), so pack/unpack are plain array copies. 4 bytes per min
+    * since r20 ([[bandedRows]]): half the blob. */
   private def pack(members: Vector[(Long, Array[Byte])], numHashes: Int): Array[Byte] = {
-    val buf = ByteBuffer.allocate(8 + members.size * (8 + numHashes * 8))
+    val buf = ByteBuffer.allocate(8 + members.size * (8 + numHashes * 4))
     buf.putLong(members.size.toLong)
     members.foreach { case (id, sig) => buf.putLong(id); buf.put(sig) }
     buf.array()
@@ -383,7 +409,7 @@ object StreamingDedup {
     val n = buf.getLong.toInt
     Vector.fill(n) {
       val id = buf.getLong
-      val sig = new Array[Byte](numHashes * 8)
+      val sig = new Array[Byte](numHashes * 4)
       buf.get(sig)
       id -> sig
     }

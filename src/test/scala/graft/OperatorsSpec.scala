@@ -345,6 +345,30 @@ class OperatorsSpec extends AnyFunSuite {
       .where(col("d").isNull).count() == 0)
   }
 
+  test("pack_ints: 4-byte big-endian pack round-trips every mod-P31 value (r20 narrow wire format)") {
+    import spark.implicits._
+    import graft.functions.ArrayMath
+    // the streaming-dedup band keys and state blobs rely on 4-byte-group
+    // equality being VALUE equality for MinHash mins (< P31 = 2^31 - 1);
+    // pin the pack against packLongs' big-endian low words on the domain
+    // boundaries and a random spread
+    val rnd = new scala.util.Random(11)
+    val vals: Seq[Long] = Seq(0L, 1L, 255L, 256L, 65535L, 65536L,
+      (1L << 24) - 1, 1L << 24, graft.operators.Dedup.P31 - 1) ++
+      Seq.fill(200)(math.abs(rnd.nextLong()) % graft.operators.Dedup.P31)
+    val df = Seq((1L, vals)).toDF("id", "a")
+    val packed = df.select(ArrayMath.packInts(col("a"))).head().getAs[Array[Byte]](0)
+    assert(packed.length == vals.length * 4)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val got = ((packed(i * 4) & 0xFFL) << 24) | ((packed(i * 4 + 1) & 0xFFL) << 16) |
+        ((packed(i * 4 + 2) & 0xFFL) << 8) | (packed(i * 4 + 3) & 0xFFL)
+      assert(got == v, s"slot $i: $got != $v")
+    }
+    // distinct values -> distinct 4-byte groups (injectivity on the domain)
+    val groups = vals.indices.map(i => packed.slice(i * 4, i * 4 + 4).toSeq)
+    assert(groups.distinct.size == vals.distinct.size)
+  }
+
   test("dot_long: many kernels in ONE codegen scope stay compiled (no interpreted fallback)") {
     import spark.implicits._
     import graft.functions.ArrayMath.dotLong
