@@ -23,29 +23,10 @@ object SparkEntry {
   private def sqlQuery(sparkSql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { GraftSession.prepare(spark, dir); spark.sql(sparkSql) }
 
-  /** Materialize a double-referenced derivation ONCE, recompute-
-    * survivably: persist(DISK_ONLY) + a count barrier, registered as a
-    * temp view both references read. Through r11 this was
-    * localCheckpoint, which has the same single-scan plan shape but
-    * stores blocks WITHOUT lineage — at real scale one lost executor
-    * fails the query instead of recomputing (VERDICT r11 #3).
-    * DISK_ONLY keeps lineage (a lost block re-derives from the source
-    * scan) and the count barrier populates every block before either
-    * reference plans, so the fact table is still scanned exactly once
-    * on the happy path. The previous invocation's blocks are
-    * unpersisted first — repeated Verify/Bench invocations must not
-    * accumulate executor-disk cache entries. */
-  private val materialized =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def materializeView(s: SparkSession, view: String, sql: String): Unit = {
-    val old = materialized.remove(view)
-    if (old != null)
-      try old.unpersist(blocking = false) catch { case _: Exception => () }
-    val df = s.sql(sql).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    df.count()
-    materialized.put(view, df)
-    df.createOrReplaceTempView(view)
-  }
+  // (the r11-r19 materializeView helper — persist(DISK_ONLY) + count
+  // barrier for double-referenced CTEs — is gone: its two users, tpch
+  // q2/q11, now express the second reference as a window over the first
+  // (see those entries), so nothing needs a mid-query persist anymore)
 
   /** Flagship query on sf=0.001 (README.md:105-146 shape: join + windowed
     * aggregates + ML top/cate functions); driver smoke-checks rows>0. */
@@ -3565,45 +3546,64 @@ object SparkEntry {
     // part-supplier pairs that actually traded, supply cost = cheapest
     // observed line price in exact cents) — topology identical to the
     // canonical form.
-    // ps is referenced TWICE (outer join + correlated min subquery) and
-    // Spark inlines CTEs, which would scan + aggregate the FACT table
-    // twice with no exchange reuse (verified: 2 lineitem FileScans, 0
-    // ReusedExchange) — at 100 TB that is the double fact scan the
-    // optimizer won't save you from. The Spark side materializes ps
-    // ONCE (persist(DISK_ONLY) + count barrier, see materializeView —
-    // one scan, both references read the materialized blocks, and a
-    // lost executor recomputes from lineage instead of failing the
-    // query); the DuckDB oracle keeps the canonical CTE.
-    // One source of truth for both engines (the evQ/__EV__ convention):
-    // __PS__ is the materialized temp view on the Spark side and the
-    // canonical CTE name on the DuckDB side.
+    // ps is referenced TWICE in the canonical form (outer join +
+    // correlated min subquery) and Spark inlines CTEs, which would scan
+    // + aggregate the FACT table twice with no exchange reuse (verified
+    // r-era: 2 lineitem FileScans, 0 ReusedExchange). Through r19 the
+    // Spark side materialized ps (persist(DISK_ONLY) + count barrier);
+    // r20 removes the second reference ALGEBRAICALLY instead (guide
+    // §1.2 / §2.4): for a fixed p_partkey, the correlated subquery's
+    // candidate set (ps2 ⋈ supplier ⋈ nation ⋈ region, ASIA) is exactly
+    // the outer joined frame's rows for that part — part predicates are
+    // per-part and partkeys failing them are absent from the output
+    // either way — so the correlated min IS
+    // `min(ps_cost_cp) OVER (PARTITION BY p_partkey)` on the one joined
+    // frame. One lineitem scan, no persist, no count barrier, no
+    // subquery subplan; the window's partitioning rides the join's
+    // existing hash partitioning. Exact integer cents both ways, so the
+    // min and the equality are engine-identical. The DuckDB oracle
+    // keeps the canonical correlated form — equivalence is re-proven by
+    // the hash gate every round.
     locally {
       val psSql = """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_cp
                      FROM lineitem GROUP BY l_partkey, l_suppkey"""
-      val outer = """
+      val outerOracle = """
         SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
                s_name, n_name, p_partkey, p_name
         FROM part
-        JOIN __PS__ ON p_partkey = ps_partkey
+        JOIN ps ON p_partkey = ps_partkey
         JOIN supplier ON s_suppkey = ps_suppkey
         JOIN nation ON n_nationkey = s_nationkey
         JOIN region ON r_regionkey = n_regionkey
         WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD' AND r_name = 'ASIA'
           AND ps_cost_cp = (SELECT min(ps2.ps_cost_cp)
-                            FROM __PS__ ps2
+                            FROM ps ps2
                             JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
                             JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
                             JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
                             WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
         ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
         LIMIT 100"""
+      val sparkSide = s"""
+        WITH ps AS ($psSql)
+        SELECT s_acctbal_c, s_name, n_name, p_partkey, p_name
+        FROM (
+          SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+                 s_name, n_name, p_partkey, p_name, ps_cost_cp,
+                 min(ps_cost_cp) OVER (PARTITION BY p_partkey) AS min_cost_cp
+          FROM part
+          JOIN ps ON p_partkey = ps_partkey
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD' AND r_name = 'ASIA')
+        WHERE ps_cost_cp = min_cost_cp
+        ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+        LIMIT 100"""
       m += "q_tpch_q2" -> op(
-        (s, dir) => {
-          materializeView(s, "q2_ps", psSql)
-          s.sql(outer.replace("__PS__", "q2_ps"))
-        },
-        s"WITH ps AS ($psSql)\n" + outer.replace("__PS__", "ps"))
+        sqlQuery(sparkSide),
+        s"WITH ps AS ($psSql)\n" + outerOracle)
     }
 
     // TPC-H Q16 (part/supplier relationship): NOT IN (null-aware anti
@@ -3709,56 +3709,108 @@ object SparkEntry {
     // nation and year. amount_cp = extprice_c*(100-disc_c) -
     // ps_cost_c*100*qty keeps everything in exact cent-percent units
     // (quantities are integral in this corpus).
-    m += "q_tpch_q9" -> both("""
-      WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_c
-                  FROM lineitem GROUP BY l_partkey, l_suppkey)
-      SELECT nation, o_year, CAST(sum(amount_cp) AS BIGINT) AS sum_profit_cp
-      FROM (SELECT n_name AS nation,
-                   CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
-                   CAST(round(l_extendedprice * 100) AS BIGINT) *
-                   (100 - CAST(round(l_discount * 100) AS BIGINT)) -
-                   ps_cost_c * 100 * CAST(round(l_quantity) AS BIGINT) AS amount_cp
-            FROM part
-            JOIN lineitem ON p_partkey = l_partkey
-            JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
-            JOIN supplier ON s_suppkey = l_suppkey
-            JOIN orders ON o_orderkey = l_orderkey
-            JOIN nation ON s_nationkey = n_nationkey
-            WHERE p_name LIKE '%red%')
-      GROUP BY nation, o_year
-      ORDER BY nation, o_year DESC""")
+    // the ps CTE is a SELF-join of lineitem against its own
+    // per-(partkey, suppkey) min — i.e. each lineitem row annotated with
+    // its group min, which is exactly
+    // `min(...) OVER (PARTITION BY l_partkey, l_suppkey)` on ONE scan
+    // (guide §1.2/§2.4; r20 — this entry used to ride q2's DISK_ONLY ps
+    // cache by canonical-plan accident, so when q2's materialization was
+    // removed this self-join would have re-scanned + re-aggregated the
+    // fact table; the window makes the entry self-sufficient with a
+    // single scan). The DuckDB oracle keeps the canonical CTE self-join
+    // — equivalence is re-proven by the hash gate every round.
+    locally {
+      val q9Oracle = """
+        WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                           min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_c
+                    FROM lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT nation, o_year, CAST(sum(amount_cp) AS BIGINT) AS sum_profit_cp
+        FROM (SELECT n_name AS nation,
+                     CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT)) -
+                     ps_cost_c * 100 * CAST(round(l_quantity) AS BIGINT) AS amount_cp
+              FROM part
+              JOIN lineitem ON p_partkey = l_partkey
+              JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%red%')
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC"""
+      val q9Spark = """
+        SELECT nation, o_year, CAST(sum(amount_cp) AS BIGINT) AS sum_profit_cp
+        FROM (SELECT n_name AS nation,
+                     CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT)) -
+                     ps_cost_c * 100 * CAST(round(l_quantity) AS BIGINT) AS amount_cp
+              FROM part
+              JOIN (SELECT l_partkey, l_suppkey, l_orderkey, l_extendedprice,
+                           l_discount, l_quantity,
+                           min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                             OVER (PARTITION BY l_partkey, l_suppkey) AS ps_cost_c
+                    FROM lineitem) l ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%red%')
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC"""
+      m += "q_tpch_q9" -> op(sqlQuery(q9Spark), q9Oracle)
+    }
 
     // TPC-H Q11 (important stock identification): per-part value within
     // one nation, kept only when above a scalar fraction-of-total
     // subquery over the SAME joined relation — the HAVING-vs-global-
     // scalar shape. ps value derives from lineitem (sum of traded line
     // price per part-supplier pair, exact cents).
-    // same double-reference materialization as Q2 (ps feeds the grouped
-    // rollup AND the fraction-of-total scalar): one fact scan, not two
+    // the canonical form references ps twice (the grouped rollup AND the
+    // fraction-of-total scalar). Through r19 the Spark side materialized
+    // ps (persist(DISK_ONLY) + count barrier); r20 removes the second
+    // reference ALGEBRAICALLY (guide §1.2): the scalar — 0.001 of the
+    // TOTAL filtered value — is the sum of the very groups the main
+    // query computes, i.e. `sum(sum(val_c)) OVER ()` on the grouped
+    // frame. One lineitem scan, no persist, no scalar-subquery subplan;
+    // the single-partition window moves only (partkey, value) pairs —
+    // the grouped result, not the fact table. Exact integer cents both
+    // ways and the same BIGINT * DECIMAL comparison, so the predicate is
+    // engine-identical. The DuckDB oracle keeps the canonical
+    // double-reference CTE — equivalence is re-proven by the hash gate.
     locally {
       val psSql = """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_c
                      FROM lineitem GROUP BY l_partkey, l_suppkey"""
-      val outer = """
+      val outerOracle = """
         SELECT ps_partkey, CAST(sum(val_c) AS BIGINT) AS value_c
-        FROM __PS__
+        FROM ps
         JOIN supplier ON s_suppkey = ps_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_13'
         GROUP BY ps_partkey
         HAVING sum(val_c) > (SELECT sum(val_c) * 0.001
-                             FROM __PS__
+                             FROM ps
                              JOIN supplier ON s_suppkey = ps_suppkey
                              JOIN nation ON s_nationkey = n_nationkey
                              WHERE n_name = 'NATION_13')
         ORDER BY value_c DESC, ps_partkey"""
+      val sparkSide = s"""
+        WITH ps AS ($psSql)
+        SELECT ps_partkey, value_c
+        FROM (
+          SELECT ps_partkey, CAST(sum(val_c) AS BIGINT) AS value_c,
+                 sum(sum(val_c)) OVER () AS total_c
+          FROM ps
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_13'
+          GROUP BY ps_partkey)
+        WHERE value_c > total_c * 0.001
+        ORDER BY value_c DESC, ps_partkey"""
       m += "q_tpch_q11" -> op(
-        (s, dir) => {
-          materializeView(s, "q11_ps", psSql)
-          s.sql(outer.replace("__PS__", "q11_ps"))
-        },
-        s"WITH ps AS ($psSql)\n" + outer.replace("__PS__", "ps"))
+        sqlQuery(sparkSide),
+        s"WITH ps AS ($psSql)\n" + outerOracle)
     }
 
     // TPC-H Q12 (shipping mode and order priority): the orders-lineitem

@@ -72,11 +72,49 @@ object TwsCodecProbe {
     }
   }
 
+  /** keyMode=binary twin of [[ValueLeg]]: keys are 33-byte BINARY — the
+    * streaming-dedup entry's band-key shape — instead of Long. Isolates
+    * whether the TWS-vs-FMGWS entry gap (BENCH_sf10_sdd_r20: same-provider
+    * ratio 2.14 where the Long-key probe shows parity) is the operator's
+    * handling of non-primitive grouping keys. */
+  private final class ValueLegB(payload: Int)
+    extends StatefulProcessor[Array[Byte], (Array[Byte], Array[Byte]), Long] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("members", Encoders.BINARY,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Array[Byte], rows: Iterator[(Array[Byte], Array[Byte])],
+                                 timerValues: TimerValues): Iterator[Long] = {
+      val prior = Option(st.get()).map(_.length.toLong).getOrElse(0L)
+      var n = prior
+      rows.foreach { case (_, v) => st.update(v); n += 1 }
+      Iterator.single(n)
+    }
+  }
+
+  private final class ListLegB(payload: Int)
+    extends StatefulProcessor[Array[Byte], (Array[Byte], Array[Byte]), Long] {
+    @transient private var st: org.apache.spark.sql.streaming.ListState[Array[Byte]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Array[Byte]]("members", Encoders.BINARY,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Array[Byte], rows: Iterator[(Array[Byte], Array[Byte])],
+                                 timerValues: TimerValues): Iterator[Long] = {
+      var n = 0L
+      st.get().foreach(m => n += m.length.toLong)
+      rows.foreach { case (_, v) => st.appendValue(v); n += 1 }
+      Iterator.single(n)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val outJson = args(0)
     val keys = if (args.length > 1) args(1).toLong else 2000000L
     val payload = if (args.length > 2) args(2).toInt else 1040
     val rounds = if (args.length > 3) args(3).toInt else 2
+    // keyMode=binary: 33-byte binary keys (md5 prefix + embedded id —
+    // distinct by construction, pseudorandom like the entry's band keys)
+    val keyMode = if (args.length > 4) args(4) else "long"
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -96,34 +134,66 @@ object TwsCodecProbe {
     // touched buckets averaging ~1 member); deterministic payload
     val root = GraftSession.tempDir("graft_twsprobe_")
     val inDir = s"$root/in"
-    spark.range(keys).select(col("id"),
+    val keyCol =
+      if (keyMode == "binary")
+        expr("unhex(concat(md5(CAST(id AS STRING)), lpad(hex(id), 18, '0'), repeat('ab', 8)))")
+      else col("id")
+    spark.range(keys).select(keyCol.as("id"),
         expr(s"CAST(repeat('a', $payload) AS BINARY)").as("payload"))
       .write.parquet(inDir)
     val inSchema = spark.read.parquet(inDir).schema
 
+    def buildLeg(leg: String, src: String): org.apache.spark.sql.Dataset[Long] = {
+      if (keyMode == "binary") {
+        val streamIn = spark.readStream.schema(inSchema).parquet(src)
+          .as[(Array[Byte], Array[Byte])]
+        val grouped = streamIn.groupByKey(_._1)(Encoders.BINARY)
+        leg match {
+          case "fmgws" =>
+            grouped.flatMapGroupsWithState(
+              OutputMode.Append, GroupStateTimeout.NoTimeout)(
+              (_: Array[Byte], rows: Iterator[(Array[Byte], Array[Byte])],
+               state: GroupState[Array[Byte]]) => {
+                val prior = state.getOption.map(_.length.toLong).getOrElse(0L)
+                var n = prior
+                rows.foreach { case (_, v) => state.update(v); n += 1 }
+                Iterator.single(n)
+              })
+          case "tws_value" =>
+            grouped.transformWithState(new ValueLegB(payload), TimeMode.None(),
+              OutputMode.Append())
+          case "tws_list" =>
+            grouped.transformWithState(new ListLegB(payload), TimeMode.None(),
+              OutputMode.Append())
+        }
+      } else {
+        val streamIn = spark.readStream.schema(inSchema).parquet(src)
+          .as[(Long, Array[Byte])]
+        val grouped = streamIn.groupByKey(_._1)
+        leg match {
+          case "fmgws" =>
+            grouped.flatMapGroupsWithState(
+              OutputMode.Append, GroupStateTimeout.NoTimeout)(
+              (key: Long, rows: Iterator[(Long, Array[Byte])],
+               state: GroupState[Array[Byte]]) => {
+                val prior = state.getOption.map(_.length.toLong).getOrElse(0L)
+                var n = prior
+                rows.foreach { case (_, v) => state.update(v); n += 1 }
+                Iterator.single(n)
+              })
+          case "tws_value" =>
+            grouped.transformWithState(new ValueLeg(payload), TimeMode.None(),
+              OutputMode.Append())
+          case "tws_list" =>
+            grouped.transformWithState(new ListLeg(payload), TimeMode.None(),
+              OutputMode.Append())
+        }
+      }
+    }
+
     def runLeg(leg: String, tag: String): Double = {
       val ckpt = s"$root/ckpt_$tag"
-      val streamIn = spark.readStream.schema(inSchema).parquet(inDir)
-        .as[(Long, Array[Byte])]
-      val grouped = streamIn.groupByKey(_._1)
-      val out = leg match {
-        case "fmgws" =>
-          grouped.flatMapGroupsWithState(
-            OutputMode.Append, GroupStateTimeout.NoTimeout)(
-            (key: Long, rows: Iterator[(Long, Array[Byte])],
-             state: GroupState[Array[Byte]]) => {
-              val prior = state.getOption.map(_.length.toLong).getOrElse(0L)
-              var n = prior
-              rows.foreach { case (_, v) => state.update(v); n += 1 }
-              Iterator.single(n)
-            })
-        case "tws_value" =>
-          grouped.transformWithState(new ValueLeg(payload), TimeMode.None(),
-            OutputMode.Append())
-        case "tws_list" =>
-          grouped.transformWithState(new ListLeg(payload), TimeMode.None(),
-            OutputMode.Append())
-      }
+      val out = buildLeg(leg, inDir)
       val t0 = System.nanoTime()
       val q = out.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -139,25 +209,12 @@ object TwsCodecProbe {
     // count) compiles all three shapes before anything is timed
     Seq("fmgws", "tws_value", "tws_list").foreach { leg =>
       val warmDir = s"$root/warm_$leg"
-      spark.range(1000).select(col("id"),
+      spark.range(1000).select(keyCol.as("id"),
           expr(s"CAST(repeat('a', $payload) AS BINARY)").as("payload"))
         .write.parquet(warmDir)
       val ckpt = s"$root/warmckpt_$leg"
-      val s = spark.readStream.schema(inSchema).parquet(warmDir)
-        .as[(Long, Array[Byte])].groupByKey(_._1)
-      val o = leg match {
-        case "fmgws" => s.flatMapGroupsWithState(
-          OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          (_: Long, rows: Iterator[(Long, Array[Byte])],
-           st: GroupState[Array[Byte]]) => {
-            rows.foreach { case (_, v) => st.update(v) }; Iterator.single(1L)
-          })
-        case "tws_value" => s.transformWithState(new ValueLeg(payload),
-          TimeMode.None(), OutputMode.Append())
-        case "tws_list" => s.transformWithState(new ListLeg(payload),
-          TimeMode.None(), OutputMode.Append())
-      }
-      val q = o.writeStream.option("checkpointLocation", ckpt).format("noop")
+      val q = buildLeg(leg, warmDir).writeStream
+        .option("checkpointLocation", ckpt).format("noop")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
@@ -185,6 +242,7 @@ object TwsCodecProbe {
       "keys" -> keys,
       "payload_bytes" -> payload,
       "rounds" -> rounds,
+      "key_mode" -> keyMode,
       "cpus" -> cpus,
       "wall_sec_all_rounds" -> walls.map { case (k, v) => k -> v }.toMap,
       "wall_sec_best" -> best.toMap,

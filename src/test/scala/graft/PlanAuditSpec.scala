@@ -164,19 +164,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scanPushed(p19, "l_quantity"),
       "Q19's quantity-range union never reached the lineitem scan's PushedFilters")
     val p2 = plan("q_tpch_q2")
-    // the correlated min-subquery must de-correlate to agg-then-join
-    assert(p2.contains("HashAggregate"), "Q2's min subquery lost the aggregate rewrite")
+    // the ps derivation still aggregates, and the LIMIT keeps TakeOrdered
+    assert(p2.contains("HashAggregate"), "Q2's ps derivation lost its aggregate")
     assert(p2.contains("TakeOrderedAndProject"), "Q2's LIMIT lost TakeOrdered")
-    // ps is materialized ONCE: the double-referenced CTE must not
-    // re-derive (and re-scan the fact table) per reference. Both
-    // references must read the persisted blocks (disk level — lineage
-    // kept, a lost executor recomputes instead of failing the query),
-    // and NO lineitem scan may be live in the query's own execution
-    // (the only lineitem scan already ran, once, in the count barrier)
-    assert(p2.contains("InMemoryTableScan") && p2.contains("StorageLevel(disk"),
-      "Q2's ps references stopped reading the disk-persisted materialization")
-    assert(liveScans("q_tpch_q2", "lineitem") == 0,
-      "Q2's ps lost its materialization — the plan re-scans lineitem")
+    // r20: the correlated min-subquery is expressed as a WINDOW over the
+    // one joined frame (min per p_partkey) — the plan must carry the
+    // Window operator, exactly ONE live lineitem scan, and NO cached
+    // reads (the r11-r19 persist(DISK_ONLY) materialization is gone)
+    assert(p2.contains("Window"), "Q2's min-per-part lost its window rewrite")
+    assert(!p2.contains("InMemoryTableScan"),
+      "Q2 regrew a cached materialization — the window rewrite made it single-pass")
+    assert(liveScans("q_tpch_q2", "lineitem") == 1,
+      "Q2 must scan the fact table exactly once")
     val p16 = plan("q_tpch_q16")
     assert(p16.contains("LeftAnti"), "Q16's NOT IN lost the anti-join rewrite")
     // count(DISTINCT supplier) plans as a two-level aggregate whose
@@ -208,12 +207,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val p9 = plan("q_tpch_q9")
     assert(scanPushed(p9, "p_name"),
       "Q9's p_name LIKE filter never reached the part scan (StringContains pushdown)")
+    // r20: the ps self-join is a window (min per (partkey, suppkey)) on
+    // ONE lineitem scan
+    assert(p9.contains("Window"), "Q9's ps self-join lost its window rewrite")
+    assert(liveScans("q_tpch_q9", "lineitem") == 1,
+      "Q9 must scan the fact table exactly once")
     val p11 = plan("q_tpch_q11")
     assert(p11.contains("HashAggregate"), "Q11 lost its aggregates")
-    assert(p11.contains("InMemoryTableScan") && p11.contains("StorageLevel(disk"),
-      "Q11's ps references stopped reading the disk-persisted materialization")
-    assert(liveScans("q_tpch_q11", "lineitem") == 0,
-      "Q11's ps lost its materialization — the plan re-scans lineitem")
+    // r20: the fraction-of-total scalar is a window over the grouped
+    // frame (sum of sums OVER ()) — one live lineitem scan, no cached
+    // reads (the r11-r19 persist(DISK_ONLY) materialization is gone)
+    assert(p11.contains("Window"), "Q11's fraction-of-total lost its window rewrite")
+    assert(!p11.contains("InMemoryTableScan"),
+      "Q11 regrew a cached materialization — the window rewrite made it single-pass")
+    assert(liveScans("q_tpch_q11", "lineitem") == 1,
+      "Q11 must scan the fact table exactly once")
     val p12 = plan("q_tpch_q12")
     assert(p12.contains("PushedFilters: [") && p12.contains("l_returnflag"),
       "Q12's returnflag IN filter lost scan pushdown")
