@@ -421,9 +421,34 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val fromNeighbors = und.join(labels, und("v") === labels("id"))
         .select(und("u").as("id"), labels("c"))
+      // the convergence sum rides the checkpoint's own materialization
+      // job via observe() (r20, guide §1.2: the old shape ran a SECOND
+      // full pass over the just-checkpointed labels per round just to
+      // sum them — one extra action x diameter rounds, a real cost when
+      // labels are every vertex). getOrEmpty, not get: if an engine
+      // version ever stopped reporting observed metrics from the
+      // checkpoint action, fall back to the explicit pass instead of
+      // hanging — same value either way.
+      val obs = org.apache.spark.sql.Observation(s"cc_labelsum_$iter")
       val next = labels.unionByName(fromNeighbors)
-        .groupBy("id").agg(min(col("c")).as("c")).localCheckpoint(true)
-      val cur = labelSum(next)
+        .groupBy("id").agg(min(col("c")).as("c"))
+        .observe(obs, sum(col("c").cast("decimal(38,0)")).as("s"))
+        .localCheckpoint(true)
+      // the metrics arrive on the async listener bus a beat after the
+      // eager checkpoint returns; obs.get blocks, so bound the wait and
+      // fall back to the explicit pass if the bus ever went silent (the
+      // stranded waiter thread is daemon-pooled and bounded by maxIter)
+      val cur = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration._
+        try Await.result(Future(obs.get), 10.seconds).get("s") match {
+          case Some(d: java.math.BigDecimal) => d
+          case Some(null) => java.math.BigDecimal.ZERO
+          case None => labelSum(next)
+          case Some(other) => new java.math.BigDecimal(other.toString)
+        } catch { case _: java.util.concurrent.TimeoutException => labelSum(next) }
+      }
       freeCheckpoint(labels)
       labels = next
       converged = cur.compareTo(prev) == 0
